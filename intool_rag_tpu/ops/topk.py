@@ -1,0 +1,162 @@
+"""Exact blockwise dense search: tiled score matmul + streaming top-k.
+
+TPU-native replacement for FAISS ``IndexFlatL2.search`` (reference:
+rag/storage/faiss_index.py:63-91,106-128). The corpus matrix ``[N, D]``
+is scanned in blocks: each block's scores come from one MXU matmul and are
+immediately reduced to the block's top-k, which merges into a running
+top-k — the full ``[Q, N]`` score matrix is never materialized, so memory
+traffic is one corpus read per query batch (HBM-bandwidth bound, per
+BASELINE.json's north star).
+
+Metrics:
+- ``ip``      — inner product (MIPS).
+- ``cosine``  — inner product over pre-normalized vectors, mapped to the
+  reference's score space ``1 - d/2`` which equals cosine similarity for
+  unit vectors (reference maps L2 distance d to score ``1 - d/2`` at
+  faiss_index.py:87; for unit vectors d = 2 - 2·ip so the two agree).
+- ``l2``      — ranking by negative squared L2 distance using the
+  ``|e|² - 2·q·e`` expansion (query norm is rank-invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+Metric = Literal["ip", "cosine", "l2"]
+
+
+def merge_topk(
+    values_a: jax.Array,
+    indices_a: jax.Array,
+    values_b: jax.Array,
+    indices_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two (values, indices) top-k sets along the last axis."""
+    values = jnp.concatenate([values_a, values_b], axis=-1)
+    indices = jnp.concatenate([indices_a, indices_b], axis=-1)
+    top_vals, top_pos = jax.lax.top_k(values, k)
+    return top_vals, jnp.take_along_axis(indices, top_pos, axis=-1)
+
+
+def _block_scores(
+    queries: jax.Array,
+    block: jax.Array,
+    block_norms_sq: jax.Array | None,
+    metric: Metric,
+) -> jax.Array:
+    scores = jax.lax.dot_general(
+        queries,
+        block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # f32 inputs must not silently use bf16 multiplies (JAX's default
+        # matmul precision); bf16 corpora are unaffected.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "l2":
+        assert block_norms_sq is not None
+        scores = 2.0 * scores - block_norms_sq[None, :]
+    return scores
+
+
+def _block_topk(scores: jax.Array, k: int, use_approx: bool) -> tuple[jax.Array, jax.Array]:
+    if use_approx:
+        return jax.lax.approx_max_k(scores, k)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "block_n", "use_approx", "valid_n")
+)
+def flat_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    *,
+    metric: Metric = "cosine",
+    block_n: int = 16384,
+    use_approx: bool = False,
+    valid_n: int | None = None,
+    corpus_norms_sq: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k search of ``queries [Q, D]`` against ``corpus [N, D]``.
+
+    Returns ``(scores [Q, k] f32, indices [Q, k] i32)`` sorted descending.
+    ``valid_n`` masks out padding rows at the tail of the corpus.
+    ``use_approx`` selects ``lax.approx_max_k`` for the per-block reduction
+    (TPU-native partial-reduce; CPU falls back to exact sort).
+    """
+    n, d = corpus.shape
+    q = queries.shape[0]
+    if valid_n is None:
+        valid_n = n
+    k = min(k, n)
+    if metric == "l2" and corpus_norms_sq is None:
+        corpus_norms_sq = jnp.sum(
+            corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
+        )
+
+    block_n = min(block_n, n)
+    num_blocks = -(-n // block_n)
+    padded_n = num_blocks * block_n
+    if padded_n != n:
+        corpus = jnp.pad(corpus, ((0, padded_n - n), (0, 0)))
+        if corpus_norms_sq is not None:
+            corpus_norms_sq = jnp.pad(corpus_norms_sq, (0, padded_n - n))
+
+    queries = queries.astype(corpus.dtype)
+
+    def body(carry, block_idx):
+        best_vals, best_idx = carry
+        start = block_idx * block_n
+        block = jax.lax.dynamic_slice(corpus, (start, 0), (block_n, d))
+        bnorms = (
+            jax.lax.dynamic_slice(corpus_norms_sq, (start,), (block_n,))
+            if metric == "l2"
+            else None
+        )
+        scores = _block_scores(queries, block, bnorms, metric)
+        local_ids = start + jax.lax.broadcasted_iota(jnp.int32, (q, block_n), 1)
+        scores = jnp.where(local_ids < valid_n, scores, -jnp.inf)
+        block_vals, block_pos = _block_topk(scores, min(k, block_n), use_approx)
+        block_idx_global = jnp.take_along_axis(local_ids, block_pos, axis=-1)
+        best_vals, best_idx = merge_topk(
+            best_vals, best_idx, block_vals, block_idx_global, k
+        )
+        return (best_vals, best_idx), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((q, k), -1, dtype=jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
+
+    if metric == "cosine":
+        # Reference score space: clamp cosine similarity into [0, 1]
+        # (faiss_index.py:87 clamps 1 - d/2 into [0, 1]).
+        vals = jnp.clip(vals, 0.0, 1.0)
+    return vals, idx
+
+
+def exact_scores(
+    queries: jax.Array, corpus: jax.Array, metric: Metric = "cosine"
+) -> jax.Array:
+    """Full [Q, N] scores — small corpora and tests only."""
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype),
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "l2":
+        norms = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)
+        scores = 2.0 * scores - norms[None, :]
+    elif metric == "cosine":
+        scores = jnp.clip(scores, 0.0, 1.0)
+    return scores

@@ -1,0 +1,136 @@
+"""Dense search kernels vs a NumPy brute-force oracle (the FAISS-parity
+strategy from SURVEY.md §4: recall@k against exact search)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intool_rag_tpu.ops.flat_pallas import choose_group_width, flat_topk_pallas
+from intool_rag_tpu.ops.topk import exact_scores, flat_topk, merge_topk
+
+
+def _normed(rng, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _oracle_topk(queries, corpus, k, metric="cosine"):
+    if metric == "l2":
+        scores = -(
+            np.sum(corpus**2, axis=1)[None, :]
+            - 2.0 * (queries.astype(np.float64) @ corpus.T.astype(np.float64))
+        )
+    else:
+        scores = queries.astype(np.float64) @ corpus.T.astype(np.float64)
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def recall_at_k(pred_idx, true_idx):
+    hits = sum(
+        len(set(p.tolist()) & set(t.tolist())) for p, t in zip(pred_idx, true_idx)
+    )
+    return hits / true_idx.size
+
+
+def test_merge_topk():
+    va = jnp.array([[9.0, 5.0, 1.0]])
+    ia = jnp.array([[10, 11, 12]])
+    vb = jnp.array([[7.0, 6.0, 0.0]])
+    ib = jnp.array([[20, 21, 22]])
+    v, i = merge_topk(va, ia, vb, ib, 3)
+    assert v.tolist() == [[9.0, 7.0, 6.0]]
+    assert i.tolist() == [[10, 20, 21]]
+
+
+@pytest.mark.parametrize("metric", ["cosine", "ip", "l2"])
+def test_flat_topk_exact_parity(rng, metric):
+    corpus = _normed(rng, (1000, 64)) if metric != "l2" else rng.standard_normal((1000, 64)).astype(np.float32)
+    queries = _normed(rng, (7, 64)) if metric != "l2" else rng.standard_normal((7, 64)).astype(np.float32)
+    vals, idx = flat_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), 10, metric=metric, block_n=256
+    )
+    oracle_vals, oracle_idx = _oracle_topk(queries, corpus, 10, metric)
+    r = recall_at_k(np.asarray(idx), oracle_idx)
+    if r < 1.0:
+        # f32 kernel vs f64 oracle: only near-ties at the rank-k boundary
+        # may differ; every kernel pick must score within 1e-3 of oracle kth.
+        kth = oracle_vals[:, -1]
+        picked = np.take_along_axis(
+            queries.astype(np.float64) @ corpus.T.astype(np.float64)
+            if metric != "l2"
+            else -(
+                np.sum(corpus**2, axis=1)[None, :]
+                - 2.0 * (queries.astype(np.float64) @ corpus.T.astype(np.float64))
+            ),
+            np.asarray(idx),
+            axis=1,
+        )
+        assert np.all(picked >= kth[:, None] - 1e-3)
+        assert r >= 0.95
+    # scores sorted descending
+    v = np.asarray(vals)
+    assert np.all(np.diff(v, axis=1) <= 1e-6)
+
+
+def test_flat_topk_valid_n_masks_padding(rng):
+    corpus = _normed(rng, (100, 32))
+    corpus[90:] = 100.0  # poison the padding region
+    queries = _normed(rng, (3, 32))
+    _, idx = flat_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), 5, metric="ip", block_n=64, valid_n=90
+    )
+    assert np.asarray(idx).max() < 90
+
+
+def test_flat_topk_cosine_score_space(rng):
+    """Reference score space: clamped to [0,1] (faiss_index.py:87)."""
+    corpus = _normed(rng, (50, 16))
+    queries = -corpus[:2]  # anti-parallel → raw cosine -1 → clamped 0
+    vals, _ = flat_topk(jnp.asarray(queries), jnp.asarray(corpus), 5, metric="cosine")
+    v = np.asarray(vals)
+    assert v.min() >= 0.0 and v.max() <= 1.0
+
+
+def test_flat_topk_bf16_corpus(rng):
+    corpus = _normed(rng, (512, 128))
+    queries = _normed(rng, (4, 128))
+    vals, idx = flat_topk(
+        jnp.asarray(queries), jnp.asarray(corpus, dtype=jnp.bfloat16), 10, metric="ip"
+    )
+    _, oracle_idx = _oracle_topk(queries, corpus, 10, "ip")
+    assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.9  # bf16 rounding tolerance
+
+
+def test_pallas_partial_topk_high_recall(rng):
+    n, d, q, k = 4096, 128, 8, 10
+    corpus = _normed(rng, (n, d))
+    queries = _normed(rng, (q, d))
+    l = choose_group_width(n, k)
+    vals, idx = flat_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(corpus), k,
+        block_n=512, group_l=l, interpret=True,
+    )
+    _, oracle_idx = _oracle_topk(queries, corpus, k, "ip")
+    assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.95
+    assert np.all(np.diff(np.asarray(vals), axis=1) <= 1e-6)
+
+
+def test_pallas_valid_n_and_query_padding(rng):
+    n, d = 1024, 128
+    corpus = _normed(rng, (n, d))
+    corpus[1000:] = 50.0  # poison padding
+    queries = _normed(rng, (3, d))  # q=3 → padded to 8 internally
+    vals, idx = flat_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(corpus), 5,
+        block_n=256, group_l=16, valid_n=1000, interpret=True,
+    )
+    assert idx.shape == (3, 5)
+    assert np.asarray(idx).max() < 1000
+
+
+def test_choose_group_width():
+    assert choose_group_width(1_000_000, 10) == 128
+    assert choose_group_width(4096, 10) <= 64
+    assert choose_group_width(512, 10) == 8
