@@ -1,0 +1,101 @@
+"""On-device BM25 scoring over CSC (term→postings) arrays.
+
+The sparse half of hybrid search — a capability the reference declares
+(rag/config.py:43-45, README.md:54-58) but never implemented. Scoring is
+the exact sparse algorithm, not a dense emulation: per query term, gather
+that term's postings slice (document ids + precomputed tf-normalized
+weights) and scatter-add ``idf · weight`` into the score vector. Work is
+O(Q · Σ df(term)) — the information-theoretic minimum — instead of
+O(Q · N · L) for a dense membership scan.
+
+Postings layout (built by :mod:`intool_rag_tpu.index.bm25_index`):
+
+- ``post_docs  [nnz + p_max] i32`` — doc ids, flat, grouped by term,
+  impact-ordered (highest weight first) within each term, tail-padded.
+- ``post_w     [nnz + p_max] f32`` — tf-normalized weights
+  ``tf·(k1+1) / (tf + k1·(1-b+b·len/avglen))`` (idf applied at query time).
+- ``term_start [V] i32``, ``term_len [V] i32`` — per-term slice bounds.
+- ``idf        [V] f32``.
+
+Terms with df > ``p_max`` are impact-pruned to their ``p_max`` strongest
+postings (bounded, idf-weighted error — standard impact pruning; such
+terms are near-stopwords with tiny idf).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "p_max"))
+def bm25_scores(
+    qterms: jax.Array,  # [Q, T] i32 vocab ids, -1 padding
+    qtf: jax.Array,  # [Q, T] f32 query-side term counts (0 for padding)
+    term_start: jax.Array,  # [V] i32
+    term_len: jax.Array,  # [V] i32
+    post_docs: jax.Array,  # [nnz_pad] i32
+    post_w: jax.Array,  # [nnz_pad] f32
+    idf: jax.Array,  # [V] f32
+    *,
+    n_docs: int,
+    p_max: int,
+) -> jax.Array:
+    """Exact BM25 scores ``[Q, n_docs] f32`` (up to impact pruning)."""
+
+    def score_one(terms_row: jax.Array, qtf_row: jax.Array) -> jax.Array:
+        def body(scores: jax.Array, inputs):
+            t, q_tf = inputs
+            valid = t >= 0
+            t_safe = jnp.maximum(t, 0)
+            start = term_start[t_safe]
+            length = jnp.minimum(term_len[t_safe], p_max)
+            docs = jax.lax.dynamic_slice(post_docs, (start,), (p_max,))
+            w = jax.lax.dynamic_slice(post_w, (start,), (p_max,))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (p_max, 1), 0)[:, 0]
+            mask = (pos < length) & valid
+            contrib = jnp.where(mask, w * idf[t_safe] * q_tf, 0.0)
+            docs = jnp.where(mask, docs, n_docs)  # padding -> dropped slot
+            scores = scores.at[docs].add(contrib, mode="drop")
+            return scores, None
+
+        init = jnp.zeros((n_docs,), jnp.float32)
+        scores, _ = jax.lax.scan(body, init, (terms_row, qtf_row))
+        return scores
+
+    return jax.vmap(score_one)(qterms, qtf)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_docs", "p_max"))
+def bm25_topk(
+    qterms: jax.Array,
+    qtf: jax.Array,
+    term_start: jax.Array,
+    term_len: jax.Array,
+    post_docs: jax.Array,
+    post_w: jax.Array,
+    idf: jax.Array,
+    k: int,
+    *,
+    n_docs: int,
+    p_max: int,
+) -> tuple[jax.Array, jax.Array]:
+    scores = bm25_scores(
+        qterms, qtf, term_start, term_len, post_docs, post_w, idf,
+        n_docs=n_docs, p_max=p_max,
+    )
+    k = min(k, n_docs)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx
+
+
+def bm25_score_upper_bound(qtf: jax.Array, qterms: jax.Array, idf: jax.Array,
+                           k1: float) -> jax.Array:
+    """Per-query upper bound Σ q_tf · idf · (k1+1) — used to normalize
+    sparse scores into [0,1] for weighted fusion without a data-dependent
+    max pass."""
+    valid = qterms >= 0
+    t_safe = jnp.maximum(qterms, 0)
+    return jnp.sum(jnp.where(valid, qtf * idf[t_safe] * (k1 + 1.0), 0.0), axis=-1)
