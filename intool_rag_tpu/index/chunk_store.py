@@ -1,0 +1,168 @@
+"""Device-resident chunk corpus: embedding matrix + id tables.
+
+The TPU equivalent of the reference's FAISS index + sidecar JSON metadata
+(reference: rag/storage/faiss_index.py + file_storage.py): embeddings are
+one padded ``[N_pad, D]`` device array (bf16 by default) and the
+vector_id ↔ (doc, chunk, page) identity is positional, exactly like the
+reference's positional faiss_id mapping (faiss_index.py:178-181) — but
+over ALL documents at once, so search spans the whole corpus rather than
+the first index found (reference bug at faiss_index.py:167, SURVEY.md §7.4).
+
+Rows are padded to a block multiple so the Pallas flat-search kernel
+(ops/flat_pallas.py) gets aligned shapes; ``valid_n`` masks the tail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+_ROW_BLOCK = 1024  # pad N to this multiple (Pallas block alignment)
+_DIM_BLOCK = 128  # pad D to lane width
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+@dataclasses.dataclass
+class ChunkRef:
+    """Identity of one corpus row."""
+
+    doc_id: str
+    chunk_id: str
+    page: int
+
+
+class ChunkStore:
+    """Append-able embedding corpus with positional identity tables."""
+
+    def __init__(self, dim: int, dtype: str = "bfloat16") -> None:
+        self.dim = dim
+        self.dim_pad = _round_up(dim, _DIM_BLOCK)
+        self.dtype = jnp.dtype(dtype)
+        self.valid_n = 0
+        self._embeddings = jnp.zeros((_ROW_BLOCK, self.dim_pad), dtype=self.dtype)
+        # host-side identity tables (positional, row -> identity)
+        self.doc_ids: list[str] = []
+        self.chunk_ids: list[str] = []
+        self.pages: np.ndarray = np.zeros(0, np.int32)
+        self.texts: list[str] = []
+
+    # ---------------- properties ----------------
+
+    @property
+    def embeddings(self) -> jnp.ndarray:
+        """Padded [N_pad, D_pad] device array."""
+        return self._embeddings
+
+    @property
+    def n_pad(self) -> int:
+        return self._embeddings.shape[0]
+
+    def __len__(self) -> int:
+        return self.valid_n
+
+    def ref(self, row: int) -> ChunkRef:
+        return ChunkRef(self.doc_ids[row], self.chunk_ids[row], int(self.pages[row]))
+
+    def rows_for_doc(self, doc_id: str) -> list[int]:
+        return [i for i, d in enumerate(self.doc_ids) if d == doc_id]
+
+    # ---------------- mutation ----------------
+
+    def append(
+        self,
+        embeddings: np.ndarray,  # [M, dim] float
+        doc_id: str,
+        chunk_ids: list[str],
+        pages: list[int],
+        texts: list[str],
+    ) -> None:
+        m, d = embeddings.shape
+        if d != self.dim:
+            raise ValueError(f"embedding dim {d} != store dim {self.dim}")
+        if not (m == len(chunk_ids) == len(pages) == len(texts)):
+            raise ValueError("length mismatch between embeddings and identities")
+        new_n = self.valid_n + m
+        host = np.asarray(self._embeddings[: self.valid_n], np.float32)
+        padded = np.zeros((_round_up(new_n, _ROW_BLOCK), self.dim_pad), np.float32)
+        padded[: self.valid_n] = host
+        padded[self.valid_n : new_n, : self.dim] = embeddings
+        self._embeddings = jnp.asarray(padded, dtype=self.dtype)
+        self.valid_n = new_n
+        self.doc_ids.extend([doc_id] * m)
+        self.chunk_ids.extend(chunk_ids)
+        self.pages = np.concatenate([self.pages, np.asarray(pages, np.int32)])
+        self.texts.extend(texts)
+
+    def remove_doc(self, doc_id: str) -> int:
+        """Drop all rows of a document (compacting rebuild)."""
+        keep = [i for i, d in enumerate(self.doc_ids) if d != doc_id]
+        removed = self.valid_n - len(keep)
+        if removed == 0:
+            return 0
+        host = np.asarray(self._embeddings[: self.valid_n], np.float32)[keep]
+        padded = np.zeros(
+            (_round_up(max(len(keep), 1), _ROW_BLOCK), self.dim_pad), np.float32
+        )
+        padded[: len(keep)] = host
+        self._embeddings = jnp.asarray(padded, dtype=self.dtype)
+        self.doc_ids = [self.doc_ids[i] for i in keep]
+        self.chunk_ids = [self.chunk_ids[i] for i in keep]
+        self.pages = self.pages[keep]
+        self.texts = [self.texts[i] for i in keep]
+        self.valid_n = len(keep)
+        return removed
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: Path | str) -> None:
+        """Persist as ``<path>.npz`` (arrays) + ``<path>.meta.json``."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path,
+            embeddings=np.asarray(
+                self._embeddings[: self.valid_n, : self.dim], np.float32
+            ),
+            pages=self.pages,
+        )
+        meta = {
+            "dim": self.dim,
+            "dtype": str(self.dtype),
+            "valid_n": self.valid_n,
+            "doc_ids": self.doc_ids,
+            "chunk_ids": self.chunk_ids,
+            "texts": self.texts,
+        }
+        Path(str(path) + ".meta.json").write_text(
+            json.dumps(meta, ensure_ascii=False), encoding="utf-8"
+        )
+
+    @classmethod
+    def load(cls, path: Path | str) -> "ChunkStore":
+        path = Path(path)
+        arrays = np.load(f"{path}.npz")
+        meta = json.loads(Path(str(path) + ".meta.json").read_text(encoding="utf-8"))
+        store = cls(dim=meta["dim"], dtype=meta["dtype"])
+        emb = arrays["embeddings"]
+        if len(emb):
+            # one bulk append, grouping rows as saved
+            store._append_bulk(emb, meta, arrays["pages"])
+        return store
+
+    def _append_bulk(self, emb: np.ndarray, meta: dict, pages: np.ndarray) -> None:
+        n = emb.shape[0]
+        padded = np.zeros((_round_up(n, _ROW_BLOCK), self.dim_pad), np.float32)
+        padded[:n, : self.dim] = emb
+        self._embeddings = jnp.asarray(padded, dtype=self.dtype)
+        self.valid_n = n
+        self.doc_ids = list(meta["doc_ids"])
+        self.chunk_ids = list(meta["chunk_ids"])
+        self.texts = list(meta["texts"])
+        self.pages = np.asarray(pages, np.int32)

@@ -1,0 +1,82 @@
+"""Flat (exact) dense index over a ChunkStore.
+
+TPU-native replacement for the reference's ``IndexFlatL2`` wrapper
+(rag/storage/faiss_index.py:26-128). Chooses between the fused Pallas
+kernel (TPU) and the blockwise XLA scan (any backend) at call time.
+Scores are in the reference's clamped-cosine space (1 - d/2 for unit
+vectors, clamped to [0, 1] — faiss_index.py:87).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import get_config
+from ..ops.flat_pallas import choose_group_width, flat_topk_pallas
+from ..ops.topk import flat_topk
+from .chunk_store import ChunkStore
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+class DenseFlatIndex:
+    """Exact MIPS/cosine search over the store's embedding matrix."""
+
+    def __init__(self, store: ChunkStore, metric: str = "cosine") -> None:
+        self.store = store
+        self.metric = metric
+
+    def search(
+        self, query_embeddings: jnp.ndarray, k: int, *, exact: bool | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k over valid rows. Returns (scores [Q,k], rows [Q,k]).
+
+        ``exact=None`` auto-selects: fused Pallas partial-top-k on TPU
+        (recall-targeted group width), exact blockwise scan elsewhere.
+        """
+        cfg = get_config()
+        store = self.store
+        if store.valid_n == 0:
+            q = query_embeddings.shape[0]
+            return (
+                jnp.zeros((q, 0), jnp.float32),
+                jnp.zeros((q, 0), jnp.int32),
+            )
+        k = min(k, store.valid_n)
+        if query_embeddings.shape[1] != store.dim_pad:
+            if query_embeddings.shape[1] != store.dim:
+                raise ValueError(
+                    f"query dim {query_embeddings.shape[1]} != store dim {store.dim}"
+                )
+            query_embeddings = jnp.pad(
+                query_embeddings, ((0, 0), (0, store.dim_pad - store.dim))
+            )
+        use_pallas = cfg.USE_PALLAS and _on_tpu() and self.metric in ("cosine", "ip")
+        if exact is True:
+            use_pallas = False
+        if use_pallas:
+            group_l = choose_group_width(store.valid_n, k)
+            vals, rows = flat_topk_pallas(
+                query_embeddings,
+                store.embeddings,
+                k,
+                block_n=min(1024, store.n_pad),
+                group_l=group_l,
+                valid_n=store.valid_n,
+            )
+            if self.metric == "cosine":
+                vals = jnp.where(
+                    jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals
+                )
+            return vals, rows
+        return flat_topk(
+            query_embeddings,
+            store.embeddings,
+            k,
+            metric=self.metric,  # type: ignore[arg-type]
+            block_n=min(cfg.SEARCH_BLOCK_N, store.n_pad),
+            valid_n=store.valid_n,
+        )

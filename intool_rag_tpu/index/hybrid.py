@@ -1,0 +1,83 @@
+"""Hybrid retrieval engine: dense + BM25 + fusion in one query program.
+
+Implements the hybrid capability the reference declares but never built
+(rag/config.py:43-45, README.md:54-58; SURVEY.md §0). Dense candidates
+come from the flat (or IVF) index, sparse candidates from the BM25
+postings kernel; fusion is weighted (default, VECTOR_WEIGHT/BM25_WEIGHT)
+or RRF per ``FUSION_MODE``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import get_config
+from ..ops.fusion import normalize_minmax, rrf_fusion, weighted_fusion
+from .bm25_index import BM25Index
+from .chunk_store import ChunkStore
+from .flat_index import DenseFlatIndex
+
+
+class HybridEngine:
+    """Corpus-wide hybrid search over a ChunkStore (+ optional BM25)."""
+
+    def __init__(
+        self,
+        store: ChunkStore,
+        bm25: BM25Index | None = None,
+        metric: str = "cosine",
+    ) -> None:
+        self.store = store
+        self.bm25 = bm25
+        self.dense = DenseFlatIndex(store, metric=metric)
+
+    def search(
+        self,
+        query_texts: list[str],
+        query_embeddings: jnp.ndarray,
+        k: int,
+        *,
+        candidates: int | None = None,
+        hybrid: bool | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (scores [Q, k], corpus rows [Q, k]), fused.
+
+        ``candidates`` is the per-retriever pool size before fusion
+        (defaults to max(k, RETRIEVAL_CANDIDATES) — the reference pools
+        top-50 chunks before page ranking, page_retriever.py:117-121).
+        """
+        cfg = get_config()
+        if self.store.valid_n == 0:
+            q = len(query_texts)
+            return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+        kc = min(candidates or max(k, cfg.RETRIEVAL_CANDIDATES), self.store.valid_n)
+        k = min(k, kc)
+        use_hybrid = (
+            cfg.HYBRID_SEARCH_ENABLED if hybrid is None else hybrid
+        ) and self.bm25 is not None
+
+        d_vals, d_rows = self.dense.search(query_embeddings, kc)
+        # sanitize: candidates that are padding (-inf dense score) or
+        # no-match BM25 rows (score 0) become id -1, which fusion masks.
+        d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
+        if not use_hybrid:
+            return d_vals[:, :k], d_rows[:, :k]
+
+        s_vals, s_rows = self.bm25.topk(query_texts, kc)
+        s_rows = jnp.where(s_vals > 0.0, s_rows, -1)
+        if cfg.FUSION_MODE == "rrf":
+            return rrf_fusion(d_rows, s_rows, k, rrf_k=cfg.RRF_K)
+        # weighted: dense already in [0,1] (clamped cosine); BM25 scores are
+        # unbounded → min-max over the candidate pool per query.
+        s_norm = normalize_minmax(s_vals)
+        d_vals = jnp.where(d_rows >= 0, d_vals, 0.0)
+        s_norm = jnp.where(s_rows >= 0, s_norm, 0.0)
+        return weighted_fusion(
+            d_rows,
+            d_vals,
+            s_rows,
+            s_norm,
+            k,
+            w_dense=cfg.VECTOR_WEIGHT,
+            w_sparse=cfg.BM25_WEIGHT,
+        )

@@ -43,12 +43,19 @@ def choose_group_width(n: int, k: int, target_recall: float = 0.95) -> int:
 
 def _partial_topk_kernel(q_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l, valid_n):
     bi = pl.program_id(0)
+    # HIGHEST precision only makes sense for f32 operands (avoids the bf16
+    # 3-pass default); Mosaic rejects fp32 contract precision on bf16 inputs.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     scores = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # [Q, block_n]
     q = scores.shape[0]
     base = bi * block_n

@@ -29,6 +29,14 @@ import jax.numpy as jnp
 Metric = Literal["ip", "cosine", "l2"]
 
 
+def _precision_for(dtype) -> jax.lax.Precision:
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def merge_topk(
     values_a: jax.Array,
     indices_a: jax.Array,
@@ -55,8 +63,9 @@ def _block_scores(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         # f32 inputs must not silently use bf16 multiplies (JAX's default
-        # matmul precision); bf16 corpora are unaffected.
-        precision=jax.lax.Precision.HIGHEST,
+        # matmul precision); for bf16 corpora DEFAULT avoids a multi-pass
+        # promotion on the MXU.
+        precision=_precision_for(queries.dtype),
     )
     if metric == "l2":
         assert block_norms_sq is not None
@@ -138,8 +147,9 @@ def flat_topk(
 
     if metric == "cosine":
         # Reference score space: clamp cosine similarity into [0, 1]
-        # (faiss_index.py:87 clamps 1 - d/2 into [0, 1]).
-        vals = jnp.clip(vals, 0.0, 1.0)
+        # (faiss_index.py:87 clamps 1 - d/2 into [0, 1]) — but keep the
+        # -inf of masked padding rows so they can never outrank real rows.
+        vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
     return vals, idx
 
 
@@ -152,7 +162,7 @@ def exact_scores(
         corpus,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision_for(corpus.dtype),
     )
     if metric == "l2":
         norms = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)

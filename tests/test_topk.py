@@ -93,6 +93,20 @@ def test_flat_topk_cosine_score_space(rng):
     assert v.min() >= 0.0 and v.max() <= 1.0
 
 
+def test_flat_topk_cosine_padding_stays_neg_inf(rng):
+    """Regression: the [0,1] cosine clamp must not resurrect masked
+    padding rows (clip(-inf) would become 0.0 and leak into results)."""
+    corpus = _normed(rng, (8, 16))
+    queries = _normed(rng, (2, 16))
+    vals, idx = flat_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), 8,
+        metric="cosine", block_n=8, valid_n=3,
+    )
+    v, i = np.asarray(vals), np.asarray(idx)
+    assert np.all(i[np.isfinite(v)] < 3)
+    assert np.all(v[:, 3:] == -np.inf)  # only 3 valid rows exist
+
+
 def test_flat_topk_bf16_corpus(rng):
     corpus = _normed(rng, (512, 128))
     queries = _normed(rng, (4, 128))
