@@ -1,0 +1,196 @@
+"""Transformer text encoder (XLM-RoBERTa architecture — the BGE-M3 family).
+
+TPU-native replacement for the reference's delegation to
+sentence-transformers/torch (reference: rag/providers/hf/embeddings.py:13-91):
+batched bf16 inference on the MXU, jit-compiled, with CLS pooling and L2
+normalization (BGE-family convention; the reference also normalizes,
+hf/embeddings.py:34).
+
+Architecture notes (matches HF ``XLMRobertaModel`` so real BGE-M3 weights
+port 1:1 — verified by the torch-parity test):
+
+- learned positions with a padding offset (RoBERTa: position ids start at
+  ``padding_idx + 1`` and skip pad tokens),
+- post-LayerNorm encoder blocks (attention → add&LN → GELU MLP → add&LN),
+- attention via ``jax.nn.dot_product_attention`` so XLA can fuse
+  (flash-style) on TPU.
+
+Mesh sharding: ``shard_params``/logical rules live in
+``intool_rag_tpu.parallel.sharding`` — attention heads and MLP hidden are
+sharded over the model axis (TP), batch over the data axis (DP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 250_002
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    max_position: int = 8194
+    type_vocab_size: int = 1
+    pad_token_id: int = 1
+    layer_norm_eps: float = 1e-5
+    dtype: str = "bfloat16"  # compute dtype; params stay f32
+
+    @classmethod
+    def bge_m3(cls) -> "EncoderConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "EncoderConfig":
+        """Small config for tests and CPU smoke runs."""
+        return cls(
+            vocab_size=1024,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            max_position=130,
+            dtype="float32",
+        )
+
+
+class SelfAttention(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array, mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        head_dim = cfg.hidden_size // cfg.num_heads
+        dense = lambda name: nn.Dense(  # noqa: E731
+            cfg.hidden_size, dtype=dtype, name=name
+        )
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+        b, s, _ = q.shape
+        shape = (b, s, cfg.num_heads, head_dim)
+        # mask: [B, S] -> bias broadcast over heads and query positions
+        attn = jax.nn.dot_product_attention(
+            q.reshape(shape),
+            k.reshape(shape),
+            v.reshape(shape),
+            mask=mask[:, None, None, :].astype(bool),
+        )
+        out = attn.reshape(b, s, cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(out)
+
+
+class EncoderLayer(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array, mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        attn_out = SelfAttention(cfg, name="attention")(hidden, mask)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="attention_ln"
+        )(hidden + attn_out)
+        mlp = nn.Dense(cfg.intermediate_size, dtype=dtype, name="intermediate")(hidden)
+        mlp = nn.gelu(mlp, approximate=False)
+        mlp = nn.Dense(cfg.hidden_size, dtype=dtype, name="mlp_output")(mlp)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="output_ln"
+        )(hidden + mlp)
+
+
+class TextEncoder(nn.Module):
+    """Returns L2-normalized CLS embeddings ``[B, H] f32``."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        # RoBERTa position ids: cumulative over non-pad, offset by pad id
+        positions = (
+            jnp.cumsum(attention_mask, axis=1) * attention_mask + cfg.pad_token_id
+        )
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="word_emb")(
+            input_ids
+        )
+        pos = nn.Embed(
+            cfg.max_position, cfg.hidden_size, dtype=dtype, name="pos_emb"
+        )(positions)
+        tok_type = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, dtype=dtype, name="type_emb"
+        )(jnp.zeros_like(input_ids))
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="emb_ln"
+        )(word + pos + tok_type)
+        for i in range(cfg.num_layers):
+            hidden = EncoderLayer(cfg, name=f"layer_{i}")(hidden, attention_mask)
+        cls = hidden[:, 0, :].astype(jnp.float32)
+        return cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-9)
+
+
+def init_params(config: EncoderConfig, seed: int = 0):
+    model = TextEncoder(config)
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.ones((1, 8), jnp.int32)
+    return model.init(rng, dummy, jnp.ones((1, 8), jnp.int32))
+
+
+def load_torch_state_dict(config: EncoderConfig, state_dict: dict):
+    """Map an HF ``XLMRobertaModel`` state dict onto TextEncoder params.
+
+    Enables loading real BGE-M3 weights (config.py:9 declares BAAI/bge-m3)
+    when available locally; also powers the architecture-parity test
+    against the torch implementation.
+    """
+    import numpy as np
+
+    def t(name):
+        return np.asarray(state_dict[name].detach().cpu().numpy() if hasattr(
+            state_dict[name], "detach") else state_dict[name])
+
+    def linear(prefix):
+        return {"kernel": t(f"{prefix}.weight").T, "bias": t(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
+
+    params = {
+        "word_emb": {"embedding": t("embeddings.word_embeddings.weight")},
+        "pos_emb": {"embedding": t("embeddings.position_embeddings.weight")},
+        "type_emb": {"embedding": t("embeddings.token_type_embeddings.weight")},
+        "emb_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(config.num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": linear(f"{p}.attention.self.query"),
+                "key": linear(f"{p}.attention.self.key"),
+                "value": linear(f"{p}.attention.self.value"),
+                "output": linear(f"{p}.attention.output.dense"),
+            },
+            "attention_ln": ln(f"{p}.attention.output.LayerNorm"),
+            "intermediate": linear(f"{p}.intermediate.dense"),
+            "mlp_output": linear(f"{p}.output.dense"),
+            "output_ln": ln(f"{p}.output.LayerNorm"),
+        }
+    return {"params": jax.tree.map(jnp.asarray, params)}
+
+
+def encode_fn(config: EncoderConfig):
+    """Returns a jittable ``(params, input_ids, attention_mask) -> [B, H]``."""
+    model = TextEncoder(config)
+
+    def fn(params, input_ids, attention_mask):
+        return model.apply(params, input_ids, attention_mask)
+
+    return fn

@@ -1,0 +1,94 @@
+"""Tokenization for the encoder path.
+
+Preference order:
+1. HF fast tokenizer (``transformers.AutoTokenizer``) when model files are
+   available locally (zero-egress environments can't download — the
+   factory degrades instead of failing, unlike the reference which
+   crashes if HF can't load, providers/hf/embeddings.py:28-38).
+2. :class:`SimpleTokenizer` — a deterministic hashing tokenizer over the
+   BM25 analyzer's token stream. Produces stable ids for tests and for
+   running the encoder architecture without released vocab files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..index.analyzer import tokenize as analyze
+
+
+class SimpleTokenizer:
+    """Deterministic hashing tokenizer (no vocab files).
+
+    ids: 0 = CLS, 1 = PAD, 2 = SEP, 3 = UNK; words hash into
+    [4, vocab_size). Stable across processes (md5, not Python hash()).
+    """
+
+    cls_id = 0
+    pad_id = 1
+    sep_id = 2
+    unk_id = 3
+    _reserved = 4
+
+    def __init__(self, vocab_size: int = 1024, max_length: int = 128) -> None:
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+
+    def _word_id(self, word: str) -> int:
+        h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
+        return self._reserved + h % (self.vocab_size - self._reserved)
+
+    def encode_batch(
+        self, texts: list[str], max_length: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns ``(input_ids [B, S] i32, attention_mask [B, S] i32)``;
+        S is the padded min(longest, max_length) bucket."""
+        max_length = max_length or self.max_length
+        toks = [
+            [self.cls_id]
+            + [self._word_id(w) for w in analyze(t)][: max_length - 2]
+            + [self.sep_id]
+            for t in texts
+        ]
+        s = max(len(t) for t in toks) if toks else 2
+        ids = np.full((len(texts), s), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), s), np.int32)
+        for i, t in enumerate(toks):
+            ids[i, : len(t)] = t
+            mask[i, : len(t)] = 1
+        return ids, mask
+
+
+class HFTokenizer:
+    """transformers.AutoTokenizer wrapper (local files only)."""
+
+    def __init__(self, model_name: str, max_length: int = 8192) -> None:
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
+        self.max_length = max_length
+        self.pad_id = self.tok.pad_token_id
+
+    def encode_batch(
+        self, texts: list[str], max_length: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        out = self.tok(
+            texts,
+            padding=True,
+            truncation=True,
+            max_length=max_length or self.max_length,
+            return_tensors="np",
+        )
+        return out["input_ids"].astype(np.int32), out["attention_mask"].astype(
+            np.int32
+        )
+
+
+def get_tokenizer(model_name: str, vocab_size: int, max_length: int):
+    """HF tokenizer if locally cached, else the hashing tokenizer."""
+    try:
+        return HFTokenizer(model_name, max_length)
+    except Exception:
+        return SimpleTokenizer(vocab_size=vocab_size, max_length=max_length)

@@ -1,0 +1,101 @@
+"""TPU embedding provider: batched encoder inference on device.
+
+Replaces the reference's sentence-transformers delegation
+(rag/providers/hf/embeddings.py) with the JAX encoder
+(models/encoder.py). Batches are padded to shape buckets so jit
+recompilation is bounded; the forward runs bf16 on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_config
+from ..logging import get_logger
+from ..models.encoder import EncoderConfig, encode_fn, init_params
+from ..models.tokenizer import get_tokenizer
+from .base import instruction_prefix
+
+logger = get_logger(__name__)
+
+_SEQ_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n: int, buckets=_SEQ_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class TPUEmbeddingProvider:
+    """EmbeddingProvider implementation over models.encoder.TextEncoder."""
+
+    def __init__(
+        self,
+        config: EncoderConfig | None = None,
+        params=None,
+        tokenizer=None,
+        model_name: str | None = None,
+    ) -> None:
+        cfg = get_config()
+        self._model_name = model_name or cfg.EMBEDDING_MODEL
+        self.encoder_config = config or self._default_config()
+        self.tokenizer = tokenizer or get_tokenizer(
+            self._model_name,
+            vocab_size=self.encoder_config.vocab_size,
+            max_length=min(self.encoder_config.max_position - 2, 8192),
+        )
+        if params is None:
+            logger.warning(
+                "no weights provided for %s — initializing random params "
+                "(embedding quality is placeholder until weights are loaded)",
+                self._model_name,
+            )
+            params = init_params(self.encoder_config)
+        self.params = params
+        self._fn = jax.jit(encode_fn(self.encoder_config))
+        self.batch_size = cfg.EMBEDDING_BATCH_SIZE
+
+    def _default_config(self) -> EncoderConfig:
+        cfg = get_config()
+        if cfg.EMBEDDING_DEVICE == "cpu" or jax.default_backend() == "cpu":
+            return EncoderConfig.tiny()
+        return EncoderConfig.bge_m3()
+
+    # --- EmbeddingProvider API ---
+
+    @property
+    def dimension(self) -> int:
+        return self.encoder_config.hidden_size
+
+    @property
+    def model_name(self) -> str:
+        return self._model_name
+
+    def embed_batch(self, texts: list[str], *, is_query: bool = False) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dimension), np.float32)
+        prefix = instruction_prefix(is_query)
+        if prefix:
+            texts = [prefix + t for t in texts]
+        out = np.zeros((len(texts), self.dimension), np.float32)
+        bs = self.batch_size
+        for start in range(0, len(texts), bs):
+            batch = texts[start : start + bs]
+            ids, mask = self.tokenizer.encode_batch(batch)
+            # pad to (batch bucket, seq bucket) to bound recompiles
+            b_pad = _bucket(len(batch), (1, 2, 4, 8, 16, 32, 64, 128, 256))
+            s_pad = _bucket(ids.shape[1])
+            ids_p = np.full((b_pad, s_pad), self.tokenizer.pad_id, np.int32)
+            mask_p = np.zeros((b_pad, s_pad), np.int32)
+            ids_p[: len(batch), : ids.shape[1]] = ids
+            mask_p[: len(batch), : ids.shape[1]] = mask
+            emb = self._fn(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+            out[start : start + len(batch)] = np.asarray(emb)[: len(batch)]
+        return out
+
+    def embed_single(self, text: str, *, is_query: bool = False) -> np.ndarray:
+        return self.embed_batch([text], is_query=is_query)[0]

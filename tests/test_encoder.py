@@ -1,0 +1,104 @@
+"""Encoder architecture parity vs torch XLMRobertaModel (golden-vector
+strategy from SURVEY.md §7.3 #5: with real BGE-M3 weights the same
+mapping reproduces its embeddings)."""
+
+import numpy as np
+import pytest
+
+from intool_rag_tpu.models.encoder import (
+    EncoderConfig,
+    encode_fn,
+    init_params,
+    load_torch_state_dict,
+)
+from intool_rag_tpu.models.tokenizer import SimpleTokenizer
+
+
+def test_encoder_shapes_and_norm():
+    cfg = EncoderConfig.tiny()
+    params = init_params(cfg)
+    fn = encode_fn(cfg)
+    ids = np.array([[0, 5, 6, 2, 1, 1], [0, 7, 2, 1, 1, 1]], np.int32)
+    mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 0, 0, 0]], np.int32)
+    out = np.asarray(fn(params, ids, mask))
+    assert out.shape == (2, cfg.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_encoder_padding_invariance():
+    """Extra padding must not change the embedding (mask correctness)."""
+    cfg = EncoderConfig.tiny()
+    params = init_params(cfg)
+    fn = encode_fn(cfg)
+    ids = np.array([[0, 5, 6, 2]], np.int32)
+    mask = np.ones((1, 4), np.int32)
+    out1 = np.asarray(fn(params, ids, mask))
+    ids2 = np.pad(ids, ((0, 0), (0, 4)), constant_values=1)
+    mask2 = np.pad(mask, ((0, 0), (0, 4)))
+    out2 = np.asarray(fn(params, ids2, mask2))
+    np.testing.assert_allclose(out1, out2, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_encoder_matches_torch_xlmroberta():
+    torch = pytest.importorskip("torch")
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=66,
+        type_vocab_size=1,
+        pad_token_id=1,
+        layer_norm_eps=1e-5,
+        hidden_act="gelu",
+        attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+
+    cfg = EncoderConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=64,
+        max_position=66,
+        type_vocab_size=1,
+        pad_token_id=1,
+        dtype="float32",
+    )
+    params = load_torch_state_dict(cfg, model.state_dict())
+    fn = encode_fn(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 128, size=(3, 10)).astype(np.int32)
+    ids[:, 0] = 0
+    mask = np.ones((3, 10), np.int32)
+    mask[1, 7:] = 0
+    ids[1, 7:] = 1
+
+    with torch.no_grad():
+        torch_out = model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state[:, 0, :].numpy()
+    torch_cls = torch_out / np.linalg.norm(torch_out, axis=1, keepdims=True)
+
+    jax_cls = np.asarray(fn(params, ids, mask))
+    np.testing.assert_allclose(jax_cls, torch_cls, atol=2e-5)
+
+
+def test_simple_tokenizer_deterministic():
+    tok = SimpleTokenizer(vocab_size=512)
+    ids1, m1 = tok.encode_batch(["hello world", "hello"])
+    ids2, m2 = tok.encode_batch(["hello world", "hello"])
+    np.testing.assert_array_equal(ids1, ids2)
+    assert ids1[0, 0] == tok.cls_id
+    assert m1[1].sum() < m1[0].sum()
+    # same word -> same id across batches
+    assert ids1[0, 1] == ids1[1, 1]
