@@ -35,6 +35,8 @@ class CorpusRegistry:
         self.bm25: BM25Index | None = None
         self.engine: HybridEngine | None = None
         self.doc_projects: dict[str, str] = {}
+        self.page_indexes: dict = {}  # doc_id -> PageIndex (citation lookup)
+        self.chunk_nodes: dict[tuple[str, str], str] = {}  # (doc, chunk) -> node
         self._lock = threading.Lock()
 
     # ---------------- load ----------------
@@ -47,6 +49,8 @@ class CorpusRegistry:
             self.bm25 = None
             self.engine = None
             self.doc_projects = {}
+            self.page_indexes = {}
+            self.chunk_nodes = {}
             count = 0
             for doc_id in self.storage.list_documents():
                 try:
@@ -64,6 +68,9 @@ class CorpusRegistry:
         chunks = self.storage.load_chunks(doc_id)
         page_index = self.storage.load_page_index(doc_id)
         self.doc_projects[doc_id] = page_index.project
+        self.page_indexes[doc_id] = page_index
+        for c in chunks:
+            self.chunk_nodes[(doc_id, c.chunk_id)] = c.node_id
         texts_by_id = {c.chunk_id: c.text for c in chunks}
         texts = [texts_by_id.get(cid, "") for cid in meta.chunk_ids]
         if self.store is None:
@@ -102,6 +109,10 @@ class CorpusRegistry:
                 self.store.remove_doc(doc_id)
                 self._rebuild_bm25_locked()
             self.doc_projects.pop(doc_id, None)
+            self.page_indexes.pop(doc_id, None)
+            self.chunk_nodes = {
+                k: v for k, v in self.chunk_nodes.items() if k[0] != doc_id
+            }
             return removed
 
     # ---------------- query ----------------

@@ -23,6 +23,8 @@ class FakeLLM(BaseLLM):
     def generate(self, prompt: str, **kwargs) -> str:
         question, context = _split_prompt(prompt)
         q_terms = set(tokenize(question))
+        # drop context block headers ("[Page N | ...]") from extraction
+        context = re.sub(r"(?m)^\[[^\]\n]{0,160}\]\s*", "", context)
         if not q_terms or not context:
             return "I could not find relevant information in the context."
         scored: list[tuple[int, str]] = []

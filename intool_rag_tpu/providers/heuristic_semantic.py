@@ -68,7 +68,8 @@ class HeuristicSemanticAnalyzer(SemanticAnalyzer):
                 (ln.strip() for ln in pages[0].splitlines() if ln.strip()),
                 "Document",
             )
+            title = " ".join(first_line.split()[:8])[:80]
             sections.append(
-                SectionSpec(title=first_line[:80], level="chapter", page_index=0)
+                SectionSpec(title=title, level="chapter", page_index=0)
             )
         return sections

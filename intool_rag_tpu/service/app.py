@@ -1,0 +1,200 @@
+"""Framework-free router implementing the five endpoints
+(reference: rag/routers/page_aware_v2.py:80-293). Directly callable in
+tests; served over HTTP by service/http.py."""
+
+from __future__ import annotations
+
+import time
+import uuid
+from urllib.parse import parse_qs, urlparse
+
+from .. import __version__
+from ..config import get_config
+from ..exceptions import IndexNotFoundError, RAGError
+from ..index.registry import CorpusRegistry
+from ..ingest.pipeline import IngestionPipeline
+from ..llm.factory import get_llm
+from ..logging import get_logger
+from ..query.response import build_rag_prompt, create_page_aware_response
+from ..query.retriever import PageLevelRetriever
+from .models import (
+    DocumentInfo,
+    HealthResponse,
+    IngestResponse,
+    QueryRequest,
+    QueryResponse,
+    SourceReference,
+)
+from .multipart import parse_multipart
+
+logger = get_logger(__name__)
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str) -> None:
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+class RAGService:
+    """The application object: routes requests to pipeline/query logic."""
+
+    def __init__(self, registry: CorpusRegistry | None = None, llm=None, provider=None) -> None:
+        from ..backend import ensure_backend
+
+        logger.info("compute backend: %s", ensure_backend())
+        self.registry = registry or CorpusRegistry()
+        self.registry.load_all()  # startup preload (reference: main.py:25-31)
+        self._llm = llm
+        self.pipeline = IngestionPipeline(
+            storage=self.registry.storage, embedding_provider=provider
+        )
+        self.retriever = PageLevelRetriever(self.registry, provider=provider)
+
+    @property
+    def llm(self):
+        if self._llm is None:
+            self._llm = get_llm()
+        return self._llm
+
+    # ---------------- dispatch ----------------
+
+    def handle(
+        self,
+        method: str,
+        path: str,
+        body: bytes = b"",
+        content_type: str = "",
+    ) -> tuple[int, dict]:
+        parsed = urlparse(path)
+        route = parsed.path.rstrip("/") or "/"
+        params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        try:
+            if method == "POST" and route == "/ingest":
+                return 200, self.ingest(params, body, content_type)
+            if method == "POST" and route == "/query":
+                return 200, self.query(body)
+            if method == "GET" and route == "/documents":
+                return 200, self.list_documents()
+            if method == "GET" and route.startswith("/documents/"):
+                return 200, self.document_detail(route.split("/", 2)[2])
+            if method == "GET" and route == "/health":
+                return 200, self.health()
+            if method == "DELETE" and route.startswith("/documents/"):
+                return 200, self.delete_document(route.split("/", 2)[2])
+            raise HTTPError(404, f"no route {method} {route}")
+        except HTTPError as exc:
+            return exc.status, {"detail": exc.detail}
+        except RAGError as exc:
+            logger.error("request failed: %s", exc)
+            return 400, {"detail": str(exc)}
+        except Exception as exc:  # mirror the reference's 500 behavior
+            logger.exception("internal error")
+            return 500, {"detail": str(exc)}
+
+    # ---------------- endpoints ----------------
+
+    def ingest(self, params: dict, body: bytes, content_type: str) -> dict:
+        """(reference: routers/page_aware_v2.py:80-139)"""
+        project = params.get("project")
+        if not project:
+            raise HTTPError(400, "query parameter 'project' is required")
+        language = params.get("language", "en")
+        doc_id = params.get("doc_id") or str(uuid.uuid4())
+        if "multipart" not in content_type:
+            raise HTTPError(400, "expected multipart/form-data file upload")
+        try:
+            _, files = parse_multipart(body, content_type)
+        except ValueError as exc:
+            raise HTTPError(400, str(exc)) from exc
+        if not files:
+            raise HTTPError(400, "no file in upload")
+        upload = files[0]
+        cfg = get_config()
+        cfg.ensure_dirs()
+        filepath = cfg.UPLOAD_DIR / f"{doc_id}_{upload.filename}"
+        filepath.write_bytes(upload.data)
+
+        start = time.time()
+        result = self.pipeline.ingest_file(
+            filepath,
+            project=project,
+            doc_id=doc_id,
+            source_filename=upload.filename,
+            language=language,
+        )
+        self.registry.add_document(doc_id)
+        return IngestResponse(
+            success=result["success"],
+            doc_id=doc_id,
+            source_file=upload.filename,
+            project=project,
+            total_pages=result["page_count"],
+            total_chunks=result["chunk_count"],
+            vectors_indexed=result["vectors_indexed"],
+            processing_time_seconds=round(time.time() - start, 3),
+        ).model_dump()
+
+    def query(self, body: bytes) -> dict:
+        """(reference: routers/page_aware_v2.py:142-217)"""
+        try:
+            request = QueryRequest.model_validate_json(body or b"{}")
+        except Exception as exc:
+            raise HTTPError(400, f"invalid query request: {exc}") from exc
+        ranked = self.retriever.retrieve_and_rank_pages(
+            request.question, project=request.project, top_pages=request.top_pages
+        )
+        if not ranked:
+            return QueryResponse(
+                answer="I could not find relevant information to answer your question.",
+                sources=[],
+                confidence="low",
+            ).model_dump()
+        prompt = build_rag_prompt(request.question, ranked, request.max_context_length)
+        start = time.time()
+        answer = self.llm.generate(prompt)
+        logger.info("LLM generation took %.2fs", time.time() - start)
+        response = create_page_aware_response(answer, ranked)
+        return QueryResponse(
+            answer=answer,
+            sources=[
+                SourceReference(**src) for src in response["sources"]["primary_sources"]
+            ],
+            confidence=response["confidence"],
+        ).model_dump()
+
+    def list_documents(self) -> dict:
+        """(reference: routers/page_aware_v2.py:220-241)"""
+        docs = [DocumentInfo(**info).model_dump() for info in self.registry.list_documents()]
+        return {"documents": docs, "total": len(docs)}
+
+    def document_detail(self, doc_id: str) -> dict:
+        """(reference: routers/page_aware_v2.py:244-283 — which is broken
+        there via a nonexistent import; functional here)"""
+        try:
+            info = self.registry.storage.document_info(doc_id)
+        except IndexNotFoundError as exc:
+            raise HTTPError(404, f"document {doc_id} not found") from exc
+        page_index = self.registry.storage.load_page_index(doc_id)
+        info["nodes"] = [n.to_dict() for n in page_index.nodes]
+        return info
+
+    def delete_document(self, doc_id: str) -> dict:
+        removed = self.registry.remove_document(doc_id)
+        if not removed:
+            raise HTTPError(404, f"document {doc_id} not found")
+        return {"deleted": doc_id}
+
+    def health(self) -> dict:
+        """(reference: routers/page_aware_v2.py:286-293)"""
+        import jax
+
+        stats = self.registry.stats()
+        return HealthResponse(
+            status="ok",
+            documents=stats["documents"],
+            chunks=stats["chunks"],
+            backend=jax.default_backend(),
+            version=__version__,
+        ).model_dump()
