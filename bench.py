@@ -1,0 +1,216 @@
+"""Headline benchmark: hybrid (dense + BM25 + fusion) query throughput.
+
+Config #2 of BASELINE.md: ~100k-chunk corpus, batched 256-query eval,
+exact flat dense search (d=1024, bf16) + BM25 postings scoring + weighted
+fusion to top-10.
+
+Baseline stack (the reference's components run directly, per BASELINE.md:
+FAISS flat ≈ NumPy exact matmul top-k, rank_bm25 ≈ SciPy CSR matvec —
+neither library is installed in this image, so their linear-algebra
+equivalents define the CPU baseline at identical recall).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_CHUNKS = 100_000
+DIM = 1024
+N_QUERIES = 256
+TOP_K = 10
+CANDIDATES = 100
+VOCAB = 30_000
+TERMS_PER_CHUNK = 64
+QUERY_TERMS = 8
+P_MAX = 2048
+
+
+def make_dense(rng):
+    corpus = rng.standard_normal((N_CHUNKS, DIM)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    picks = rng.integers(0, N_CHUNKS, N_QUERIES)
+    queries = corpus[picks] + 0.4 * rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return corpus, queries
+
+
+def make_sparse(rng):
+    """Synthetic Zipf-ish postings in the BM25Index device layout."""
+    # term frequencies per chunk: each chunk holds TERMS_PER_CHUNK distinct
+    # terms drawn Zipf(1.2) over VOCAB
+    chunk_terms = (rng.zipf(1.2, size=(N_CHUNKS, TERMS_PER_CHUNK)) - 1) % VOCAB
+    weights = rng.random((N_CHUNKS, TERMS_PER_CHUNK)).astype(np.float32) + 0.5
+    # CSC: group postings by term
+    flat_terms = chunk_terms.ravel()
+    flat_docs = np.repeat(np.arange(N_CHUNKS, dtype=np.int32), TERMS_PER_CHUNK)
+    flat_w = weights.ravel()
+    order = np.argsort(flat_terms, kind="stable")
+    flat_terms, flat_docs, flat_w = flat_terms[order], flat_docs[order], flat_w[order]
+    df = np.bincount(flat_terms, minlength=VOCAB)
+    term_start = np.zeros(VOCAB, np.int64)
+    term_start[1:] = np.cumsum(df)[:-1]
+    # impact-order & cap per term
+    docs_out, w_out = [], []
+    starts = np.zeros(VOCAB, np.int32)
+    lens = np.zeros(VOCAB, np.int32)
+    pos = 0
+    for t in range(VOCAB):
+        s, e = term_start[t], term_start[t] + df[t]
+        d, w = flat_docs[s:e], flat_w[s:e]
+        if len(d) > P_MAX:
+            top = np.argpartition(-w, P_MAX)[:P_MAX]
+            d, w = d[top], w[top]
+        starts[t] = pos
+        lens[t] = len(d)
+        docs_out.append(d)
+        w_out.append(w)
+        pos += len(d)
+    post_docs = np.concatenate(docs_out + [np.full(P_MAX, N_CHUNKS, np.int32)])
+    post_w = np.concatenate(w_out + [np.zeros(P_MAX, np.float32)]).astype(np.float32)
+    idf = np.log(1.0 + (N_CHUNKS - df + 0.5) / (df + 0.5)).astype(np.float32)
+    # queries: QUERY_TERMS terms each, drawn from the same Zipf
+    qterms = ((rng.zipf(1.2, size=(N_QUERIES, QUERY_TERMS)) - 1) % VOCAB).astype(np.int32)
+    qtf = np.ones((N_QUERIES, QUERY_TERMS), np.float32)
+    return starts, lens, post_docs.astype(np.int32), post_w, idf, qterms, qtf
+
+
+def tpu_hybrid(corpus, queries, sparse, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ops.bm25 import bm25_topk
+    from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
+    from intool_rag_tpu.ops.topk import flat_topk
+
+    starts, lens, post_docs, post_w, idf, qterms, qtf = sparse
+    corpus_d = jnp.asarray(corpus, dtype=dtype)
+    queries_d = jnp.asarray(queries)
+    dev = {
+        "starts": jnp.asarray(starts),
+        "lens": jnp.asarray(lens),
+        "docs": jnp.asarray(post_docs),
+        "w": jnp.asarray(post_w),
+        "idf": jnp.asarray(idf),
+        "qterms": jnp.asarray(qterms),
+        "qtf": jnp.asarray(qtf),
+    }
+
+    def hybrid(q_dense, qterms, qtf):
+        d_vals, d_rows = flat_topk(
+            q_dense, corpus_d, CANDIDATES, metric="cosine", block_n=25_000
+        )
+        s_vals, s_rows = bm25_topk(
+            qterms, qtf, dev["starts"], dev["lens"], dev["docs"], dev["w"],
+            dev["idf"], CANDIDATES, n_docs=N_CHUNKS, p_max=P_MAX,
+        )
+        d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
+        s_rows = jnp.where(s_vals > 0.0, s_rows, -1)
+        s_norm = normalize_minmax(s_vals)
+        d_vals = jnp.where(d_rows >= 0, d_vals, 0.0)
+        s_norm = jnp.where(s_rows >= 0, s_norm, 0.0)
+        return weighted_fusion(d_rows, d_vals, s_rows, s_norm, TOP_K)
+
+    hybrid_jit = jax.jit(hybrid)
+    # warmup/compile
+    vals, rows = hybrid_jit(queries_d, dev["qterms"], dev["qtf"])
+    rows.block_until_ready()
+    # timed
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        vals, rows = hybrid_jit(queries_d, dev["qterms"], dev["qtf"])
+    rows.block_until_ready()
+    dt = time.perf_counter() - t0
+    return np.asarray(rows), (N_QUERIES * iters) / dt
+
+
+def cpu_hybrid(corpus, queries, sparse):
+    import scipy.sparse as sp
+
+    starts, lens, post_docs, post_w, idf, qterms, qtf = sparse
+    # rebuild CSR [V, N] once (index build time not counted — matches the
+    # TPU side, which also pre-builds device arrays)
+    indptr = np.zeros(VOCAB + 1, np.int64)
+    indptr[1:] = np.cumsum(lens)
+    nnz = indptr[-1]
+    mat = sp.csr_matrix(
+        (post_w[:nnz] * np.repeat(idf, lens), post_docs[:nnz], indptr),
+        shape=(VOCAB, N_CHUNKS),
+    )
+    qmat = sp.csr_matrix(
+        (
+            qtf.ravel(),
+            qterms.ravel(),
+            np.arange(0, (N_QUERIES + 1) * QUERY_TERMS, QUERY_TERMS),
+        ),
+        shape=(N_QUERIES, VOCAB),
+    )
+
+    def run():
+        d_scores = queries @ corpus.T  # exact flat (FAISS IndexFlat equiv)
+        d_cand = np.argpartition(-d_scores, CANDIDATES, axis=1)[:, :CANDIDATES]
+        d_vals = np.take_along_axis(d_scores, d_cand, axis=1)
+        s_scores = (qmat @ mat).toarray()
+        s_cand = np.argpartition(-s_scores, CANDIDATES, axis=1)[:, :CANDIDATES]
+        s_vals = np.take_along_axis(s_scores, s_cand, axis=1)
+        # weighted fusion on the union
+        out = np.zeros((N_QUERIES, TOP_K), np.int64)
+        for i in range(N_QUERIES):
+            fused: dict[int, float] = {}
+            lo, hi = s_vals[i].min(), s_vals[i].max()
+            rng_ = max(hi - lo, 1e-9)
+            for c, v in zip(d_cand[i], np.clip(d_vals[i], 0, 1)):
+                fused[c] = fused.get(c, 0.0) + 0.7 * v
+            for c, v in zip(s_cand[i], (s_vals[i] - lo) / rng_):
+                fused[c] = fused.get(c, 0.0) + 0.3 * v
+            out[i] = [c for c, _ in sorted(fused.items(), key=lambda kv: -kv[1])[:TOP_K]]
+        return out
+
+    oracle = run()  # warm + correctness reference
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return oracle, N_QUERIES / dt
+
+
+def main() -> None:
+    import jax
+
+    from intool_rag_tpu.backend import ensure_backend
+
+    backend = ensure_backend()
+    dtype = "bfloat16" if backend == "tpu" else "float32"
+    rng = np.random.default_rng(0)
+    corpus, queries = make_dense(rng)
+    sparse = make_sparse(rng)
+
+    oracle, cpu_qps = cpu_hybrid(corpus, queries, sparse)
+    rows, tpu_qps = tpu_hybrid(corpus, queries, sparse, dtype)
+
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist())) for a, b in zip(rows, oracle)
+    )
+    recall = hits / oracle.size
+
+    print(
+        json.dumps(
+            {
+                "metric": f"hybrid_qps_per_chip_{N_CHUNKS // 1000}k_d{DIM}",
+                "value": round(tpu_qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(tpu_qps / cpu_qps, 2),
+                "baseline_qps": round(cpu_qps, 2),
+                "recall@10_vs_cpu_hybrid": round(recall, 4),
+                "backend": backend,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

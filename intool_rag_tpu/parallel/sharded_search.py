@@ -1,0 +1,85 @@
+"""Distributed flat search: corpus sharded over the mesh, local top-k per
+shard, all-gather merge (the design from SURVEY.md §5.8: each chip scores
+its chunk shard, takes a local top-k, then k·n_chips candidates merge to
+a global top-k — collectives ride ICI, the corpus never moves).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # jax ≥ 0.6 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.topk import flat_topk
+
+
+def shard_corpus(corpus: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a padded [N, D] corpus row-sharded over the ``data`` axis."""
+    n_shards = mesh.shape["data"]
+    n = corpus.shape[0]
+    if n % n_shards != 0:
+        pad = n_shards * (-(-n // n_shards)) - n
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    return jax.device_put(corpus, NamedSharding(mesh, P("data", None)))
+
+
+def sharded_flat_topk(
+    queries: jax.Array,
+    corpus: jax.Array,  # [N_pad, D] sharded P("data", None)
+    k: int,
+    mesh: Mesh,
+    *,
+    valid_n: int | None = None,
+    block_n: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Global top-k over a row-sharded corpus.
+
+    Returns (scores [Q, k], global row indices [Q, k]). ``valid_n`` is the
+    logical (unpadded) corpus length.
+    """
+    n = corpus.shape[0]
+    n_shards = mesh.shape["data"]
+    shard_rows = n // n_shards
+    if valid_n is None:
+        valid_n = n
+    k = min(k, valid_n)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P("data", None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def search(q, local_corpus):
+        shard_idx = jax.lax.axis_index("data")
+        start = shard_idx * shard_rows
+        # valid rows within this shard
+        local_valid = jnp.clip(valid_n - start, 0, shard_rows)
+        # local exact top-k (static k; mask invalid tail via scores)
+        local_vals, local_rows = flat_topk(
+            q,
+            local_corpus,
+            k,
+            metric="ip",
+            block_n=min(block_n, shard_rows),
+        )
+        # re-mask rows beyond this shard's valid range
+        invalid = local_rows >= local_valid
+        local_vals = jnp.where(invalid, -jnp.inf, local_vals)
+        global_rows = jnp.where(invalid, -1, local_rows + start)
+        # merge across shards: gather all candidates, global top-k
+        all_vals = jax.lax.all_gather(local_vals, "data", axis=1, tiled=True)
+        all_rows = jax.lax.all_gather(global_rows, "data", axis=1, tiled=True)
+        top_vals, top_pos = jax.lax.top_k(all_vals, k)
+        top_rows = jnp.take_along_axis(all_rows, top_pos, axis=1)
+        return top_vals, top_rows
+
+    return search(queries, corpus)

@@ -1,0 +1,84 @@
+"""Multi-chip tests on the 8-device CPU mesh: sharded search parity and
+the sharded contrastive train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from intool_rag_tpu.models.encoder import EncoderConfig, init_params
+from intool_rag_tpu.parallel.mesh import corpus_mesh, train_mesh
+from intool_rag_tpu.parallel.sharded_search import shard_corpus, sharded_flat_topk
+from intool_rag_tpu.train.contrastive import (
+    TrainState,
+    make_sharded_train_step,
+    shard_params,
+)
+
+pytestmark = pytest.mark.multichip
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_flat_topk_matches_single_device(rng):
+    n, d, q, k = 1000, 64, 5, 10  # n not divisible by 8 -> padding path
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[:q] + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
+    mesh = corpus_mesh()
+    sharded = shard_corpus(jnp.asarray(corpus), mesh)
+    assert sharded.shape[0] % 8 == 0
+    vals, rows = sharded_flat_topk(
+        jnp.asarray(queries), sharded, k, mesh, valid_n=n, block_n=128
+    )
+    oracle = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    got = np.asarray(rows)
+    assert got.shape == (q, k)
+    hits = sum(len(set(a) & set(b)) for a, b in zip(got.tolist(), oracle.tolist()))
+    assert hits / oracle.size >= 0.99
+    assert got.max() < n  # no padding rows leak
+    v = np.asarray(vals)
+    assert np.all(np.diff(v, axis=1) <= 1e-6)
+
+
+def test_sharded_train_step_runs_and_reduces_loss():
+    cfg = EncoderConfig.tiny()
+    mesh = train_mesh()  # (4, 2) on 8 CPU devices
+    assert mesh.shape == {"data": 4, "model": 2}
+    params = shard_params(init_params(cfg), mesh)
+    optimizer = optax.adamw(1e-3)
+    step_fn, place_batch = make_sharded_train_step(cfg, optimizer, mesh)
+    state = TrainState(params, optimizer.init(params))
+
+    rng = np.random.default_rng(0)
+    batch = place_batch(
+        {
+            "q_ids": rng.integers(4, cfg.vocab_size, (8, 16)).astype(np.int32),
+            "q_mask": np.ones((8, 16), np.int32),
+            "p_ids": rng.integers(4, cfg.vocab_size, (8, 16)).astype(np.int32),
+            "p_mask": np.ones((8, 16), np.int32),
+        }
+    )
+    losses = []
+    for _ in range(5):
+        state, loss = step_fn(state, batch)
+        losses.append(float(loss))
+    assert state.step == 5
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfits the fixed batch
+
+
+def test_tp_param_layout():
+    cfg = EncoderConfig.tiny()
+    mesh = train_mesh()
+    params = shard_params(init_params(cfg), mesh)
+    attn_q = params["params"]["layer_0"]["attention"]["query"]["kernel"]
+    spec = attn_q.sharding.spec
+    assert tuple(spec) == (None, "model")
+    out_k = params["params"]["layer_0"]["mlp_output"]["kernel"]
+    assert tuple(out_k.sharding.spec) == ("model", None)
+    emb = params["params"]["word_emb"]["embedding"]
+    assert all(s is None for s in tuple(emb.sharding.spec)) or tuple(emb.sharding.spec) == ()
