@@ -107,12 +107,20 @@ class EncoderLayer(nn.Module):
 
 
 class TextEncoder(nn.Module):
-    """Returns L2-normalized CLS embeddings ``[B, H] f32``."""
+    """Returns L2-normalized CLS embeddings ``[B, H] f32`` (``pool=True``)
+    or the full last hidden state ``[B, S, H]`` (``pool=False``, used by
+    the cross-encoder reranker head)."""
 
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        *,
+        pool: bool = True,
+    ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         # RoBERTa position ids: cumulative over non-pad, offset by pad id
@@ -133,6 +141,8 @@ class TextEncoder(nn.Module):
         )(word + pos + tok_type)
         for i in range(cfg.num_layers):
             hidden = EncoderLayer(cfg, name=f"layer_{i}")(hidden, attention_mask)
+        if not pool:
+            return hidden.astype(jnp.float32)
         cls = hidden[:, 0, :].astype(jnp.float32)
         return cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-9)
 

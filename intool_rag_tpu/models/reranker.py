@@ -1,0 +1,153 @@
+"""Cross-encoder reranker (BGE-reranker-v2-m3 class: XLM-R body + linear
+relevance head on CLS).
+
+Implements the capability the reference declares but never built
+(rag/config.py:25-27: bge-reranker-v2-m3, enabled, top-10 — no
+implementation exists, SURVEY.md §0). Pair scoring runs batched bf16 on
+the MXU with length bucketing (SURVEY.md §7.3 #7: pair-encoding 100
+candidates/query is the FLOPs hog — bucketing keeps padding waste
+bounded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.linen as nn
+
+from .encoder import EncoderConfig, TextEncoder, load_torch_state_dict
+
+
+class CrossEncoder(nn.Module):
+    """XLM-R body + HF-style sequence-classification head: raw CLS →
+    dense+tanh → out_proj(1) (matches XLMRobertaForSequenceClassification
+    so real bge-reranker-v2-m3 weights port 1:1)."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        hidden = TextEncoder(self.config, name="body")(
+            input_ids, attention_mask, pool=False
+        )
+        cls = hidden[:, 0, :]
+        x = nn.Dense(self.config.hidden_size, dtype=jnp.float32, name="head_dense")(cls)
+        x = jnp.tanh(x)
+        score = nn.Dense(1, dtype=jnp.float32, name="head_out")(x)
+        return score[:, 0]
+
+
+def load_reranker_torch_state_dict(config: EncoderConfig, state_dict: dict) -> dict:
+    """Map an HF ``XLMRobertaForSequenceClassification`` state dict
+    (prefix ``roberta.``, head ``classifier.dense``/``classifier.out_proj``)
+    onto CrossEncoder params."""
+    import numpy as np
+
+    body_sd = {
+        k[len("roberta.") :]: v for k, v in state_dict.items() if k.startswith("roberta.")
+    }
+    body = load_torch_state_dict(config, body_sd)["params"]
+
+    def t(name):
+        v = state_dict[name]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params = {
+        "body": body,
+        "head_dense": {
+            "kernel": t("classifier.dense.weight").T,
+            "bias": t("classifier.dense.bias"),
+        },
+        "head_out": {
+            "kernel": t("classifier.out_proj.weight").T,
+            "bias": t("classifier.out_proj.bias"),
+        },
+    }
+    return {"params": jax.tree.map(jnp.asarray, params)}
+
+
+@dataclasses.dataclass
+class Reranker:
+    """Pair scorer: (query, passage) → relevance, higher is better."""
+
+    config: EncoderConfig
+    params: dict
+    tokenizer: object
+
+    def __post_init__(self) -> None:
+        model = CrossEncoder(self.config)
+        self._apply = jax.jit(model.apply)
+
+    @classmethod
+    def create(
+        cls,
+        config: EncoderConfig | None = None,
+        tokenizer=None,
+        params: dict | None = None,
+        seed: int = 0,
+    ):
+        from .tokenizer import SimpleTokenizer
+
+        config = config or EncoderConfig.tiny()
+        if params is None:
+            model = CrossEncoder(config)
+            rng = jax.random.PRNGKey(seed)
+            dummy = jnp.ones((1, 8), jnp.int32)
+            params = model.init(rng, dummy, jnp.ones((1, 8), jnp.int32))
+        return cls(
+            config=config,
+            params=params,
+            tokenizer=tokenizer or SimpleTokenizer(vocab_size=config.vocab_size),
+        )
+
+    def _pair_ids(self, queries: list[str], passages: list[str]):
+        tok = self.tokenizer
+        ids_q, _ = tok.encode_batch(queries)
+        ids_p, _ = tok.encode_batch(passages)
+        sep = getattr(tok, "sep_id", 2)
+        pad = tok.pad_id
+        rows = []
+        for q_row, p_row in zip(ids_q, ids_p):
+            q_real = [t for t in q_row.tolist() if t != pad]
+            p_real = [t for t in p_row.tolist() if t != pad][1:]  # drop CLS
+            rows.append(q_real + [sep] + p_real)
+        max_len = max(len(r) for r in rows)
+        max_len = -(-max_len // 16) * 16  # bucket
+        ids = np.full((len(rows), max_len), pad, np.int32)
+        mask = np.zeros((len(rows), max_len), np.int32)
+        for i, r in enumerate(rows):
+            r = r[:max_len]
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def score_pairs(self, queries: list[str], passages: list[str]) -> np.ndarray:
+        """Score aligned (query, passage) pairs → [N] f32."""
+        if not queries:
+            return np.zeros(0, np.float32)
+        ids, mask = self._pair_ids(queries, passages)
+        out = self._apply(self.params, ids, mask)
+        return np.asarray(out)
+
+    def rerank(
+        self, query: str, candidates: list[dict], top_k: int, text_key: str = "text"
+    ) -> list[dict]:
+        """Rerank candidate hit dicts, returning the top_k with scores in
+        ``rerank_score`` (retrieve-100 → rerank-10 per config)."""
+        if not candidates:
+            return []
+        scores = self.score_pairs(
+            [query] * len(candidates), [c[text_key] for c in candidates]
+        )
+        order = np.argsort(-scores)[:top_k]
+        out = []
+        for rank, i in enumerate(order):
+            hit = dict(candidates[int(i)])
+            hit["rerank_score"] = float(scores[int(i)])
+            hit["rerank_position"] = rank
+            out.append(hit)
+        return out

@@ -52,9 +52,15 @@ class PageRanking:
 
 
 class PageLevelRetriever:
-    def __init__(self, registry: CorpusRegistry | None = None, provider=None) -> None:
+    def __init__(
+        self,
+        registry: CorpusRegistry | None = None,
+        provider=None,
+        reranker=None,
+    ) -> None:
         self.registry = registry or get_registry()
         self._provider = provider
+        self._reranker = reranker
 
     @property
     def provider(self):
@@ -69,10 +75,21 @@ class PageLevelRetriever:
     ) -> list[RetrievedChunk]:
         cfg = get_config()
         limit = limit or cfg.RETRIEVAL_CANDIDATES
+        rerank = cfg.RERANKER_ENABLED and self._reranker is not None
+        fetch = max(limit, cfg.RERANKER_CANDIDATES) if rerank else limit
         emb = self.provider.embed_batch([query], is_query=True)
         hits = self.registry.search(
-            [query], jnp.asarray(emb), limit, project=project
+            [query], jnp.asarray(emb), fetch, project=project
         )[0]
+        if rerank and hits:
+            # retrieve-N → cross-encoder rerank (config.py:25-27 contract);
+            # sigmoid maps logits into the [0,1] page-scoring space
+            import math
+
+            reranked = self._reranker.rerank(query, hits, top_k=limit)
+            for h in reranked:
+                h["score"] = 1.0 / (1.0 + math.exp(-h["rerank_score"]))
+            hits = reranked
         from ..ingest.chunker import _TABLE_HINT
 
         chunks = [
