@@ -37,6 +37,7 @@ class CorpusRegistry:
         self.doc_projects: dict[str, str] = {}
         self.page_indexes: dict = {}  # doc_id -> PageIndex (citation lookup)
         self.chunk_nodes: dict[tuple[str, str], str] = {}  # (doc, chunk) -> node
+        self.version = 0  # bumped on every corpus mutation (cache invalidation)
         self._lock = threading.Lock()
 
     # ---------------- load ----------------
@@ -100,6 +101,7 @@ class CorpusRegistry:
         with self._lock:
             n = self._add_doc_locked(doc_id)
             self._rebuild_bm25_locked()
+            self.version += 1
             return n
 
     def remove_document(self, doc_id: str) -> bool:
@@ -113,6 +115,7 @@ class CorpusRegistry:
             self.chunk_nodes = {
                 k: v for k, v in self.chunk_nodes.items() if k[0] != doc_id
             }
+            self.version += 1
             return removed
 
     # ---------------- query ----------------

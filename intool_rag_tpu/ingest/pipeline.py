@@ -46,7 +46,12 @@ class IngestionPipeline:
     @property
     def provider(self):
         if self._provider is None:
-            self._provider = get_embedding_provider()
+            provider = get_embedding_provider()
+            if get_config().CACHE_EMBEDDINGS:
+                from ..storage.cache import CachingEmbeddingProvider
+
+                provider = CachingEmbeddingProvider(provider)
+            self._provider = provider
         return self._provider
 
     def ingest_file(

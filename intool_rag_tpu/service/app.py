@@ -15,8 +15,11 @@ from ..index.registry import CorpusRegistry
 from ..ingest.pipeline import IngestionPipeline
 from ..llm.factory import get_llm
 from ..logging import get_logger
+from ..observability import get_metrics, trace_phase
 from ..query.response import build_rag_prompt, create_page_aware_response
 from ..query.retriever import PageLevelRetriever
+from ..storage.cache import QueryResultCache
+from ..tasks import TaskQueue
 from .models import (
     DocumentInfo,
     HealthResponse,
@@ -51,6 +54,10 @@ class RAGService:
             storage=self.registry.storage, embedding_provider=provider
         )
         self.retriever = PageLevelRetriever(self.registry, provider=provider)
+        self.metrics = get_metrics()
+        self.tasks = TaskQueue(workers=1)
+        cfg = get_config()
+        self.query_cache = QueryResultCache() if cfg.CACHE_QUERY_RESULTS else None
 
     @property
     def llm(self):
@@ -81,6 +88,12 @@ class RAGService:
                 return 200, self.document_detail(route.split("/", 2)[2])
             if method == "GET" and route == "/health":
                 return 200, self.health()
+            if method == "GET" and route == "/metrics":
+                return 200, self.metrics_snapshot()
+            if method == "GET" and route == "/jobs":
+                return 200, {"jobs": self.tasks.list_jobs()}
+            if method == "GET" and route.startswith("/jobs/"):
+                return 200, self.job_detail(route.split("/", 2)[2])
             if method == "DELETE" and route.startswith("/documents/"):
                 return 200, self.delete_document(route.split("/", 2)[2])
             raise HTTPError(404, f"no route {method} {route}")
@@ -115,16 +128,24 @@ class RAGService:
         cfg.ensure_dirs()
         filepath = cfg.UPLOAD_DIR / f"{doc_id}_{upload.filename}"
         filepath.write_bytes(upload.data)
+        self.metrics.inc("ingest_requests")
+
+        if params.get("mode") == "async":
+            # non-blocking ingest via the background queue (the
+            # reference's intended-but-dead AsyncTaskQueue behavior)
+            job = self.tasks.submit(
+                "ingest",
+                lambda: self._do_ingest(
+                    filepath, project, doc_id, upload.filename, language
+                ),
+            )
+            return {"job_id": job.job_id, "status": job.status, "doc_id": doc_id}
 
         start = time.time()
-        result = self.pipeline.ingest_file(
-            filepath,
-            project=project,
-            doc_id=doc_id,
-            source_filename=upload.filename,
-            language=language,
-        )
-        self.registry.add_document(doc_id)
+        with trace_phase("ingest", self.metrics):
+            result = self._do_ingest(
+                filepath, project, doc_id, upload.filename, language
+            )
         return IngestResponse(
             success=result["success"],
             doc_id=doc_id,
@@ -136,15 +157,53 @@ class RAGService:
             processing_time_seconds=round(time.time() - start, 3),
         ).model_dump()
 
+    def _do_ingest(self, filepath, project, doc_id, filename, language) -> dict:
+        result = self.pipeline.ingest_file(
+            filepath,
+            project=project,
+            doc_id=doc_id,
+            source_filename=filename,
+            language=language,
+        )
+        self.registry.add_document(doc_id)
+        return result
+
+    def job_detail(self, job_id: str) -> dict:
+        job = self.tasks.get(job_id)
+        if job is None:
+            raise HTTPError(404, f"job {job_id} not found")
+        return job.to_dict()
+
+    def metrics_snapshot(self) -> dict:
+        snap = self.metrics.snapshot()
+        snap["corpus"] = self.registry.stats()
+        if self.query_cache is not None:
+            snap["query_cache"] = {
+                "hits": self.query_cache.hits,
+                "misses": self.query_cache.misses,
+            }
+        return snap
+
     def query(self, body: bytes) -> dict:
         """(reference: routers/page_aware_v2.py:142-217)"""
         try:
             request = QueryRequest.model_validate_json(body or b"{}")
         except Exception as exc:
             raise HTTPError(400, f"invalid query request: {exc}") from exc
-        ranked = self.retriever.retrieve_and_rank_pages(
-            request.question, project=request.project, top_pages=request.top_pages
-        )
+        self.metrics.inc("query_requests")
+        cache_params = f"{request.top_pages}|{request.max_context_length}"
+        if self.query_cache is not None:
+            cached = self.query_cache.get(
+                request.question, request.project or "", cache_params,
+                self.registry.version,
+            )
+            if cached is not None:
+                self.metrics.inc("query_cache_hits")
+                return cached
+        with trace_phase("query.retrieve", self.metrics):
+            ranked = self.retriever.retrieve_and_rank_pages(
+                request.question, project=request.project, top_pages=request.top_pages
+            )
         if not ranked:
             return QueryResponse(
                 answer="I could not find relevant information to answer your question.",
@@ -153,16 +212,23 @@ class RAGService:
             ).model_dump()
         prompt = build_rag_prompt(request.question, ranked, request.max_context_length)
         start = time.time()
-        answer = self.llm.generate(prompt)
+        with trace_phase("query.generate", self.metrics):
+            answer = self.llm.generate(prompt)
         logger.info("LLM generation took %.2fs", time.time() - start)
         response = create_page_aware_response(answer, ranked)
-        return QueryResponse(
+        result = QueryResponse(
             answer=answer,
             sources=[
                 SourceReference(**src) for src in response["sources"]["primary_sources"]
             ],
             confidence=response["confidence"],
         ).model_dump()
+        if self.query_cache is not None:
+            self.query_cache.put(
+                request.question, request.project or "", cache_params,
+                self.registry.version, result,
+            )
+        return result
 
     def list_documents(self) -> dict:
         """(reference: routers/page_aware_v2.py:220-241)"""
