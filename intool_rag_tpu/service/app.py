@@ -58,6 +58,8 @@ class RAGService:
         self.tasks = TaskQueue(workers=1)
         cfg = get_config()
         self.query_cache = QueryResultCache() if cfg.CACHE_QUERY_RESULTS else None
+        self._provider = provider
+        self._agent = None
 
     @property
     def llm(self):
@@ -90,6 +92,10 @@ class RAGService:
                 return 200, self.health()
             if method == "GET" and route == "/metrics":
                 return 200, self.metrics_snapshot()
+            if method == "POST" and route == "/agent/query":
+                return 200, self.agent_query(body)
+            if method == "GET" and route == "/agent/health":
+                return 200, {"status": "ok", "pipeline": "page-aware-agent"}
             if method == "GET" and route == "/jobs":
                 return 200, {"jobs": self.tasks.list_jobs()}
             if method == "GET" and route.startswith("/jobs/"):
@@ -173,6 +179,23 @@ class RAGService:
         if job is None:
             raise HTTPError(404, f"job {job_id} not found")
         return job.to_dict()
+
+    def agent_query(self, body: bytes) -> dict:
+        """11-step agent path (reference: rag/agent/api.py:19-127 — which
+        was never mounted; mounted and working here)."""
+        try:
+            request = QueryRequest.model_validate_json(body or b"{}")
+        except Exception as exc:
+            raise HTTPError(400, f"invalid agent query: {exc}") from exc
+        if self._agent is None:
+            from ..agent import PageAwareAgent
+
+            self._agent = PageAwareAgent(
+                self.registry, llm=self.llm, provider=self._provider
+            )
+        self.metrics.inc("agent_requests")
+        with trace_phase("agent.query", self.metrics):
+            return self._agent.query(request.question, project=request.project)
 
     def metrics_snapshot(self) -> dict:
         snap = self.metrics.snapshot()
