@@ -69,54 +69,100 @@ class BM25Index:
     def build(
         cls, texts: list[str], params: BM25Params | None = None
     ) -> "BM25Index":
+        """Builds the index. Tokenization/counting uses the native C++
+        analyzer when available (intool_rag_tpu/native — identical token
+        stream to the Python analyzer, parity-tested), then vectorized
+        NumPy for weights and impact-ordering."""
         params = params or BM25Params.from_config()
-        n_docs = len(texts)
-        doc_terms: list[dict[str, int]] = []
-        doc_len = np.zeros(n_docs, np.float64)
-        for i, text in enumerate(texts):
-            terms = tokenize(text)
-            doc_len[i] = len(terms)
-            counts: dict[str, int] = {}
-            for t in terms:
-                counts[t] = counts.get(t, 0) + 1
-            doc_terms.append(counts)
-        avgdl = float(doc_len.mean()) if n_docs else 1.0
-        avgdl = max(avgdl, 1e-6)
+        counted = cls._count_terms(texts)
+        return cls._from_counts(counted, len(texts), params)
 
-        # vocab + df
-        df: dict[str, int] = {}
-        for counts in doc_terms:
-            for t in counts:
-                df[t] = df.get(t, 0) + 1
-        vocab = {t: i for i, t in enumerate(sorted(df))}
-        v = len(vocab)
+    @staticmethod
+    def _count_terms(texts: list[str]):
+        """→ (vocab list, df [V], doc_indptr [n+1], pair_terms [nnz],
+        pair_counts [nnz], doc_len [n])"""
+        from ..native import build_corpus_native
 
-        idf = np.zeros(v, np.float32)
-        for t, tid in vocab.items():
-            idf[tid] = np.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        native = build_corpus_native(texts)
+        if native is not None:
+            return native
+        # pure-Python fallback
+        vocab_map: dict[str, int] = {}
+        terms_list: list[str] = []
+        pair_terms: list[int] = []
+        pair_counts: list[int] = []
+        doc_indptr = [0]
+        doc_len = []
+        for text in texts:
+            counts: dict[int, int] = {}
+            toks = tokenize(text)
+            doc_len.append(len(toks))
+            for t in toks:
+                tid = vocab_map.get(t)
+                if tid is None:
+                    tid = len(terms_list)
+                    vocab_map[t] = tid
+                    terms_list.append(t)
+                counts[tid] = counts.get(tid, 0) + 1
+            pair_terms.extend(counts.keys())
+            pair_counts.extend(counts.values())
+            doc_indptr.append(len(pair_terms))
+        order = sorted(range(len(terms_list)), key=lambda i: terms_list[i])
+        remap = np.zeros(len(terms_list), np.int32)
+        for rank, old in enumerate(order):
+            remap[old] = rank
+        pair_terms_arr = remap[np.asarray(pair_terms, np.int32)] if pair_terms else np.zeros(0, np.int32)
+        vocab = [terms_list[i] for i in order]
+        df = np.zeros(len(vocab), np.int32)
+        np.add.at(df, pair_terms_arr, 1)
+        return (
+            vocab,
+            df,
+            np.asarray(doc_indptr, np.int64),
+            pair_terms_arr,
+            np.asarray(pair_counts, np.int32),
+            np.asarray(doc_len, np.int32),
+        )
 
-        # postings: per term, (doc, weight) impact-ordered, capped at p_max
-        postings: list[list[tuple[float, int]]] = [[] for _ in range(v)]
+    @classmethod
+    def _from_counts(cls, counted, n_docs: int, params: BM25Params) -> "BM25Index":
+        vocab_list, df, doc_indptr, pair_terms, pair_counts, doc_len = counted
+        v = len(vocab_list)
+        vocab = {t: i for i, t in enumerate(vocab_list)}
+        avgdl = max(float(doc_len.mean()) if n_docs else 1.0, 1e-6)
+        df_f = np.maximum(df.astype(np.float64), 0)
+        idf = np.log(1.0 + (n_docs - df_f + 0.5) / (df_f + 0.5)).astype(np.float32)
+
+        # vectorized weights: w = tf(k1+1) / (tf + k1(1-b+b·len/avgdl))
         k1, b = params.k1, params.b
-        for d, counts in enumerate(doc_terms):
-            norm = k1 * (1.0 - b + b * doc_len[d] / avgdl)
-            for t, tf in counts.items():
-                w = tf * (k1 + 1.0) / (tf + norm)
-                postings[vocab[t]].append((-w, d))  # negative for ascending sort
+        nnz = len(pair_terms)
+        doc_of_pair = np.repeat(
+            np.arange(n_docs, dtype=np.int64), np.diff(doc_indptr)
+        )
+        tf = pair_counts.astype(np.float32)
+        norm = (k1 * (1.0 - b + b * doc_len[doc_of_pair] / avgdl)).astype(np.float32)
+        w = tf * (k1 + 1.0) / (tf + norm)
+
+        # group by term, impact-ordered (weight descending) within term
+        order = np.lexsort((-w, pair_terms)) if nnz else np.zeros(0, np.int64)
+        sorted_terms = pair_terms[order]
+        sorted_docs = doc_of_pair[order].astype(np.int32)
+        sorted_w = w[order]
+        counts_per_term = np.bincount(sorted_terms, minlength=v)
+        capped = np.minimum(counts_per_term, params.p_max)
+        term_len = capped.astype(np.int32)
         term_start = np.zeros(v, np.int32)
-        term_len = np.zeros(v, np.int32)
-        docs_out: list[int] = []
-        w_out: list[float] = []
-        for tid in range(v):
-            plist = sorted(postings[tid])[: params.p_max]
-            term_start[tid] = len(docs_out)
-            term_len[tid] = len(plist)
-            docs_out.extend(d for _, d in plist)
-            w_out.extend(-w for w, _ in plist)
-        # tail padding so dynamic_slice(start, p_max) is always in bounds
+        term_start[1:] = np.cumsum(capped[:-1]).astype(np.int32)
+        # build keep mask: within-term rank < p_max
+        starts_full = np.zeros(v, np.int64)
+        starts_full[1:] = np.cumsum(counts_per_term[:-1])
+        rank_in_term = np.arange(nnz, dtype=np.int64) - starts_full[sorted_terms]
+        keep = rank_in_term < params.p_max
+        docs_out = sorted_docs[keep]
+        w_out = sorted_w[keep]
         pad = params.p_max
-        post_docs = np.asarray(docs_out + [n_docs] * pad, np.int32)
-        post_w = np.asarray(w_out + [0.0] * pad, np.float32)
+        post_docs = np.concatenate([docs_out, np.full(pad, n_docs, np.int32)])
+        post_w = np.concatenate([w_out, np.zeros(pad, np.float32)]).astype(np.float32)
 
         return cls(
             vocab, term_start, term_len, post_docs, post_w, idf,
