@@ -41,14 +41,22 @@ def make_dense(rng):
 
 def make_sparse(rng):
     """Synthetic Zipf-ish postings in the BM25Index device layout."""
-    # term frequencies per chunk: each chunk holds TERMS_PER_CHUNK distinct
-    # terms drawn Zipf(1.2) over VOCAB
+    # term draws per chunk: Zipf(1.2) over VOCAB, deduplicated per chunk
+    # (df must count documents, not occurrences — duplicate draws would
+    # inflate df past N and flip idf negative)
     chunk_terms = (rng.zipf(1.2, size=(N_CHUNKS, TERMS_PER_CHUNK)) - 1) % VOCAB
     weights = rng.random((N_CHUNKS, TERMS_PER_CHUNK)).astype(np.float32) + 0.5
-    # CSC: group postings by term
-    flat_terms = chunk_terms.ravel()
-    flat_docs = np.repeat(np.arange(N_CHUNKS, dtype=np.int32), TERMS_PER_CHUNK)
-    flat_w = weights.ravel()
+    # dedupe within each row: keep the first occurrence of each term
+    sort_idx = np.argsort(chunk_terms, axis=1, kind="stable")
+    sorted_terms = np.take_along_axis(chunk_terms, sort_idx, axis=1)
+    dup = np.concatenate(
+        [np.zeros((N_CHUNKS, 1), bool), sorted_terms[:, 1:] == sorted_terms[:, :-1]],
+        axis=1,
+    )
+    keep = ~dup.ravel()
+    flat_terms = sorted_terms.ravel()[keep]
+    flat_docs = np.repeat(np.arange(N_CHUNKS, dtype=np.int32), TERMS_PER_CHUNK)[keep]
+    flat_w = np.take_along_axis(weights, sort_idx, axis=1).ravel()[keep]
     order = np.argsort(flat_terms, kind="stable")
     flat_terms, flat_docs, flat_w = flat_terms[order], flat_docs[order], flat_w[order]
     df = np.bincount(flat_terms, minlength=VOCAB)
@@ -80,16 +88,20 @@ def make_sparse(rng):
 
 
 def tpu_hybrid(corpus, queries, sparse, dtype):
+    """Timing notes: on the axon remote platform ``block_until_ready`` is
+    not a reliable barrier and identical launches may short-circuit, so
+    each timed iteration (a) uses a distinct query batch and (b) fetches
+    the (tiny) result to host as the true end-to-end barrier."""
     import jax
     import jax.numpy as jnp
 
-    from intool_rag_tpu.ops.bm25 import bm25_topk
+    from intool_rag_tpu.ops.bm25 import bm25_topk_sorted
     from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
     from intool_rag_tpu.ops.topk import flat_topk
 
     starts, lens, post_docs, post_w, idf, qterms, qtf = sparse
+    on_tpu = jax.default_backend() == "tpu"
     corpus_d = jnp.asarray(corpus, dtype=dtype)
-    queries_d = jnp.asarray(queries)
     dev = {
         "starts": jnp.asarray(starts),
         "lens": jnp.asarray(lens),
@@ -102,9 +114,13 @@ def tpu_hybrid(corpus, queries, sparse, dtype):
 
     def hybrid(q_dense, qterms, qtf):
         d_vals, d_rows = flat_topk(
-            q_dense, corpus_d, CANDIDATES, metric="cosine", block_n=25_000
+            q_dense, corpus_d, CANDIDATES, metric="cosine", block_n=25_000,
+            use_approx=on_tpu,
         )
-        s_vals, s_rows = bm25_topk(
+        # NOTE: approx_max_k is NOT safe here — after sorting by doc id,
+        # distinct docs' segment-end slots are adjacent, so the per-group
+        # partial max drops most of them (measured recall 0.27).
+        s_vals, s_rows = bm25_topk_sorted(
             qterms, qtf, dev["starts"], dev["lens"], dev["docs"], dev["w"],
             dev["idf"], CANDIDATES, n_docs=N_CHUNKS, p_max=P_MAX,
         )
@@ -116,17 +132,55 @@ def tpu_hybrid(corpus, queries, sparse, dtype):
         return weighted_fusion(d_rows, d_vals, s_rows, s_norm, TOP_K)
 
     hybrid_jit = jax.jit(hybrid)
+
+    # Throughput program: a continuous stream of query batches processed
+    # inside one launch (lax.scan over G batches) — this is the serving
+    # shape (request batching), and it amortizes the remote-launch RPC
+    # overhead (~40ms/launch on the axon tunnel) that would otherwise be
+    # measured instead of the chip.
+    G = 8
+
+    @jax.jit
+    def hybrid_stream(q_dense_all, qterms_all, qtf_all):
+        def step(_, inputs):
+            qd, qt_, qf_ = inputs
+            return None, hybrid(qd, qt_, qf_)
+
+        _, (vals, rows) = jax.lax.scan(
+            step, None, (q_dense_all, qterms_all, qtf_all)
+        )
+        return vals, rows
+
+    rng = np.random.default_rng(7)
+    dense_all = jnp.asarray(
+        np.stack(
+            [
+                queries
+                + 0.003 * rng.standard_normal(queries.shape).astype(np.float32)
+                for _ in range(G)
+            ]
+        )
+    )
+    qterms_all = jnp.asarray(
+        np.stack([(qterms + i * 17) % VOCAB for i in range(G)])
+    )
+    qtf_all = jnp.asarray(np.stack([qtf] * G))
+
     # warmup/compile
-    vals, rows = hybrid_jit(queries_d, dev["qterms"], dev["qtf"])
-    rows.block_until_ready()
-    # timed
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        vals, rows = hybrid_jit(queries_d, dev["qterms"], dev["qtf"])
-    rows.block_until_ready()
-    dt = time.perf_counter() - t0
-    return np.asarray(rows), (N_QUERIES * iters) / dt
+    np.asarray(hybrid_stream(dense_all, qterms_all, qtf_all)[1])
+    # timed runs with rotated inputs (defeats launch caching); host fetch
+    # of the [G, Q, k] result is the true end-to-end barrier
+    times = []
+    for i in range(3):
+        rot = jnp.asarray(np.asarray((qterms_all + 13 * (i + 1)) % VOCAB))
+        dns = dense_all + 0.001 * (i + 1)
+        t0 = time.perf_counter()
+        np.asarray(hybrid_stream(dns, rot, qtf_all)[1])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    # correctness pass with the canonical queries for the recall check
+    vals, rows = hybrid_jit(jnp.asarray(queries), dev["qterms"], dev["qtf"])
+    return np.asarray(rows), (N_QUERIES * G) / dt
 
 
 def cpu_hybrid(corpus, queries, sparse):
@@ -172,9 +226,10 @@ def cpu_hybrid(corpus, queries, sparse):
         return out
 
     oracle = run()  # warm + correctness reference
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
+    dt = min(
+        (lambda t0: (run(), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(3)
+    )
     return oracle, N_QUERIES / dt
 
 

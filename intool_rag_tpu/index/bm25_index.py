@@ -202,10 +202,12 @@ class BM25Index:
         )
 
     def topk(self, queries: list[str], k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-        from ..ops.bm25 import bm25_topk
+        """Sorted-aggregation kernel (scatter-free; ~2× faster on TPU at
+        serving shapes, identical results up to f32 summation order)."""
+        from ..ops.bm25 import bm25_topk_sorted
 
         qterms, qtf = self.encode_queries(queries)
-        return bm25_topk(
+        return bm25_topk_sorted(
             qterms, qtf, self.term_start, self.term_len,
             self.post_docs, self.post_w, self.idf, k,
             n_docs=self.n_docs, p_max=self.params.p_max,

@@ -56,7 +56,9 @@ def bm25_scores(
             w = jax.lax.dynamic_slice(post_w, (start,), (p_max,))
             pos = jax.lax.broadcasted_iota(jnp.int32, (p_max, 1), 0)[:, 0]
             mask = (pos < length) & valid
-            contrib = jnp.where(mask, w * idf[t_safe] * q_tf, 0.0)
+            # clamp ≥ 0 (same contract as bm25_topk_sorted: BM25
+            # contributions are non-negative by construction)
+            contrib = jnp.maximum(jnp.where(mask, w * idf[t_safe] * q_tf, 0.0), 0.0)
             docs = jnp.where(mask, docs, n_docs)  # padding -> dropped slot
             scores = scores.at[docs].add(contrib, mode="drop")
             return scores, None
@@ -89,6 +91,93 @@ def bm25_topk(
     k = min(k, n_docs)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_docs", "p_max", "use_approx"))
+def bm25_topk_sorted(
+    qterms: jax.Array,  # [Q, T] i32, -1 padding
+    qtf: jax.Array,  # [Q, T] f32
+    term_start: jax.Array,
+    term_len: jax.Array,
+    post_docs: jax.Array,
+    post_w: jax.Array,
+    idf: jax.Array,
+    k: int,
+    *,
+    n_docs: int,
+    p_max: int,
+    use_approx: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter-free BM25 top-k: gather each query term's postings slice,
+    then aggregate duplicate doc ids with one batched sort + a vectorized
+    segmented sum (cumsum minus a cummax-propagated segment base — valid
+    because contributions are ≥ 0 so the cumsum is nondecreasing), then
+    top-k. TPU scatter serializes; sort+scan is vectorized VPU work, which
+    makes this ~2× faster end-to-end at Q=256, T=32, p_max=2048.
+    """
+    q, t = qterms.shape
+
+    def gather_one(terms_row, qtf_row):
+        def per_term(term, q_tf):
+            valid = term >= 0
+            t_safe = jnp.maximum(term, 0)
+            start = term_start[t_safe]
+            length = jnp.minimum(term_len[t_safe], p_max)
+            docs = jax.lax.dynamic_slice(post_docs, (start,), (p_max,))
+            w = jax.lax.dynamic_slice(post_w, (start,), (p_max,))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (p_max, 1), 0)[:, 0]
+            mask = (pos < length) & valid
+            # PRECONDITION of the cummax segmented sum below: contributions
+            # must be ≥ 0. True BM25 contributions always are (Lucene idf
+            # ≥ 0, tf-norm weights ≥ 0, query tf ≥ 0); clamp defensively so
+            # corrupted inputs degrade gracefully instead of silently
+            # corrupting unrelated totals.
+            contrib = jnp.maximum(jnp.where(mask, w * idf[t_safe] * q_tf, 0.0), 0.0)
+            docs = jnp.where(mask, docs, n_docs)  # sentinel sorts last
+            return docs, contrib
+
+        docs, contrib = jax.vmap(per_term)(terms_row, qtf_row)
+        return docs.reshape(-1), contrib.reshape(-1)
+
+    docs, contrib = jax.vmap(gather_one)(qterms, qtf)  # [Q, M]
+
+    # sort by doc id, co-sorting contributions
+    docs_s, contrib_s = jax.lax.sort_key_val(docs, contrib, dimension=1)
+    cs = jnp.cumsum(contrib_s, axis=1)
+    excl = cs - contrib_s
+    prev = jnp.concatenate(
+        [jnp.full((q, 1), -1, docs_s.dtype), docs_s[:, :-1]], axis=1
+    )
+    nxt = jnp.concatenate(
+        [docs_s[:, 1:], jnp.full((q, 1), jnp.iinfo(jnp.int32).max, docs_s.dtype)],
+        axis=1,
+    )
+    is_start = docs_s != prev
+    is_end = docs_s != nxt
+    # Segment total at end i = cs[i] − excl[segment start], with the base
+    # forward-filled by cummax — valid because excl is nondecreasing under
+    # the non-negative-contribution precondition enforced above.
+    base = jax.lax.cummax(jnp.where(is_start, excl, -1.0), axis=1)
+    totals = cs - base
+    valid = is_end & (docs_s < n_docs)
+    slot_scores = jnp.where(valid, totals, -jnp.inf)
+
+    k_eff = min(k, slot_scores.shape[1])
+    if use_approx:
+        # CAUTION: after the doc-id sort, distinct docs' segment-end slots
+        # are adjacent, so approx_max_k's per-group max discards most
+        # candidates (measured recall 0.21). Kept only for experimentation;
+        # the default blocked_topk below is exact AND fast.
+        vals, pos = jax.lax.approx_max_k(slot_scores, k_eff)
+    else:
+        from .topk import blocked_topk
+
+        vals, pos = blocked_topk(slot_scores, k_eff, block=1024)
+    ids = jnp.take_along_axis(docs_s, pos, axis=1)
+    # normalize empty slots to (0.0, id 0) — same contract as the scatter
+    # variant (callers mask on score > 0)
+    finite = jnp.isfinite(vals)
+    return jnp.where(finite, vals, 0.0), jnp.where(finite, ids, 0)
 
 
 def bm25_score_upper_bound(qtf: jax.Array, qterms: jax.Array, idf: jax.Array,

@@ -32,11 +32,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def choose_group_width(n: int, k: int, target_recall: float = 0.95) -> int:
+def choose_group_width(n: int, k: int, target_recall: float = 0.98) -> int:
     """Largest power-of-two lane-group width L (≤128) with expected
-    recall ≥ target: recall ≈ 1 - k²·L / (2N)."""
+    recall ≥ target. A rank-i item is lost iff a better item shares its
+    group (prob ≈ i·L/N), so expected recall ≈ 1 - k·L/(2N)."""
     l = 128
-    while l > 8 and 1.0 - (k * k * l) / (2.0 * max(n, 1)) < target_recall:
+    while l > 8 and 1.0 - (k * l) / (2.0 * max(n, 1)) < target_recall:
         l //= 2
     return l
 

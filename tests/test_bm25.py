@@ -93,7 +93,10 @@ def test_bm25_topk_order():
     idx = BM25Index.build(DOCS, BM25Params(p_max=16))
     vals, ids = idx.topk(["fox"], k=3)
     want = oracle_bm25(DOCS, "fox")
-    assert set(np.asarray(ids)[0].tolist()) == set(np.argsort(-want)[:3].tolist())
+    # compare the positive-score hits (zero-score slots carry arbitrary ids)
+    got = {int(i) for i, v in zip(np.asarray(ids)[0], np.asarray(vals)[0]) if v > 0}
+    expect = {int(i) for i in np.argsort(-want)[:3] if want[i] > 0}
+    assert got == expect
 
 
 def test_bm25_batched_queries():
@@ -111,6 +114,62 @@ def test_bm25_impact_pruning_keeps_strongest():
     top2 = np.argsort(-want)[:2]
     np.testing.assert_allclose(got[top2], want[top2], rtol=1e-5)
     assert np.count_nonzero(got) <= 2
+
+
+def test_bm25_sorted_kernel_matches_scatter():
+    """The scatter-free sorted-aggregation kernel must agree with the
+    scatter kernel (up to f32 summation order)."""
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ops.bm25 import bm25_topk, bm25_topk_sorted
+
+    idx = BM25Index.build(DOCS * 3, BM25Params(p_max=16))
+    queries = ["fox canine", "发票金额", "training data", "zzz"]
+    qt, qf = idx.encode_queries(queries)
+    args = (qt, qf, idx.term_start, idx.term_len, idx.post_docs, idx.post_w, idx.idf)
+    v1, i1 = bm25_topk(*args, 8, n_docs=idx.n_docs, p_max=16)
+    v2, i2 = bm25_topk_sorted(*args, 8, n_docs=idx.n_docs, p_max=16)
+    for r in range(len(queries)):
+        got1 = {int(i): float(v) for i, v in zip(np.asarray(i1)[r], np.asarray(v1)[r]) if v > 0}
+        got2 = {int(i): float(v) for i, v in zip(np.asarray(i2)[r], np.asarray(v2)[r]) if v > 0}
+        assert got1.keys() == got2.keys()
+        for doc in got1:
+            assert got1[doc] == pytest.approx(got2[doc], rel=1e-4)
+
+
+def test_bm25_sorted_kernel_negative_contributions():
+    """Regression: a negative idf (corrupted input) must degrade
+    gracefully — both kernels clamp contributions at 0 (the cummax
+    segmented sum requires ≥ 0; unclamped negatives silently corrupted
+    unrelated totals)."""
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ops.bm25 import bm25_topk, bm25_topk_sorted
+
+    n_docs, p_max, v = 20, 8, 3
+    # hand-built postings with a NEGATIVE idf term
+    term_start = jnp.asarray([0, 8, 16], jnp.int32)
+    term_len = jnp.asarray([5, 4, 2], jnp.int32)
+    post_docs = jnp.asarray(
+        [1, 3, 5, 7, 9, n_docs, n_docs, n_docs,
+         1, 2, 3, 4, n_docs, n_docs, n_docs, n_docs,
+         5, 6, n_docs, n_docs, n_docs, n_docs, n_docs, n_docs,
+         n_docs] * 1 + [n_docs] * 7, jnp.int32)
+    post_w = jnp.asarray(
+        [1.0, 0.9, 0.8, 0.7, 0.6, 0, 0, 0,
+         1.2, 1.1, 1.0, 0.9, 0, 0, 0, 0,
+         0.5, 0.4, 0, 0, 0, 0, 0, 0] + [0.0] * 8, jnp.float32)
+    idf = jnp.asarray([-0.5, 2.0, 3.0], jnp.float32)  # term 0 negative
+    qterms = jnp.asarray([[0, 1, 2, -1]], jnp.int32)
+    qtf = jnp.asarray([[1.0, 1.0, 1.0, 0.0]], jnp.float32)
+    args = (qterms, qtf, term_start, term_len, post_docs, post_w, idf)
+    v1, i1 = bm25_topk(*args, 6, n_docs=n_docs, p_max=p_max)
+    v2, i2 = bm25_topk_sorted(*args, 6, n_docs=n_docs, p_max=p_max)
+    got1 = {int(i): float(v) for i, v in zip(np.asarray(i1)[0], np.asarray(v1)[0]) if v > 0}
+    got2 = {int(i): float(v) for i, v in zip(np.asarray(i2)[0], np.asarray(v2)[0]) if v > 0}
+    assert got1.keys() == got2.keys()
+    for d in got1:
+        assert got1[d] == pytest.approx(got2[d], rel=1e-5)
 
 
 def test_bm25_save_load_roundtrip(tmp_path):
