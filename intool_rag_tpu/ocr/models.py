@@ -1,0 +1,136 @@
+"""OCR model zoo in flax (reference: rag/ingest/ocr/networks/ — torch
+backbone/neck/head compositions, SURVEY.md §2.7 #45).
+
+Three compact conv architectures sized for TPU-friendly shapes (all dims
+multiples of 8/128 where it matters):
+
+- :class:`DBDetector` — DBNet-style text segmentation: conv backbone with
+  stride-2 stages, FPN-lite top-down fusion, differentiable-binarization
+  head emitting a probability map at 1/2 input resolution.
+- :class:`OrientationClassifier` — small convnet, 2 classes (0°/180°).
+- :class:`CTCRecognizer` — conv feature extractor collapsing height,
+  depthwise-separable column mixer, per-column vocab logits (CTC).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _conv_bn_act(x, features, *, stride=1, name_prefix="", kernel=3):
+    x = nn.Conv(features, (kernel, kernel), strides=(stride, stride), padding="SAME",
+                use_bias=False)(x)
+    x = nn.GroupNorm(num_groups=min(8, features))(x)
+    return nn.relu(x)
+
+
+class _Backbone(nn.Module):
+    """4-stage conv backbone; returns feature maps at 1/2..1/16."""
+
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        w = self.width
+        for stage in range(4):
+            x = _conv_bn_act(x, w * (2**stage), stride=2)
+            x = _conv_bn_act(x, w * (2**stage))
+            feats.append(x)
+        return feats
+
+
+class DBDetector(nn.Module):
+    """Text-region probability map (reference det: DBNet,
+    ch_ppocr_det — SURVEY.md §2.7 #40)."""
+
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images [B, H, W, C] in [0,1] → prob map [B, H/2, W/2]."""
+        feats = _Backbone(self.width, name="backbone")(images)
+        # FPN-lite: unify channels, top-down upsample + add
+        fpn_w = self.width * 2
+        laterals = [
+            nn.Conv(fpn_w, (1, 1), name=f"lateral_{i}")(f) for i, f in enumerate(feats)
+        ]
+        y = laterals[-1]
+        for i in range(len(laterals) - 2, -1, -1):
+            b, h, w, c = laterals[i].shape
+            y = jax.image.resize(y, (b, h, w, c), "nearest") + laterals[i]
+        y = _conv_bn_act(y, fpn_w)
+        logits = nn.Conv(1, (3, 3), padding="SAME", name="db_head")(y)
+        return nn.sigmoid(logits[..., 0])
+
+
+class OrientationClassifier(nn.Module):
+    """0°/180° crop classifier (reference cls: ch_ppocr_cls — §2.7 #41)."""
+
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, crops: jax.Array) -> jax.Array:
+        """crops [B, H, W, C] → logits [B, 2]."""
+        x = crops
+        for stage in range(3):
+            x = _conv_bn_act(x, self.width * (2**stage), stride=2)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(2)(x)
+
+
+class CTCRecognizer(nn.Module):
+    """Sequence recognizer with CTC output (reference rec:
+    ch_ppocr_rec CTC head — §2.7 #42). Input height fixed (e.g. 32);
+    width maps to sequence columns at 1/4 downsampling."""
+
+    vocab_size: int  # excluding blank; blank id = vocab_size
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, crops: jax.Array) -> jax.Array:
+        """crops [B, H, W, C] → logits [B, W/4, vocab_size+1]."""
+        x = _conv_bn_act(crops, self.width)
+        x = _conv_bn_act(x, self.width, stride=2)  # H/2, W/2
+        x = _conv_bn_act(x, self.width * 2)
+        x = nn.Conv(self.width * 2, (3, 3), strides=(2, 2), padding="SAME")(x)
+        x = nn.relu(x)  # H/4, W/4
+        # collapse height into channels → column sequence
+        b, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, w, h * c)
+        x = nn.Dense(self.width * 4)(x)
+        x = nn.relu(x)
+        # column mixer: small self-attention over the sequence axis
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=4, qkv_features=self.width * 4, name="column_attn"
+        )(x)
+        x = nn.LayerNorm()(x + attn)
+        return nn.Dense(self.vocab_size + 1, name="ctc_head")(x)
+
+
+@dataclasses.dataclass
+class OCRModelBundle:
+    """Initialized models + params for the pipeline."""
+
+    det: DBDetector
+    det_params: dict
+    cls: OrientationClassifier
+    cls_params: dict
+    rec: CTCRecognizer
+    rec_params: dict
+    charset: str  # rec vocab, index = class id
+
+    @classmethod
+    def create(cls, charset: str, seed: int = 0, width: int = 16) -> "OCRModelBundle":
+        rng = jax.random.PRNGKey(seed)
+        det = DBDetector(width)
+        det_params = det.init(rng, jnp.zeros((1, 64, 64, 3)))
+        cls_model = OrientationClassifier(width)
+        cls_params = cls_model.init(rng, jnp.zeros((1, 32, 64, 3)))
+        rec = CTCRecognizer(vocab_size=len(charset), width=width * 2)
+        rec_params = rec.init(rng, jnp.zeros((1, 32, 64, 3)))
+        return cls(det, det_params, cls_model, cls_params, rec, rec_params, charset)

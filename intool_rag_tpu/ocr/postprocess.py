@@ -1,0 +1,177 @@
+"""DB postprocess + CTC decode + layout reconstruction — host-side
+geometry (reference: ch_ppocr_det/utils.py DBPostProcess with
+OpenCV/pyclipper; ch_ppocr_rec/utils.py CTCLabelDecode; utils/to_markdown
+— SURVEY.md §2.7 #40/#42/#46). Implemented on NumPy/SciPy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy import ndimage
+
+
+@dataclasses.dataclass
+class TextBox:
+    """Axis-aligned text region (x0, y0, x1, y1) with detection score."""
+
+    x0: int
+    y0: int
+    x1: int
+    y1: int
+    score: float
+
+    @property
+    def width(self) -> int:
+        return self.x1 - self.x0
+
+    @property
+    def height(self) -> int:
+        return self.y1 - self.y0
+
+    def expand(self, ratio: float, shape: tuple[int, int]) -> "TextBox":
+        """Unclip (reference uses pyclipper offsetting; for the
+        axis-aligned case a proportional margin is equivalent)."""
+        mx = int(self.width * ratio)
+        my = int(self.height * ratio)
+        h, w = shape
+        return TextBox(
+            max(0, self.x0 - mx), max(0, self.y0 - my),
+            min(w, self.x1 + mx), min(h, self.y1 + my), self.score,
+        )
+
+
+def db_boxes_from_prob_map(
+    prob_map: np.ndarray,
+    *,
+    bin_thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 0.3,
+    min_area: int = 16,
+    scale: float = 2.0,
+) -> list[TextBox]:
+    """Binarize → connected components → scored boxes → unclip → sort
+    top-to-bottom/left-to-right (reference: DBPostProcess utils.py:117-202
+    and box sort main.py:79-103). ``scale`` maps prob-map coords back to
+    image coords (the det head emits at 1/2 resolution)."""
+    bitmap = prob_map > bin_thresh
+    labels, n = ndimage.label(bitmap)
+    if n == 0:
+        return []
+    boxes: list[TextBox] = []
+    slices = ndimage.find_objects(labels)
+    for i, sl in enumerate(slices):
+        if sl is None:
+            continue
+        region_mask = labels[sl] == (i + 1)
+        area = int(region_mask.sum())
+        if area < min_area:
+            continue
+        score = float(prob_map[sl][region_mask].mean())
+        if score < box_thresh:
+            continue
+        y0, x0 = sl[0].start, sl[1].start
+        y1, x1 = sl[0].stop, sl[1].stop
+        box = TextBox(
+            int(x0 * scale), int(y0 * scale), int(x1 * scale), int(y1 * scale), score
+        )
+        boxes.append(box)
+    h, w = prob_map.shape
+    img_shape = (int(h * scale), int(w * scale))
+    boxes = [b.expand(unclip_ratio, img_shape) for b in boxes]
+    # reading order: rows by y-center, then x
+    boxes.sort(key=lambda b: (round((b.y0 + b.y1) / 2 / max(16, b.height or 16)), b.x0))
+    return boxes
+
+
+def ctc_greedy_decode(
+    logits: np.ndarray, charset: str
+) -> list[tuple[str, float]]:
+    """Argmax + collapse-repeats + drop-blank (reference: CTCLabelDecode,
+    ch_ppocr_rec/utils.py:13-90). logits [B, T, V+1], blank id = V.
+    Returns [(text, mean_prob)] per item."""
+    blank = len(charset)
+    # softmax probabilities for confidence
+    x = logits - logits.max(axis=-1, keepdims=True)
+    probs = np.exp(x)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    ids = probs.argmax(axis=-1)  # [B, T]
+    out: list[tuple[str, float]] = []
+    for b in range(ids.shape[0]):
+        chars: list[str] = []
+        confs: list[float] = []
+        prev = -1
+        for t in range(ids.shape[1]):
+            c = int(ids[b, t])
+            if c != prev and c != blank:
+                chars.append(charset[c])
+                confs.append(float(probs[b, t, c]))
+            prev = c
+        out.append(("".join(chars), float(np.mean(confs)) if confs else 0.0))
+    return out
+
+
+def crop_box(image: np.ndarray, box: TextBox) -> np.ndarray:
+    """Extract a box crop (reference: get_rotate_crop_image — axis-aligned
+    here since detection emits rects)."""
+    return image[box.y0 : box.y1, box.x0 : box.x1]
+
+
+def resize_norm_crop(
+    crop: np.ndarray, target_h: int = 32, max_w: int = 320
+) -> np.ndarray:
+    """Resize to fixed height, preserve aspect, pad width (reference:
+    resize-norm to 3×48×320, ch_ppocr_rec/main.py:152-173)."""
+    h, w = crop.shape[:2]
+    if h == 0 or w == 0:
+        return np.zeros((target_h, max_w, 3), np.float32)
+    new_w = max(8, min(max_w, int(round(w * target_h / h))))
+    # bilinear resize via PIL-free numpy (nearest for simplicity at small
+    # scale factors, linear along each axis)
+    ys = np.clip((np.arange(target_h) + 0.5) * h / target_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(new_w) + 0.5) * w / new_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    img = crop.astype(np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    resized = top * (1 - wy) + bot * wy
+    if resized.shape[2] == 1:
+        resized = np.repeat(resized, 3, axis=2)
+    if resized.max() > 1.5:
+        resized = resized / 255.0
+    out = np.zeros((target_h, max_w, 3), np.float32)
+    out[:, :new_w] = resized[:, :max_w]
+    return out
+
+
+def to_markdown(results: list[tuple[TextBox, str, float]]) -> str:
+    """Layout reconstruction: group boxes into lines by y-center overlap,
+    join left-to-right (reference: utils/to_markdown.py:3-92)."""
+    if not results:
+        return ""
+    items = sorted(results, key=lambda r: (r[0].y0 + r[0].y1) / 2)
+    lines: list[list[tuple[TextBox, str]]] = []
+    for box, text, _ in items:
+        cy = (box.y0 + box.y1) / 2
+        placed = False
+        if lines:
+            last_line = lines[-1]
+            ref = last_line[0][0]
+            if abs(cy - (ref.y0 + ref.y1) / 2) < max(8, ref.height * 0.6):
+                last_line.append((box, text))
+                placed = True
+        if not placed:
+            lines.append([(box, text)])
+    out_lines = []
+    for line in lines:
+        line.sort(key=lambda r: r[0].x0)
+        out_lines.append(" ".join(t for _, t in line if t))
+    return "\n".join(ln for ln in out_lines if ln.strip())

@@ -1,0 +1,194 @@
+"""OCR stack tests: postprocess oracles, model shapes, the end-to-end
+synthetic-recognizer training, and the PDF image bridge."""
+
+import numpy as np
+import pytest
+
+from intool_rag_tpu.ocr.models import OCRModelBundle
+from intool_rag_tpu.ocr.pipeline import DEFAULT_CHARSET, OCREngine
+from intool_rag_tpu.ocr.postprocess import (
+    TextBox,
+    ctc_greedy_decode,
+    db_boxes_from_prob_map,
+    resize_norm_crop,
+    to_markdown,
+)
+
+
+# ---------------- DB postprocess ----------------
+
+
+def test_db_boxes_from_synthetic_map():
+    prob = np.zeros((64, 64), np.float32)
+    prob[5:10, 4:30] = 0.9   # line 1
+    prob[20:25, 4:18] = 0.85  # line 2
+    prob[50:52, 50:52] = 0.9  # too small -> dropped
+    boxes = db_boxes_from_prob_map(prob, min_area=16, scale=2.0)
+    assert len(boxes) == 2
+    b1, b2 = boxes
+    assert b1.y0 < b2.y0  # reading order
+    # scale 2 + unclip margin
+    assert b1.x0 <= 8 and b1.x1 >= 60
+
+
+def test_db_boxes_threshold():
+    prob = np.full((32, 32), 0.4, np.float32)
+    prob[4:10, 4:20] = 0.45  # above bin 0.3 but below box 0.6
+    assert db_boxes_from_prob_map(prob) == []
+
+
+# ---------------- CTC decode ----------------
+
+
+def test_ctc_greedy_decode_collapses():
+    charset = "ab"
+    blank = 2
+    seq = [0, 0, blank, 1, 1, blank, 0]  # -> "aba"
+    logits = np.full((1, len(seq), 3), -10.0, np.float32)
+    for t, c in enumerate(seq):
+        logits[0, t, c] = 10.0
+    [(text, conf)] = ctc_greedy_decode(logits, charset)
+    assert text == "aba"
+    assert conf > 0.99
+
+
+def test_ctc_decode_empty():
+    logits = np.full((1, 5, 3), -10.0, np.float32)
+    logits[:, :, 2] = 10.0  # all blank
+    [(text, conf)] = ctc_greedy_decode(logits, "ab")
+    assert text == "" and conf == 0.0
+
+
+# ---------------- layout ----------------
+
+
+def test_to_markdown_lines():
+    results = [
+        (TextBox(60, 10, 100, 20, 0.9), "world", 0.9),
+        (TextBox(5, 11, 50, 21, 0.9), "hello", 0.9),
+        (TextBox(5, 40, 60, 52, 0.9), "second line", 0.9),
+    ]
+    md = to_markdown(results)
+    assert md == "hello world\nsecond line"
+
+
+def test_resize_norm_crop_aspect():
+    crop = np.ones((16, 64, 3), np.float32)
+    out = resize_norm_crop(crop, target_h=32, max_w=320)
+    assert out.shape == (32, 320, 3)
+    assert out[:, :128].mean() > 0.9  # content doubled to width 128
+    assert out[:, 200:].max() == 0.0  # padding
+
+
+# ---------------- models ----------------
+
+
+def test_model_shapes():
+    bundle = OCRModelBundle.create("ab", width=8)
+    det_out = bundle.det.apply(bundle.det_params, np.zeros((1, 64, 96, 3), np.float32))
+    assert det_out.shape == (1, 32, 48)
+    cls_out = bundle.cls.apply(bundle.cls_params, np.zeros((2, 32, 64, 3), np.float32))
+    assert cls_out.shape == (2, 2)
+    rec_out = bundle.rec.apply(bundle.rec_params, np.zeros((2, 32, 64, 3), np.float32))
+    assert rec_out.shape == (2, 16, 3)  # W/4 columns, vocab 2 + blank
+
+
+def test_engine_runs_on_blank_image():
+    engine = OCREngine(OCRModelBundle.create("ab", width=8), text_score=0.99)
+    result = engine(np.full((64, 64, 3), 255, np.uint8))
+    assert result.lines == [] or all(l.confidence >= 0.99 for l in result.lines)
+    assert "det" in result.elapse
+
+
+# ---------------- end-to-end: train a synthetic digit recognizer ----------
+
+
+@pytest.mark.slow
+def test_train_and_read_synthetic_digits():
+    from intool_rag_tpu.ocr.postprocess import ctc_greedy_decode as decode
+    from intool_rag_tpu.ocr.train import (
+        _pad_batch,
+        render_text_image,
+        train_synthetic_recognizer,
+    )
+
+    model, params, charset, losses = train_synthetic_recognizer(
+        steps=250, batch=16, seed=0
+    )
+    assert losses[-1] < losses[0] * 0.2, f"CTC loss did not converge: {losses[-1]}"
+    tests = ["0123", "90210", "777"]
+    images = _pad_batch([render_text_image(t) for t in tests])
+    logits = np.asarray(model.apply(params, images))
+    decoded = decode(logits, charset)
+    correct = sum(got == want for (got, _), want in zip(decoded, tests))
+    assert correct >= 2, f"decoded {decoded} vs {tests}"
+
+
+# ---------------- PDF bridge ----------------
+
+
+def _pdf_with_image(img: np.ndarray) -> bytes:
+    """Minimal PDF embedding one FlateDecode grayscale image XObject."""
+    import zlib
+
+    h, w = img.shape[:2]
+    gray = img.mean(axis=2).astype(np.uint8) if img.ndim == 3 else img
+    data = zlib.compress(gray.tobytes())
+    objs = []
+    objs.append(
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (w, h, len(data)) + data + b"\nendstream"
+    )
+    content = b"q %d 0 0 %d 0 0 cm /Im1 Do Q" % (w, h)
+    objs.append(b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    objs.append(
+        b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 %d %d] "
+        b"/Resources << /XObject << /Im1 1 0 R >> >> /Contents 2 0 R >>" % (w, h)
+    )
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(b"<< /Type /Catalog /Pages 4 0 R >>")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 5 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+def test_extract_page_images_from_pdf():
+    from intool_rag_tpu.ocr.pdf_ocr import extract_page_images
+
+    img = np.zeros((40, 60), np.uint8)
+    img[10:20, 5:50] = 200
+    pdf = _pdf_with_image(img)
+    images = extract_page_images(pdf, 0)
+    assert len(images) == 1
+    assert images[0].shape == (40, 60, 3)
+    np.testing.assert_array_equal(images[0][:, :, 0], img)
+
+
+def test_pdf_ocr_bridge_protocol():
+    from intool_rag_tpu.ingest.loader import PageBasedLoader, register_ocr_engine
+    from intool_rag_tpu.ocr.pdf_ocr import PDFOCRBridge
+
+    class StubEngine:
+        def __call__(self, image):
+            from intool_rag_tpu.ocr.pipeline import OCRLine, OCRResult
+
+            return OCRResult(
+                lines=[OCRLine(TextBox(0, 0, 10, 10, 0.9), "scanned text", 0.8)],
+                elapse={},
+            )
+
+    bridge = PDFOCRBridge(engine=StubEngine())
+    pdf = _pdf_with_image(np.full((30, 30), 128, np.uint8))
+    text, conf = bridge.extract_page(pdf, 0)
+    assert text == "scanned text"
+    assert conf == pytest.approx(0.8)
