@@ -15,20 +15,67 @@ logger = get_logger(__name__)
 _checked = False
 
 
-def ensure_backend() -> str:
+def ensure_backend(retries: int = 2, delay_s: float = 5.0) -> str:
     """Returns the active backend name, falling back to CPU if the
-    configured accelerator backend cannot initialize."""
+    configured accelerator backend cannot initialize.
+
+    The accelerator claim can be transiently held by an exiting process
+    (single-tenant tunnels), so initialization retries with backoff
+    before degrading.
+    """
     global _checked
+    import time
+
     import jax
 
     if not _checked:
-        try:
-            jax.devices()
-        except Exception as exc:
-            logger.warning(
-                "accelerator backend unavailable (%s) — falling back to CPU", exc
-            )
-            jax.config.update("jax_platforms", "cpu")
-            jax.devices()
+        for attempt in range(retries + 1):
+            try:
+                jax.devices()
+                break
+            except Exception as exc:
+                if attempt < retries:
+                    logger.warning(
+                        "accelerator init failed (%s) — retrying in %.0fs",
+                        exc, delay_s,
+                    )
+                    time.sleep(delay_s)
+                    _retry_axon_registration()
+                else:
+                    logger.warning(
+                        "accelerator backend unavailable (%s) — falling back "
+                        "to CPU", exc,
+                    )
+                    jax.config.update("jax_platforms", "cpu")
+                    jax.devices()
         _checked = True
     return jax.default_backend()
+
+
+def _retry_axon_registration() -> None:
+    """The axon plugin registers in sitecustomize at interpreter start; a
+    transiently-held tunnel claim makes that registration fail silently
+    and every later jax.devices() raise. Re-attempt the registration the
+    same way sitecustomize does (no-op outside axon environments)."""
+    import os
+    import uuid
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        import sys
+
+        axon_site = os.path.expanduser("~/.axon_site")
+        if os.path.isdir(axon_site) and axon_site not in sys.path:
+            sys.path.insert(0, axon_site)
+        from axon.register import register
+
+        register(
+            None,
+            f"{os.environ.get('PALLAS_AXON_TPU_GEN', 'v5e')}:1x1x1",
+            so_path="/opt/axon/libaxon_pjrt.so",
+            session_id=str(uuid.uuid4()),
+            remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1",
+        )
+    except Exception as exc:  # already registered / still claimed
+        logger.debug("axon re-registration attempt failed: %s", exc)
