@@ -157,6 +157,59 @@ class PageLevelRetriever:
             elif ancestor.level is NodeLevel.SUBSECTION:
                 ranking.subsection = ancestor.title
 
+    # ---------------- batched path (micro-batching) ----------------
+
+    def retrieve_chunks_batch(
+        self,
+        queries: list[str],
+        projects: list[str | None],
+        *,
+        limit: int | None = None,
+    ) -> list[list[RetrievedChunk]]:
+        """Batched retrieval: one embedding forward + one device search for
+        the whole batch (the reference is 1-query-at-a-time —
+        faiss_index.py:81). Per-query project filters apply on the host."""
+        cfg = get_config()
+        limit = limit or cfg.RETRIEVAL_CANDIDATES
+        emb = self.provider.embed_batch(list(queries), is_query=True)
+        # over-fetch when any project filter is present
+        fetch = limit * 4 if any(p is not None for p in projects) else limit
+        hit_lists = self.registry.search(list(queries), jnp.asarray(emb), fetch)
+        from ..ingest.chunker import _TABLE_HINT
+
+        out: list[list[RetrievedChunk]] = []
+        for hits, project in zip(hit_lists, projects):
+            if project is not None:
+                hits = [
+                    h for h in hits
+                    if self.registry.doc_projects.get(h["doc_id"]) == project
+                ]
+            hits = hits[:limit]
+            chunks = [
+                RetrievedChunk(
+                    doc_id=h["doc_id"], chunk_id=h["chunk_id"], page=h["page"],
+                    text=h["text"], score=h["score"],
+                    has_table=bool(_TABLE_HINT.search(h["text"])),
+                )
+                for h in hits
+            ]
+            kept = [c for c in chunks if c.score >= cfg.RETRIEVAL_MIN_SCORE]
+            out.append(kept or chunks[:5])
+        return out
+
+    def retrieve_and_rank_pages_batch(
+        self,
+        queries: list[str],
+        projects: list[str | None],
+        *,
+        top_pages: int | None = None,
+    ) -> list[list[PageRanking]]:
+        chunk_lists = self.retrieve_chunks_batch(queries, projects)
+        return [
+            self.rank_pages(chunks, top_pages) if chunks else []
+            for chunks in chunk_lists
+        ]
+
     # ---------------- façade ----------------
 
     def retrieve_and_rank_pages(

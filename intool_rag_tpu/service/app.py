@@ -15,7 +15,7 @@ from ..index.registry import CorpusRegistry
 from ..ingest.pipeline import IngestionPipeline
 from ..llm.factory import get_llm
 from ..logging import get_logger
-from ..observability import get_metrics, trace_phase
+from ..observability import Metrics, trace_phase
 from ..query.response import build_rag_prompt, create_page_aware_response
 from ..query.retriever import PageLevelRetriever
 from ..storage.cache import QueryResultCache
@@ -54,12 +54,20 @@ class RAGService:
             storage=self.registry.storage, embedding_provider=provider
         )
         self.retriever = PageLevelRetriever(self.registry, provider=provider)
-        self.metrics = get_metrics()
+        self.metrics = Metrics()  # per-service (not the process global)
         self.tasks = TaskQueue(workers=1)
         cfg = get_config()
         self.query_cache = QueryResultCache() if cfg.CACHE_QUERY_RESULTS else None
         self._provider = provider
         self._agent = None
+        # micro-batching: concurrent queries share one device program
+        from .batcher import QueryBatcher
+
+        self.batcher = (
+            QueryBatcher(self.retriever.retrieve_chunks_batch)
+            if cfg.QUERY_MAX_BATCH > 1
+            else None
+        )
 
     @property
     def llm(self):
@@ -205,6 +213,11 @@ class RAGService:
                 "hits": self.query_cache.hits,
                 "misses": self.query_cache.misses,
             }
+        if self.batcher is not None:
+            snap["batcher"] = {
+                "batches_run": self.batcher.batches_run,
+                "requests_served": self.batcher.requests_served,
+            }
         return snap
 
     def query(self, body: bytes) -> dict:
@@ -224,9 +237,17 @@ class RAGService:
                 self.metrics.inc("query_cache_hits")
                 return cached
         with trace_phase("query.retrieve", self.metrics):
-            ranked = self.retriever.retrieve_and_rank_pages(
-                request.question, project=request.project, top_pages=request.top_pages
-            )
+            if self.batcher is not None:
+                chunks = self.batcher.submit(request.question, request.project)
+                ranked = (
+                    self.retriever.rank_pages(chunks, request.top_pages)
+                    if chunks else []
+                )
+            else:
+                ranked = self.retriever.retrieve_and_rank_pages(
+                    request.question, project=request.project,
+                    top_pages=request.top_pages,
+                )
         if not ranked:
             return QueryResponse(
                 answer="I could not find relevant information to answer your question.",
