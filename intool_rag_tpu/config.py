@@ -271,8 +271,11 @@ class Config:
     SEARCH_BLOCK_N: int = dataclasses.field(
         default_factory=lambda: _env_int("SEARCH_BLOCK_N", 16384)
     )
+    # The XLA approx_max_k path measured faster than the fused Pallas
+    # kernel on v5e (15.4k vs 8.8k QPS at 1M×1024, both recall 1.0 @ k=10);
+    # opt into the Pallas kernel explicitly.
     USE_PALLAS: bool = dataclasses.field(
-        default_factory=lambda: _env_bool("USE_PALLAS", True)
+        default_factory=lambda: _env_bool("USE_PALLAS", False)
     )
     IVF_NLIST: int = dataclasses.field(
         default_factory=lambda: _env_int("IVF_NLIST", 1024)

@@ -21,7 +21,11 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-_ROW_BLOCK = 1024  # pad N to this multiple (Pallas block alignment)
+# Pad N so the Pallas fused kernel's grid divides evenly: its block is
+# 128·group_l rows (group_l ≤ 128 → max block 16384). Small corpora use
+# small group widths, so 1024 (= 128·8) keeps waste low; DenseFlatIndex
+# picks group_l such that 128·group_l divides n_pad.
+_ROW_BLOCK = 1024
 _DIM_BLOCK = 128  # pad D to lane width
 
 

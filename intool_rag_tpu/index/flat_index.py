@@ -58,12 +58,15 @@ class DenseFlatIndex:
         if exact is True:
             use_pallas = False
         if use_pallas:
-            group_l = choose_group_width(store.valid_n, k)
+            # ≤16 keeps the corpus input block within VMEM (see kernel doc)
+            group_l = min(16, choose_group_width(store.valid_n, k))
+            # shrink until the kernel's 128·group_l block divides n_pad
+            while group_l > 8 and store.n_pad % (128 * group_l) != 0:
+                group_l //= 2
             vals, rows = flat_topk_pallas(
                 query_embeddings,
                 store.embeddings,
                 k,
-                block_n=min(1024, store.n_pad),
                 group_l=group_l,
                 valid_n=store.valid_n,
             )
@@ -79,4 +82,7 @@ class DenseFlatIndex:
             metric=self.metric,  # type: ignore[arg-type]
             block_n=min(cfg.SEARCH_BLOCK_N, store.n_pad),
             valid_n=store.valid_n,
+            # TPU-native partial-reduce selection (recall ≈ 1.0 at serving
+            # k; measured fastest path — see ARCHITECTURE.md §2)
+            use_approx=_on_tpu() and self.metric in ("cosine", "ip") and exact is not True,
         )

@@ -81,16 +81,29 @@ def flat_topk_pallas(
     corpus: jax.Array,
     k: int,
     *,
-    block_n: int = 1024,
-    group_l: int = 128,
+    block_n: int | None = None,
+    group_l: int = 16,
     valid_n: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat MIPS top-k. ``corpus [N, D]`` must have N a multiple of
     ``block_n`` and D a multiple of 128 (the index build pads to this).
-    Returns ``(scores [Q, k] f32, indices [Q, k] i32)``.
+
+    Shape constraints (measured on v5e): each grid step's output slice
+    ``[Q, block_n/group_l]`` needs a last dimension divisible by 128, so
+    ``block_n = 128·group_l``; and the corpus input block
+    ``[block_n, D]`` must fit double-buffered VMEM, which caps
+    ``block_n ≤ 2048`` at D=1024 — hence ``group_l ≤ 16`` for large-D
+    corpora. Returns ``(scores [Q, k] f32, indices [Q, k] i32)``.
     """
     n, d = corpus.shape
+    if block_n is None:
+        block_n = 128 * group_l
+    if block_n % (128 * group_l) != 0 and not interpret:
+        raise ValueError(
+            f"block_n={block_n} must be a multiple of 128·group_l={128 * group_l} "
+            "(Mosaic output-tile constraint)"
+        )
     if n % block_n != 0 or d % 128 != 0:
         raise ValueError(f"corpus shape {corpus.shape} not padded to ({block_n}, 128)")
     if valid_n is None:
@@ -134,7 +147,12 @@ def flat_topk_pallas(
         interpret=interpret,
     )(queries, corpus)
 
+    # barrier: without it XLA tries to keep the full [Q, N/L] candidate
+    # arrays in scoped VMEM for the downstream top-k and OOMs at 1M rows
+    cand_vals, cand_idx = jax.lax.optimization_barrier((cand_vals, cand_idx))
     k_eff = min(k, cand_vals.shape[1])
-    top_vals, top_pos = jax.lax.top_k(cand_vals, k_eff)
+    from .topk import blocked_topk
+
+    top_vals, top_pos = blocked_topk(cand_vals, k_eff, block=1024)
     top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
     return top_vals[:q], top_idx[:q]
