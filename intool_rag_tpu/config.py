@@ -71,6 +71,11 @@ class Config:
     EMBEDDING_PROVIDER: str = dataclasses.field(
         default_factory=lambda: _env_str("EMBEDDING_PROVIDER", "")
     )
+    # encoder architecture preset when no checkpoint dictates dims:
+    # auto (bge-m3 on TPU, tiny on CPU) | bge_m3 | small | tiny
+    EMBEDDING_PRESET: str = dataclasses.field(
+        default_factory=lambda: _env_str("EMBEDDING_PRESET", "auto")
+    )
     EMBEDDING_QUERY_INSTRUCTION: str = dataclasses.field(
         default_factory=lambda: _env_str(
             "EMBEDDING_QUERY_INSTRUCTION",

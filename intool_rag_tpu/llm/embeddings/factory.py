@@ -28,6 +28,10 @@ def _build() -> EmbeddingProvider:
         from ...providers.hash_embed import HashEmbeddingProvider
 
         return HashEmbeddingProvider()
+    if choice == "ollama":
+        from ...providers.ollama_embed import OllamaEmbeddingProvider
+
+        return OllamaEmbeddingProvider()
     if choice == "gemini" or (not choice and cfg.GEMINI_API_KEY):
         try:
             from ...providers.gemini import GeminiEmbeddingProvider

@@ -43,27 +43,78 @@ class TPUEmbeddingProvider:
         cfg = get_config()
         self._model_name = model_name or cfg.EMBEDDING_MODEL
         self.encoder_config = config or self._default_config()
-        self.tokenizer = tokenizer or get_tokenizer(
-            self._model_name,
-            vocab_size=self.encoder_config.vocab_size,
-            max_length=min(self.encoder_config.max_position - 2, 8192),
-        )
+        if params is None:
+            # may replace encoder_config with the checkpoint's dims, so it
+            # runs BEFORE the tokenizer is sized
+            params = self._load_local_weights()
         if params is None:
             logger.warning(
-                "no weights provided for %s — initializing random params "
+                "no weights available for %s — initializing random params "
                 "(embedding quality is placeholder until weights are loaded)",
                 self._model_name,
             )
             params = init_params(self.encoder_config)
         self.params = params
+        self.tokenizer = tokenizer or get_tokenizer(
+            self._model_name,
+            vocab_size=self.encoder_config.vocab_size,
+            max_length=min(self.encoder_config.max_position - 2, 8192),
+        )
         self._fn = jax.jit(encode_fn(self.encoder_config))
         self.batch_size = cfg.EMBEDDING_BATCH_SIZE
 
+    def _load_local_weights(self):
+        """Load HF weights when EMBEDDING_MODEL resolves locally (a cached
+        hub model or a local directory) — the state-dict mapping is
+        parity-tested against torch, so real BGE-M3 weights reproduce its
+        embeddings. Returns None when nothing is available (zero-egress
+        environments)."""
+        from ..models.encoder import load_torch_state_dict
+
+        try:
+            from transformers import AutoConfig, AutoModel
+
+            hf_config = AutoConfig.from_pretrained(
+                self._model_name, local_files_only=True
+            )
+            model = AutoModel.from_pretrained(
+                self._model_name, local_files_only=True, add_pooling_layer=False
+            )
+            self.encoder_config = EncoderConfig(
+                vocab_size=hf_config.vocab_size,
+                hidden_size=hf_config.hidden_size,
+                num_layers=hf_config.num_hidden_layers,
+                num_heads=hf_config.num_attention_heads,
+                intermediate_size=hf_config.intermediate_size,
+                max_position=hf_config.max_position_embeddings,
+                type_vocab_size=getattr(hf_config, "type_vocab_size", 1),
+                pad_token_id=hf_config.pad_token_id or 1,
+                dtype=self.encoder_config.dtype,
+            )
+            params = load_torch_state_dict(self.encoder_config, model.state_dict())
+            logger.info("loaded local HF weights for %s", self._model_name)
+            return params
+        except Exception as exc:
+            logger.info("no local weights for %s (%s)", self._model_name, exc)
+            return None
+
     def _default_config(self) -> EncoderConfig:
         cfg = get_config()
-        if cfg.EMBEDDING_DEVICE == "cpu" or jax.default_backend() == "cpu":
-            return EncoderConfig.tiny()
-        return EncoderConfig.bge_m3()
+        preset = cfg.EMBEDDING_PRESET
+        if preset == "auto":
+            preset = (
+                "tiny"
+                if cfg.EMBEDDING_DEVICE == "cpu" or jax.default_backend() == "cpu"
+                else "bge_m3"
+            )
+        if preset == "bge_m3":
+            return EncoderConfig.bge_m3()
+        if preset == "small":
+            return EncoderConfig(
+                vocab_size=32_768, hidden_size=384, num_layers=6, num_heads=6,
+                intermediate_size=1536, max_position=2050, dtype="bfloat16",
+            )
+        return EncoderConfig.tiny()
 
     # --- EmbeddingProvider API ---
 
