@@ -9,7 +9,7 @@ from ..index.analyzer import tokenize
 from ..llm.base import BaseLLM
 from ..providers.json_utils import sanitize_json
 from ..query.retriever import PageLevelRetriever, PageRanking
-from .state import INTENT_CONFIG, MIN_PAGE_SCORE, AgentState, QueryIntent
+from .state import MIN_PAGE_SCORE, AgentState, QueryIntent
 
 _FILLERS = re.compile(
     r"\b(please|kindly|could you|can you|would you|tell me|i want to know|"

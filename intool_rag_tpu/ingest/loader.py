@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Callable, Protocol
+from typing import Protocol
 
 from ..exceptions import DocumentLoadError, UnsupportedFormatError
 from ..logging import get_logger

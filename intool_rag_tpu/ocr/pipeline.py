@@ -7,7 +7,6 @@ import dataclasses
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..logging import get_logger
