@@ -152,6 +152,9 @@ class Config:
     CHUNK_TARGET_CHARS: int = dataclasses.field(
         default_factory=lambda: _env_int("CHUNK_TARGET_CHARS", 600)
     )
+    CHUNK_OVERLAP_CHARS: int = dataclasses.field(
+        default_factory=lambda: _env_int("CHUNK_OVERLAP_CHARS", 0)
+    )
 
     # --- Retrieval (rag/config.py:40-45) ---
     RETRIEVAL_TOP_K: int = dataclasses.field(

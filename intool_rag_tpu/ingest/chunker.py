@@ -41,6 +41,11 @@ class ChunkerConfig:
     max_chars: int = 1000
     min_chars: int = 100
     target_chars: int = 600
+    # chars of trailing context repeated at the next chunk's head (the
+    # reference declares CHUNK_OVERLAP but never implements it —
+    # config.py:34 vs node_aware_chunker.py; implemented here, default off
+    # to preserve the reference's actual behavior)
+    overlap_chars: int = 0
 
 
 class NodeAwareChunker:
@@ -106,7 +111,22 @@ class NodeAwareChunker:
                     chunks.append(current)
             else:
                 chunks.append(current)
+        if cfg.overlap_chars > 0 and len(chunks) > 1:
+            chunks = self._apply_overlap(chunks, cfg.overlap_chars, cfg.max_chars)
         return chunks
+
+    @staticmethod
+    def _apply_overlap(chunks: list[str], overlap: int, max_chars: int) -> list[str]:
+        """Prepend the previous chunk's word-aligned tail to each chunk."""
+        out = [chunks[0]]
+        for prev, cur in zip(chunks, chunks[1:]):
+            tail = prev[-overlap:]
+            space = tail.find(" ")
+            if 0 <= space < len(tail) - 1:
+                tail = tail[space + 1 :]
+            merged = f"{tail} {cur}" if tail else cur
+            out.append(merged[:max_chars])
+        return out
 
 
 class ChunksBuilder:

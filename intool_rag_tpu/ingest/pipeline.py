@@ -40,6 +40,7 @@ class IngestionPipeline:
                 max_chars=cfg.CHUNK_MAX_CHARS,
                 min_chars=cfg.CHUNK_MIN_CHARS,
                 target_chars=cfg.CHUNK_TARGET_CHARS,
+                overlap_chars=cfg.CHUNK_OVERLAP_CHARS,
             )
         )
 
