@@ -97,7 +97,9 @@ def quantize_int8_stochastic(
 # ---------------- int8 flat search ----------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n", "valid_n"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "valid_n", "use_approx")
+)
 def flat_topk_int8(
     queries: jax.Array,  # [Q, D] f32
     corpus_q: jax.Array,  # [N, D] int8
@@ -106,6 +108,7 @@ def flat_topk_int8(
     *,
     block_n: int = 16384,
     valid_n: int | None = None,
+    use_approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Blockwise int8 MIPS top-k: int8×int8→int32 on the MXU, rescaled to
     f32 scores. Returns (scores [Q, k], rows [Q, k])."""
@@ -137,7 +140,10 @@ def flat_topk_int8(
         scores = acc.astype(jnp.float32) * q_scale[:, None] * bscale[None, :]
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (q, block_n), 1)
         scores = jnp.where(ids < valid_n, scores, -jnp.inf)
-        bvals, bpos = jax.lax.top_k(scores, min(k, block_n))
+        if use_approx:
+            bvals, bpos = jax.lax.approx_max_k(scores, min(k, block_n))
+        else:
+            bvals, bpos = jax.lax.top_k(scores, min(k, block_n))
         brows = jnp.take_along_axis(ids, bpos, axis=-1)
         return merge_topk(best_vals, best_rows, bvals, brows, k), None
 
