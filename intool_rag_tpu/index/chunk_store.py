@@ -50,6 +50,7 @@ class ChunkStore:
         self.dim_pad = _round_up(dim, _DIM_BLOCK)
         self.dtype = jnp.dtype(dtype)
         self.valid_n = 0
+        self.mutation_count = 0  # bumped on append/remove (derived-index invalidation)
         self._embeddings = jnp.zeros((_ROW_BLOCK, self.dim_pad), dtype=self.dtype)
         # host-side identity tables (positional, row -> identity)
         self.doc_ids: list[str] = []
@@ -103,6 +104,7 @@ class ChunkStore:
         self.chunk_ids.extend(chunk_ids)
         self.pages = np.concatenate([self.pages, np.asarray(pages, np.int32)])
         self.texts.extend(texts)
+        self.mutation_count += 1
 
     def remove_doc(self, doc_id: str) -> int:
         """Drop all rows of a document (compacting rebuild)."""
@@ -121,6 +123,7 @@ class ChunkStore:
         self.pages = self.pages[keep]
         self.texts = [self.texts[i] for i in keep]
         self.valid_n = len(keep)
+        self.mutation_count += 1
         return removed
 
     # ---------------- persistence ----------------

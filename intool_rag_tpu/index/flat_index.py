@@ -23,11 +23,32 @@ def _on_tpu() -> bool:
 
 
 class DenseFlatIndex:
-    """Exact MIPS/cosine search over the store's embedding matrix."""
+    """Dense search over the store's embedding matrix.
+
+    Despite the name (kept for the FAISS-IndexFlat lineage), this routes
+    to IVF when ``INDEX_KIND=ivf`` and the corpus is large enough to
+    partition — the IVF build is lazy and invalidates on store mutation.
+    """
+
+    _IVF_MIN_ROWS = 4096
 
     def __init__(self, store: ChunkStore, metric: str = "cosine") -> None:
         self.store = store
         self.metric = metric
+        self._ivf = None
+        self._ivf_built_at = -1
+
+    def _ivf_index(self):
+        from .ivf_index import IVFFlatIndex
+
+        if self._ivf is None or self._ivf_built_at != self.store.mutation_count:
+            cfg = get_config()
+            self._ivf = IVFFlatIndex.build(
+                self.store.embeddings[: self.store.valid_n],
+                nlist=cfg.IVF_NLIST,
+            )
+            self._ivf_built_at = self.store.mutation_count
+        return self._ivf
 
     def search(
         self, query_embeddings: jnp.ndarray, k: int, *, exact: bool | None = None
@@ -54,6 +75,18 @@ class DenseFlatIndex:
             query_embeddings = jnp.pad(
                 query_embeddings, ((0, 0), (0, store.dim_pad - store.dim))
             )
+        if (
+            cfg.INDEX_KIND == "ivf"
+            and exact is not True
+            and store.valid_n >= self._IVF_MIN_ROWS
+            and self.metric in ("cosine", "ip")
+        ):
+            vals, rows = self._ivf_index().search(
+                query_embeddings, k, nprobe=cfg.IVF_NPROBE
+            )
+            if self.metric == "cosine":
+                vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
+            return vals, rows
         use_pallas = cfg.USE_PALLAS and _on_tpu() and self.metric in ("cosine", "ip")
         if exact is True:
             use_pallas = False

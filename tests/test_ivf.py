@@ -80,6 +80,40 @@ def test_ivf_overflow_spill(rng):
     assert hits / oracle.size >= 0.95
 
 
+def test_index_kind_ivf_routing(rng, tmp_storage, monkeypatch):
+    """INDEX_KIND=ivf routes DenseFlatIndex.search through the IVF path,
+    rebuilding lazily when the store mutates."""
+    monkeypatch.setenv("INDEX_KIND", "ivf")
+    monkeypatch.setenv("IVF_NLIST", "16")
+    monkeypatch.setenv("IVF_NPROBE", "16")
+    from intool_rag_tpu import config as config_mod
+
+    config_mod.reset_config()
+    from intool_rag_tpu.index.chunk_store import ChunkStore
+    from intool_rag_tpu.index.flat_index import DenseFlatIndex
+
+    n = 5000
+    emb = rng.standard_normal((n, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store = ChunkStore(dim=64, dtype="float32")
+    store.append(emb, "d1", [f"c_{i:06d}" for i in range(n)], [0] * n,
+                 ["t"] * n)
+    index = DenseFlatIndex(store)
+    q = jnp.asarray(emb[:4])
+    vals, rows = index.search(q, 5)
+    assert index._ivf is not None  # IVF path taken
+    assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2, 3]  # self-retrieval
+    built_at = index._ivf_built_at
+    # mutation invalidates the partition
+    store.append(emb[:4] * 0 + emb[:4], "d2", [f"x{i}" for i in range(4)],
+                 [0] * 4, ["t"] * 4)
+    index.search(q, 5)
+    assert index._ivf_built_at != built_at
+    # exact=True bypasses IVF
+    vals2, rows2 = index.search(q, 5, exact=True)
+    assert np.asarray(rows2)[:, 0].tolist() == [0, 1, 2, 3]
+
+
 def test_ivf_row_map_valid(rng):
     points = rng.standard_normal((300, 16)).astype(np.float32)
     index = IVFFlatIndex.build(jnp.asarray(points), nlist=8, iters=4)
