@@ -50,10 +50,14 @@ class RAGService:
         self.registry = registry or CorpusRegistry()
         self.registry.load_all()  # startup preload (reference: main.py:25-31)
         self._llm = llm
+        from ..llm.reranker_factory import get_reranker
+
         self.pipeline = IngestionPipeline(
             storage=self.registry.storage, embedding_provider=provider
         )
-        self.retriever = PageLevelRetriever(self.registry, provider=provider)
+        self.retriever = PageLevelRetriever(
+            self.registry, provider=provider, reranker=get_reranker()
+        )
         self.metrics = Metrics()  # per-service (not the process global)
         self.tasks = TaskQueue(workers=1)
         cfg = get_config()

@@ -37,6 +37,61 @@ def test_rerank_deterministic():
     assert a == b
 
 
+def test_reranker_factory_disabled(tmp_storage, monkeypatch):
+    monkeypatch.setenv("RERANKER_ENABLED", "false")
+    from intool_rag_tpu import config as config_mod
+
+    config_mod.reset_config()
+    from intool_rag_tpu.llm.reranker_factory import get_reranker, reset_reranker
+
+    reset_reranker()
+    assert get_reranker() is None
+    reset_reranker()
+
+
+def test_reranker_factory_no_weights_degrades(tmp_storage, monkeypatch):
+    monkeypatch.setenv("RERANKER_ENABLED", "true")
+    monkeypatch.setenv("RERANKER_MODEL", "no/such-model")
+    from intool_rag_tpu import config as config_mod
+
+    config_mod.reset_config()
+    from intool_rag_tpu.llm.reranker_factory import get_reranker, reset_reranker
+
+    reset_reranker()
+    assert get_reranker() is None  # enabled but weightless -> disabled
+    reset_reranker()
+
+
+@pytest.mark.slow
+def test_reranker_factory_loads_local_weights(tmp_path, tmp_storage, monkeypatch):
+    torch = pytest.importorskip("torch")
+    from transformers import XLMRobertaConfig, XLMRobertaForSequenceClassification
+
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+        num_labels=1, hidden_act="gelu",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        classifier_dropout=0.0,
+    )
+    model_dir = tmp_path / "tiny-reranker"
+    XLMRobertaForSequenceClassification(hf_cfg).save_pretrained(model_dir)
+    monkeypatch.setenv("RERANKER_ENABLED", "true")
+    monkeypatch.setenv("RERANKER_MODEL", str(model_dir))
+    from intool_rag_tpu import config as config_mod
+
+    config_mod.reset_config()
+    from intool_rag_tpu.llm.reranker_factory import get_reranker, reset_reranker
+
+    reset_reranker()
+    reranker = get_reranker()
+    assert reranker is not None
+    scores = reranker.score_pairs(["q"], ["passage"])
+    assert scores.shape == (1,) and np.isfinite(scores).all()
+    reset_reranker()
+
+
 @pytest.mark.slow
 def test_cross_encoder_matches_torch():
     torch = pytest.importorskip("torch")
