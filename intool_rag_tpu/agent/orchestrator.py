@@ -40,7 +40,7 @@ class PageAwareAgent:
         self.classifier = IntentClassifier()
         self.searcher = Searcher(retriever)
         self.selector = PageSelector()
-        self.assembler = ContextAssembler()
+        self.assembler = ContextAssembler(registry=retriever.registry)
         self.generator = AnswerGenerator(llm or get_llm())
         self.validator = Validator()
         self.formatter = Formatter()

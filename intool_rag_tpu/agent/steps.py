@@ -70,7 +70,47 @@ class PageSelector:
 
 class ContextAssembler:
     """Header + chunks in document order (the reference sorts chunks by
-    text[:50] — page_selector.py:115-118; here by chunk position)."""
+    text[:50] — page_selector.py:115-118; here by chunk position).
+
+    For EXPLAIN/COMPARE intents, when the semantic tree is available, the
+    node-level context builder enriches the page context with parent and
+    sibling sections (query/context.py — the reference's agent-design
+    context strategies, context_builder.py:151-256)."""
+
+    def __init__(self, registry=None) -> None:
+        self.registry = registry
+
+    def _node_blocks(self, state: AgentState) -> str:
+        """Hierarchy-enriched blocks for the best page's nodes."""
+        from ..query.context import ContextBuilder, format_blocks
+
+        if self.registry is None or not state.selected_pages:
+            return ""
+        best = state.selected_pages[0]
+        page_index = self.registry.page_indexes.get(best.doc_id)
+        if page_index is None:
+            return ""
+        # node texts from that document's chunks
+        node_texts: dict[str, str] = {}
+        matches: list[tuple[str, float]] = []
+        for chunk in best.chunks:
+            node_id = self.registry.chunk_nodes.get((best.doc_id, chunk.chunk_id), "")
+            if not node_id:
+                continue
+            node_texts[node_id] = (
+                node_texts.get(node_id, "") + ("\n" if node_id in node_texts else "")
+                + chunk.text
+            )
+            matches.append((node_id, chunk.score))
+        if not matches:
+            return ""
+        builder = ContextBuilder(page_index, node_texts)
+        blocks, _ = builder.build_adaptive(
+            state.normalized_query, matches,
+            token_budget=state.retrieval_config["context_budget"] // 4,
+        )
+        extra = [b for b in blocks if b.role != "primary"]
+        return format_blocks(extra)
 
     def run(self, state: AgentState) -> None:
         budget = state.retrieval_config["context_budget"]
@@ -93,6 +133,10 @@ class ContextAssembler:
             used += len(block) + 2
             if used >= budget:
                 break
+        if state.intent in (QueryIntent.EXPLAIN, QueryIntent.COMPARE) and used < budget:
+            extra = self._node_blocks(state)
+            if extra:
+                blocks.append(extra[: budget - used])
         state.context = "\n\n".join(blocks)
 
 
