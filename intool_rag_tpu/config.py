@@ -279,6 +279,15 @@ class Config:
     SEARCH_BLOCK_N: int = dataclasses.field(
         default_factory=lambda: _env_int("SEARCH_BLOCK_N", 16384)
     )
+    # multi-device corpus sharding: "auto" shards the dense index over all
+    # devices when more than one is visible and the corpus exceeds
+    # SHARDED_SEARCH_MIN_ROWS; "off" stays single-device; "on" forces it
+    SHARDED_SEARCH: str = dataclasses.field(
+        default_factory=lambda: _env_str("SHARDED_SEARCH", "auto")
+    )
+    SHARDED_SEARCH_MIN_ROWS: int = dataclasses.field(
+        default_factory=lambda: _env_int("SHARDED_SEARCH_MIN_ROWS", 100_000)
+    )
     # The XLA approx_max_k path measured faster than the fused Pallas
     # kernel on v5e (15.4k vs 8.8k QPS at 1M×1024, both recall 1.0 @ k=10);
     # opt into the Pallas kernel explicitly.

@@ -37,6 +37,28 @@ class DenseFlatIndex:
         self.metric = metric
         self._ivf = None
         self._ivf_built_at = -1
+        self._sharded = None  # (mesh, sharded corpus) cache
+        self._sharded_built_at = -1
+
+    def _use_sharded(self, cfg) -> bool:
+        if cfg.SHARDED_SEARCH == "off" or self.metric not in ("cosine", "ip"):
+            return False
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            return False
+        if cfg.SHARDED_SEARCH == "on":
+            return True
+        return self.store.valid_n >= cfg.SHARDED_SEARCH_MIN_ROWS
+
+    def _sharded_corpus(self):
+        from ..parallel.mesh import corpus_mesh
+        from ..parallel.sharded_search import shard_corpus
+
+        if self._sharded is None or self._sharded_built_at != self.store.mutation_count:
+            mesh = corpus_mesh()
+            self._sharded = (mesh, shard_corpus(self.store.embeddings, mesh))
+            self._sharded_built_at = self.store.mutation_count
+        return self._sharded
 
     def _ivf_index(self):
         from .ivf_index import IVFFlatIndex
@@ -75,6 +97,18 @@ class DenseFlatIndex:
             query_embeddings = jnp.pad(
                 query_embeddings, ((0, 0), (0, store.dim_pad - store.dim))
             )
+        if self._use_sharded(cfg) and exact is not True:
+            from ..parallel.sharded_search import sharded_flat_topk
+
+            mesh, sharded = self._sharded_corpus()
+            vals, rows = sharded_flat_topk(
+                query_embeddings, sharded, k, mesh,
+                valid_n=store.valid_n,
+                block_n=min(cfg.SEARCH_BLOCK_N, max(sharded.shape[0] // mesh.shape["data"], 1)),
+            )
+            if self.metric == "cosine":
+                vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
+            return vals, rows
         if (
             cfg.INDEX_KIND == "ivf"
             and exact is not True

@@ -71,6 +71,37 @@ def test_sharded_train_step_runs_and_reduces_loss():
     assert losses[-1] < losses[0]  # overfits the fixed batch
 
 
+def test_dense_index_sharded_serving(rng, tmp_storage, monkeypatch):
+    """SHARDED_SEARCH=on shards the serving index over all 8 CPU devices
+    and matches single-device results."""
+    monkeypatch.setenv("SHARDED_SEARCH", "on")
+    from intool_rag_tpu import config as config_mod
+
+    config_mod.reset_config()
+    from intool_rag_tpu.index.chunk_store import ChunkStore
+    from intool_rag_tpu.index.flat_index import DenseFlatIndex
+
+    n = 3000
+    emb = rng.standard_normal((n, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store = ChunkStore(dim=64, dtype="float32")
+    store.append(emb, "d1", [f"c_{i:06d}" for i in range(n)], [0] * n, ["t"] * n)
+    index = DenseFlatIndex(store)
+    q = jnp.asarray(emb[:4])
+    vals, rows = index.search(q, 5)
+    assert index._sharded is not None  # sharded path taken
+    assert len(index._sharded[1].addressable_shards) == 8
+    assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2, 3]
+    # parity vs exact single-device
+    _, rows_exact = index.search(q, 5, exact=True)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(rows_exact))
+    # mutation invalidates the placement
+    built = index._sharded_built_at
+    store.append(emb[:2], "d2", ["x0", "x1"], [0, 0], ["t", "t"])
+    index.search(q, 5)
+    assert index._sharded_built_at != built
+
+
 def test_tp_param_layout():
     cfg = EncoderConfig.tiny()
     mesh = train_mesh()
