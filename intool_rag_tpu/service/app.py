@@ -96,6 +96,8 @@ class RAGService:
                 return 200, self.ingest(params, body, content_type)
             if method == "POST" and route == "/query":
                 return 200, self.query(body)
+            if method == "POST" and route == "/search":
+                return 200, self.search(body)
             if method == "GET" and route == "/documents":
                 return 200, self.list_documents()
             if method == "GET" and route.startswith("/documents/"):
@@ -277,6 +279,32 @@ class RAGService:
                 self.registry.version, result,
             )
         return result
+
+    def search(self, body: bytes) -> dict:
+        """Raw retrieval (no LLM): hybrid top-k chunks with scores and
+        identities — the engine surface for programmatic consumers."""
+        try:
+            request = QueryRequest.model_validate_json(body or b"{}")
+        except Exception as exc:
+            raise HTTPError(400, f"invalid search request: {exc}") from exc
+        self.metrics.inc("search_requests")
+        with trace_phase("search", self.metrics):
+            chunks = self.retriever.retrieve_chunks(
+                request.question, project=request.project
+            )
+        return {
+            "hits": [
+                {
+                    "doc_id": c.doc_id,
+                    "chunk_id": c.chunk_id,
+                    "page": c.page + 1,
+                    "score": round(c.score, 4),
+                    "text": c.text,
+                }
+                for c in chunks
+            ],
+            "total": len(chunks),
+        }
 
     def list_documents(self) -> dict:
         """(reference: routers/page_aware_v2.py:220-241)"""

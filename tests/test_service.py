@@ -130,6 +130,19 @@ def test_delete_document(client):
     assert client.delete("/documents/tmp1").status_code == 404
 
 
+def test_search_endpoint(client):
+    _ingest(client, build_minimal_pdf([DOC]), "handbook.pdf", doc_id="hb2")
+    r = client.post("/search", json={"question": "warranty months"})
+    assert r.status_code == 200
+    body = r.json()
+    assert body["total"] >= 1
+    hit = body["hits"][0]
+    assert hit["doc_id"] == "hb2"
+    assert "24 months" in hit["text"]
+    assert hit["score"] > 0
+    assert client.post("/search", content=b"garbage").status_code == 400
+
+
 def test_bad_requests(client):
     assert client.post("/query", content=b"not json").status_code == 400
     assert client.post("/ingest", params={"project": "p"}).status_code == 400
