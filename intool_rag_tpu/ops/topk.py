@@ -153,6 +153,28 @@ def flat_topk(
     return vals, idx
 
 
+def rescore_candidates(
+    queries: jax.Array,  # [Q, D] f32
+    corpus: jax.Array,  # [N, D] any dtype
+    rows: jax.Array,  # [Q, K] i32 candidate rows (-1 allowed)
+    *,
+    metric: Metric = "cosine",
+) -> jax.Array:
+    """Exact f32 rescoring of a small candidate set: gather the candidate
+    embeddings and recompute scores at full precision. Removes bf16/
+    approx-selection score noise from the final ranking at negligible
+    cost (K rows per query). Returns [Q, K] f32 with -inf at rows < 0."""
+    safe = jnp.maximum(rows, 0)
+    cand = corpus[safe].astype(jnp.float32)  # [Q, K, D]
+    scores = jnp.einsum(
+        "qd,qkd->qk", queries.astype(jnp.float32), cand,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "cosine":
+        scores = jnp.clip(scores, 0.0, 1.0)
+    return jnp.where(rows >= 0, scores, -jnp.inf)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block"))
 def blocked_topk(
     scores: jax.Array, k: int, *, block: int = 1024

@@ -144,6 +144,30 @@ def test_pallas_valid_n_and_query_padding(rng):
     assert np.asarray(idx).max() < 1000
 
 
+def test_rescore_candidates(rng):
+    from intool_rag_tpu.ops.topk import rescore_candidates
+
+    corpus = _normed(rng, (100, 32))
+    queries = _normed(rng, (3, 32))
+    rows = jnp.asarray([[0, 5, -1], [7, 7, 2], [99, 1, -1]], jnp.int32)
+    scores = np.asarray(rescore_candidates(jnp.asarray(queries), jnp.asarray(corpus), rows))
+    # exact f32 parity with direct dot products
+    for qi in range(3):
+        for ki, row in enumerate(np.asarray(rows)[qi]):
+            if row < 0:
+                assert scores[qi, ki] == -np.inf
+            else:
+                want = np.clip(queries[qi] @ corpus[row], 0, 1)
+                assert scores[qi, ki] == pytest.approx(want, abs=1e-6)
+    # bf16 corpus: rescoring recovers near-f32 precision of stored values
+    scores_bf = np.asarray(
+        rescore_candidates(
+            jnp.asarray(queries), jnp.asarray(corpus, dtype=jnp.bfloat16), rows
+        )
+    )
+    assert np.isfinite(scores_bf[np.asarray(rows) >= 0]).all()
+
+
 def test_choose_group_width():
     assert choose_group_width(1_000_000, 10) == 128
     assert choose_group_width(4096, 10) <= 64
