@@ -142,7 +142,10 @@ class DenseFlatIndex:
                     jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals
                 )
             return vals, rows
-        return flat_topk(
+        use_approx = (
+            _on_tpu() and self.metric in ("cosine", "ip") and exact is not True
+        )
+        vals, rows = flat_topk(
             query_embeddings,
             store.embeddings,
             k,
@@ -151,5 +154,18 @@ class DenseFlatIndex:
             valid_n=store.valid_n,
             # TPU-native partial-reduce selection (recall ≈ 1.0 at serving
             # k; measured fastest path — see ARCHITECTURE.md §2)
-            use_approx=_on_tpu() and self.metric in ("cosine", "ip") and exact is not True,
+            use_approx=use_approx,
         )
+        if use_approx or store.embeddings.dtype != jnp.float32:
+            # exact f32 rescoring of the candidate pool: removes bf16 /
+            # approx selection noise from final scores at ~k rows/query
+            from ..ops.topk import rescore_candidates
+
+            rescored = rescore_candidates(
+                query_embeddings, store.embeddings, rows,
+                metric=self.metric,  # type: ignore[arg-type]
+            )
+            order = jnp.argsort(-rescored, axis=1)
+            vals = jnp.take_along_axis(rescored, order, axis=1)
+            rows = jnp.take_along_axis(rows, order, axis=1)
+        return vals, rows
