@@ -318,6 +318,11 @@ class Config:
     MESH_MODEL_AXIS: int = dataclasses.field(
         default_factory=lambda: _env_int("MESH_MODEL_AXIS", 1)
     )
+    # OCR fallback for scanned PDF pages (off by default: without trained
+    # weights the recognizer emits noise; enable when weights are loaded)
+    OCR_ENABLED: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("OCR_ENABLED", False)
+    )
     # Serving
     SERVICE_HOST: str = dataclasses.field(
         default_factory=lambda: _env_str("SERVICE_HOST", "0.0.0.0")

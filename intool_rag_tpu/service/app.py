@@ -52,6 +52,14 @@ class RAGService:
         self._llm = llm
         from ..llm.reranker_factory import get_reranker
 
+        if get_config().OCR_ENABLED:
+            # wire the scanned-page fallback (the reference's equivalent
+            # hook is dead code — SURVEY.md §0)
+            from ..ingest.loader import register_ocr_engine
+            from ..ocr.pdf_ocr import PDFOCRBridge
+
+            register_ocr_engine(PDFOCRBridge())
+            logger.info("OCR fallback registered")
         self.pipeline = IngestionPipeline(
             storage=self.registry.storage, embedding_provider=provider
         )
@@ -112,6 +120,8 @@ class RAGService:
                 return 200, {"status": "ok", "pipeline": "page-aware-agent"}
             if method == "GET" and route == "/jobs":
                 return 200, {"jobs": self.tasks.list_jobs()}
+            if method == "POST" and route == "/debug/trace":
+                return 200, self.debug_trace(body)
             if method == "GET" and route.startswith("/jobs/"):
                 return 200, self.job_detail(route.split("/", 2)[2])
             if method == "DELETE" and route.startswith("/documents/"):
@@ -211,6 +221,26 @@ class RAGService:
         with trace_phase("agent.query", self.metrics):
             return self._agent.query(request.question, project=request.project)
 
+    def debug_trace(self, body: bytes) -> dict:
+        """Capture a jax.profiler device trace for N seconds into
+        STORAGE_DIR/traces (viewable in TensorBoard/Perfetto)."""
+        import json as _json
+        import time as _time
+
+        from ..observability import start_device_trace, stop_device_trace
+
+        try:
+            seconds = float(_json.loads(body or b"{}").get("seconds", 3))
+        except Exception as exc:
+            raise HTTPError(400, f"invalid trace request: {exc}") from exc
+        seconds = min(max(seconds, 0.5), 60.0)
+        cfg = get_config()
+        trace_dir = str(cfg.STORAGE_DIR / "traces")
+        start_device_trace(trace_dir)
+        _time.sleep(seconds)
+        stop_device_trace()
+        return {"trace_dir": trace_dir, "seconds": seconds}
+
     def metrics_snapshot(self) -> dict:
         snap = self.metrics.snapshot()
         snap["corpus"] = self.registry.stats()
@@ -234,7 +264,7 @@ class RAGService:
             raise HTTPError(400, f"invalid query request: {exc}") from exc
         self.metrics.inc("query_requests")
         cache_params = f"{request.top_pages}|{request.max_context_length}"
-        if self.query_cache is not None:
+        if self.query_cache is not None and not request.stream:
             cached = self.query_cache.get(
                 request.question, request.project or "", cache_params,
                 self.registry.version,
@@ -261,6 +291,8 @@ class RAGService:
                 confidence="low",
             ).model_dump()
         prompt = build_rag_prompt(request.question, ranked, request.max_context_length)
+        if request.stream:
+            return {"__stream__": self._stream_answer(request, prompt, ranked)}
         start = time.time()
         with trace_phase("query.generate", self.metrics):
             answer = self.llm.generate(prompt)
@@ -305,6 +337,33 @@ class RAGService:
             ],
             "total": len(chunks),
         }
+
+    def _stream_answer(self, request, prompt: str, ranked):
+        """SSE events: sources first, then token deltas, then done
+        (exposes the BaseLLM.generate_stream capability —
+        reference: rag/llm/base.py — over HTTP)."""
+        import json as _json
+
+        response = create_page_aware_response("", ranked)
+
+        def events():
+            yield "event: sources\ndata: " + _json.dumps(
+                response["sources"]["primary_sources"]
+            ) + "\n\n"
+            parts = []
+            try:
+                for chunk in self.llm.generate_stream(prompt):
+                    parts.append(chunk)
+                    yield "event: token\ndata: " + _json.dumps({"text": chunk}) + "\n\n"
+            except Exception as exc:
+                yield "event: error\ndata: " + _json.dumps({"detail": str(exc)}) + "\n\n"
+                return
+            final = create_page_aware_response("".join(parts), ranked)
+            yield "event: done\ndata: " + _json.dumps(
+                {"confidence": final["confidence"]}
+            ) + "\n\n"
+
+        return events()
 
     def list_documents(self) -> dict:
         """(reference: routers/page_aware_v2.py:220-241)"""

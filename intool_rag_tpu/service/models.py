@@ -24,6 +24,7 @@ class QueryRequest(BaseModel):
     project: Optional[str] = None
     top_pages: int = 5
     max_context_length: int = 8000
+    stream: bool = False  # SSE token streaming on /query
 
 
 class SourceReference(BaseModel):

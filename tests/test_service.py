@@ -130,6 +130,34 @@ def test_delete_document(client):
     assert client.delete("/documents/tmp1").status_code == 404
 
 
+def test_query_streaming_sse(client):
+    _ingest(client, build_minimal_pdf([DOC]), "handbook.pdf", doc_id="hbs")
+    events = []
+    with client.stream(
+        "POST", "/query",
+        json={"question": "How long is the warranty?", "stream": True},
+    ) as resp:
+        assert resp.status_code == 200
+        assert resp.headers["content-type"].startswith("text/event-stream")
+        buffer = ""
+        for chunk in resp.iter_text():
+            buffer += chunk
+        for block in buffer.strip().split("\n\n"):
+            lines = dict(
+                ln.split(": ", 1) for ln in block.splitlines() if ": " in ln
+            )
+            if "event" in lines:
+                events.append((lines["event"], lines.get("data", "")))
+    kinds = [k for k, _ in events]
+    assert kinds[0] == "sources"
+    assert "token" in kinds
+    assert kinds[-1] == "done"
+    token_text = "".join(
+        __import__("json").loads(d)["text"] for k, d in events if k == "token"
+    )
+    assert "24 months" in token_text
+
+
 def test_search_endpoint(client):
     _ingest(client, build_minimal_pdf([DOC]), "handbook.pdf", doc_id="hb2")
     r = client.post("/search", json={"question": "warranty months"})
