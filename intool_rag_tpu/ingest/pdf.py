@@ -810,6 +810,15 @@ def extract_page_text(doc: PDFDocument, page: dict) -> str:
 
 def extract_pdf_text(data: bytes) -> list[str]:
     """Extract per-page text from PDF bytes. Empty string for pages
-    without a text layer (→ OCR fallback upstream)."""
-    doc = PDFDocument(data)
-    return [extract_page_text(doc, page) for page in doc.pages()]
+    without a text layer (→ OCR fallback upstream).
+
+    Corrupted inputs raise PDFParseError (internal decode errors —
+    zlib, int parses, slicing — are converted at this boundary so the
+    loader's error handling sees one exception type)."""
+    try:
+        doc = PDFDocument(data)
+        return [extract_page_text(doc, page) for page in doc.pages()]
+    except PDFParseError:
+        raise
+    except Exception as exc:
+        raise PDFParseError(f"corrupted PDF: {type(exc).__name__}: {exc}") from exc

@@ -107,6 +107,32 @@ def test_not_a_pdf():
         PDFDocument(b"this is not a pdf file")
 
 
+def test_corrupted_pdfs_fail_cleanly():
+    """Truncations and bit-flips must raise PDFParseError (or parse), never
+    hang or raise unexpected exception types (the loader catches
+    DocumentLoadError, so anything else would 500 the service)."""
+    import random
+
+    base = build_minimal_pdf(["fuzz target content"])
+    rnd = random.Random(0)
+    cases = [base[: len(base) // 2], base[:20], b"%PDF-1.4\n" + b"\x00" * 100]
+    for _ in range(20):
+        corrupted = bytearray(base)
+        for _ in range(10):
+            corrupted[rnd.randrange(len(corrupted))] = rnd.randrange(256)
+        cases.append(bytes(corrupted))
+    for data in cases:
+        try:
+            extract_pdf_text(data)
+        except PDFParseError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            # zlib/value errors from corrupted streams are acceptable only
+            # if they subclass what the loader handles — they don't, so
+            # surface them as failures to tighten the extractor
+            pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
+
+
 @pytest.mark.skipif(not INVOICES.exists(), reason="reference samples not mounted")
 @pytest.mark.parametrize("name", ["invoice_Aaron Hawkins_4820.pdf", "invoice_Adam Hart_36279.pdf"])
 def test_real_invoice_extraction(name):
