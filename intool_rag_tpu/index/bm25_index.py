@@ -40,6 +40,8 @@ class BM25Params:
 class BM25Index:
     """Sparse keyword index over a chunk corpus."""
 
+    _counted = None  # counted-term representation (enables append())
+
     def __init__(
         self,
         vocab: dict[str, int],
@@ -75,7 +77,47 @@ class BM25Index:
         NumPy for weights and impact-ordering."""
         params = params or BM25Params.from_config()
         counted = cls._count_terms(texts)
-        return cls._from_counts(counted, len(texts), params)
+        index = cls._from_counts(counted, len(texts), params)
+        index._counted = counted  # retained for incremental append
+        return index
+
+    def append(self, texts: list[str]) -> "BM25Index":
+        """Incremental extension: tokenize only the NEW texts, merge the
+        counted representations, and rebuild postings vectorized. Avoids
+        re-tokenizing the whole corpus on every ingest (the expensive
+        host-side step); idf/avgdl recompute exactly over the union.
+        Returns a new index (the old one stays valid)."""
+        if not texts:
+            return self
+        if getattr(self, "_counted", None) is None:
+            raise ValueError("index was loaded without counts; rebuild instead")
+        old_vocab, old_df, old_indptr, old_terms, old_counts, old_len = self._counted
+        new_vocab_l, new_df, new_indptr, new_terms, new_counts, new_len = (
+            self._count_terms(texts)
+        )
+        # merge vocabularies (both sorted); remap both term-id spaces
+        merged = sorted(set(old_vocab) | set(new_vocab_l))
+        merged_pos = {t: i for i, t in enumerate(merged)}
+        old_map = np.asarray([merged_pos[t] for t in old_vocab], np.int32)
+        new_map = np.asarray([merged_pos[t] for t in new_vocab_l], np.int32)
+        pair_terms = np.concatenate([
+            old_map[old_terms] if len(old_terms) else old_terms,
+            new_map[new_terms] if len(new_terms) else new_terms,
+        ])
+        pair_counts = np.concatenate([old_counts, new_counts])
+        doc_indptr = np.concatenate([old_indptr, new_indptr[1:] + old_indptr[-1]])
+        doc_len = np.concatenate([old_len, new_len])
+        df = np.zeros(len(merged), np.int32)
+        if len(old_df):
+            np.add.at(df, old_map, old_df)
+        if len(new_df):
+            np.add.at(df, new_map, new_df)
+        counted = (merged, df, doc_indptr, pair_terms, pair_counts, doc_len)
+        index = self._from_counts(
+            counted, len(old_len) + len(new_len), self.params
+        )
+        index._counted = counted
+        return index
 
     @staticmethod
     def _count_terms(texts: list[str]):

@@ -64,7 +64,7 @@ class CorpusRegistry:
                         count, len(self.store) if self.store else 0)
             return count
 
-    def _add_doc_locked(self, doc_id: str) -> int:
+    def _add_doc_locked(self, doc_id: str) -> list[str]:
         embeddings, meta = self.storage.load_vectors(doc_id)
         chunks = self.storage.load_chunks(doc_id)
         page_index = self.storage.load_page_index(doc_id)
@@ -84,7 +84,7 @@ class CorpusRegistry:
             pages=list(meta.pages),
             texts=texts,
         )
-        return embeddings.shape[0]
+        return texts
 
     def _rebuild_bm25_locked(self) -> None:
         if self.store is None or len(self.store) == 0:
@@ -97,12 +97,19 @@ class CorpusRegistry:
     # ---------------- mutation ----------------
 
     def add_document(self, doc_id: str) -> int:
-        """Load one (already persisted) document into the live corpus."""
+        """Load one (already persisted) document into the live corpus.
+        The BM25 index extends incrementally — only the new document's
+        texts are tokenized (a full corpus re-tokenization per ingest
+        would be O(corpus))."""
         with self._lock:
-            n = self._add_doc_locked(doc_id)
-            self._rebuild_bm25_locked()
+            texts = self._add_doc_locked(doc_id)
+            if self.bm25 is not None and getattr(self.bm25, "_counted", None) is not None:
+                self.bm25 = self.bm25.append(texts)
+                self.engine = HybridEngine(self.store, self.bm25)
+            else:
+                self._rebuild_bm25_locked()
             self.version += 1
-            return n
+            return len(texts)
 
     def remove_document(self, doc_id: str) -> bool:
         with self._lock:

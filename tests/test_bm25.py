@@ -172,6 +172,31 @@ def test_bm25_sorted_kernel_negative_contributions():
         assert got1[d] == pytest.approx(got2[d], rel=1e-5)
 
 
+def test_bm25_incremental_append_matches_full_rebuild():
+    """append(new_texts) must equal a from-scratch build over the union
+    (idf/avgdl recompute exactly; only new texts are tokenized)."""
+    base, extra = DOCS[:6], DOCS[6:]
+    idx = BM25Index.build(base, BM25Params(p_max=16))
+    appended = idx.append(extra)
+    full = BM25Index.build(DOCS, BM25Params(p_max=16))
+    assert appended.vocab == full.vocab
+    assert appended.n_docs == full.n_docs
+    assert appended.avgdl == pytest.approx(full.avgdl)
+    queries = ["fox canine", "发票金额", "training data"]
+    np.testing.assert_allclose(
+        np.asarray(appended.scores(queries)),
+        np.asarray(full.scores(queries)),
+        rtol=1e-6,
+    )
+    # the original index is untouched
+    assert idx.n_docs == 6
+    # chained append works too
+    chained = BM25Index.build(DOCS[:3], BM25Params(p_max=16)).append(DOCS[3:6]).append(extra)
+    np.testing.assert_allclose(
+        np.asarray(chained.scores(queries)), np.asarray(full.scores(queries)), rtol=1e-6
+    )
+
+
 def test_bm25_save_load_roundtrip(tmp_path):
     idx = BM25Index.build(DOCS)
     idx.save(tmp_path / "bm25")
