@@ -48,8 +48,26 @@ def ensure_backend(retries: int = 2, delay_s: float = 5.0) -> str:
                     )
                     jax.config.update("jax_platforms", "cpu")
                     jax.devices()
+        _warmup()
         _checked = True
     return jax.default_backend()
+
+
+def _warmup() -> None:
+    """Run one tiny computation + host fetch on the calling thread.
+
+    The axon PJRT client lazily finishes initialization on the first
+    computation; if that first computation happens on a non-main thread
+    (e.g. an HTTP handler thread), the device→host fetch deadlocks for
+    minutes. Forcing the init here — ensure_backend is called from the
+    main thread at process startup — makes later worker-thread device
+    work safe. (Found via a hung ``POST /ingest``: the handler thread
+    blocked inside ``np.asarray`` at chunk_store.py append.)
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.zeros(8))
 
 
 def _retry_axon_registration() -> None:
