@@ -76,9 +76,21 @@ def _split_mixed(token: str) -> list[str]:
     return out
 
 
+def fold(text: str) -> str:
+    """Case/compatibility folding shared by the Python and native
+    tokenizers: NFKC, lowercase, then strip combining marks that survive
+    recomposition (e.g. U+0307 from lowering İ). Python's ``\\w`` and the
+    C++ tokenizer classify combining marks differently, so leaving them
+    in splits tokens inconsistently between the two."""
+    text = unicodedata.normalize("NFKC", text).lower()
+    if not text.isascii():
+        text = "".join(ch for ch in text if not unicodedata.combining(ch))
+    return text
+
+
 def tokenize(text: str) -> list[str]:
     """Analyze text into BM25 terms."""
-    text = unicodedata.normalize("NFKC", text).lower()
+    text = fold(text)
     terms: list[str] = []
     for token in _TOKEN_RE.findall(text):
         terms.extend(_split_mixed(token))

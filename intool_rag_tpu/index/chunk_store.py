@@ -106,25 +106,30 @@ class ChunkStore:
         self.texts.extend(texts)
         self.mutation_count += 1
 
-    def remove_doc(self, doc_id: str) -> int:
-        """Drop all rows of a document (compacting rebuild)."""
+    def without_doc(self, doc_id: str) -> tuple["ChunkStore", int]:
+        """Copy-on-write removal: returns (new store without the doc's
+        rows, number of rows removed). The original store is untouched,
+        so concurrent readers holding a reference keep a consistent
+        row ↔ identity mapping (in-place compaction remapped rows under
+        live searches — ADVICE.md round 1)."""
         keep = [i for i, d in enumerate(self.doc_ids) if d != doc_id]
         removed = self.valid_n - len(keep)
         if removed == 0:
-            return 0
+            return self, 0
+        new = ChunkStore(self.dim, str(self.dtype))
         host = np.asarray(self._embeddings[: self.valid_n], np.float32)[keep]
         padded = np.zeros(
             (_round_up(max(len(keep), 1), _ROW_BLOCK), self.dim_pad), np.float32
         )
         padded[: len(keep)] = host
-        self._embeddings = jnp.asarray(padded, dtype=self.dtype)
-        self.doc_ids = [self.doc_ids[i] for i in keep]
-        self.chunk_ids = [self.chunk_ids[i] for i in keep]
-        self.pages = self.pages[keep]
-        self.texts = [self.texts[i] for i in keep]
-        self.valid_n = len(keep)
-        self.mutation_count += 1
-        return removed
+        new._embeddings = jnp.asarray(padded, dtype=self.dtype)
+        new.doc_ids = [self.doc_ids[i] for i in keep]
+        new.chunk_ids = [self.chunk_ids[i] for i in keep]
+        new.pages = self.pages[keep]
+        new.texts = [self.texts[i] for i in keep]
+        new.valid_n = len(keep)
+        new.mutation_count = self.mutation_count + 1
+        return new, removed
 
     # ---------------- persistence ----------------
 

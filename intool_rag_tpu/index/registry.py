@@ -115,7 +115,9 @@ class CorpusRegistry:
         with self._lock:
             removed = self.storage.delete_document(doc_id)
             if self.store is not None:
-                self.store.remove_doc(doc_id)
+                # copy-on-write: concurrent searches holding the old
+                # store/engine snapshot keep consistent row identities
+                self.store, _ = self.store.without_doc(doc_id)
                 self._rebuild_bm25_locked()
             self.doc_projects.pop(doc_id, None)
             self.page_indexes.pop(doc_id, None)
@@ -138,14 +140,24 @@ class CorpusRegistry:
     ) -> list[list[dict]]:
         """Corpus-wide hybrid search. Returns per-query hit dicts with
         chunk identity + text (the enrichment the reference does at
-        faiss_index.py:178-192), optionally filtered by project."""
-        if self.engine is None or self.store is None or len(self.store) == 0:
+        faiss_index.py:178-192), optionally filtered by project.
+
+        Concurrency: the (engine, store) pair is snapshotted under the
+        lock and used consistently for both the device search and the
+        host-side row → identity lookups. Mutations swap in new objects
+        (removal is copy-on-write; appends never remap existing rows),
+        so a search racing an ingest/delete sees a coherent corpus.
+        """
+        with self._lock:
+            engine, store = self.engine, self.store
+            doc_projects = dict(self.doc_projects) if project is not None else {}
+        if engine is None or store is None or len(store) == 0:
             return [[] for _ in query_texts]
         pool = candidates or max(k, get_config().RETRIEVAL_CANDIDATES)
         if project is not None:
             # over-fetch, then filter rows by project
-            pool = min(pool * 4, len(self.store))
-        vals, rows = self.engine.search(
+            pool = min(pool * 4, len(store))
+        vals, rows = engine.search(
             query_texts, query_embeddings, max(k, pool), candidates=pool
         )
         vals = np.asarray(vals)
@@ -156,8 +168,8 @@ class CorpusRegistry:
             for score, row in zip(vals[qi], rows[qi]):
                 if row < 0 or not np.isfinite(score):
                     continue
-                ref = self.store.ref(int(row))
-                if project is not None and self.doc_projects.get(ref.doc_id) != project:
+                ref = store.ref(int(row))
+                if project is not None and doc_projects.get(ref.doc_id) != project:
                     continue
                 hits.append(
                     {
@@ -165,7 +177,7 @@ class CorpusRegistry:
                         "chunk_id": ref.chunk_id,
                         "page": ref.page,
                         "score": float(score),
-                        "text": self.store.texts[int(row)],
+                        "text": store.texts[int(row)],
                     }
                 )
                 if len(hits) >= k:

@@ -19,6 +19,7 @@ OCR fallback (reference behavior: page_loader.py:98-108).
 
 from __future__ import annotations
 
+import os
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -285,6 +286,26 @@ def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> by
     return bytes(out)
 
 
+# Cap on a single FlateDecode expansion: user uploads reach this code
+# directly via /ingest, and a tiny crafted deflate bomb can expand to
+# gigabytes and OOM the service (ADVICE.md round 1). Real PDF content
+# streams are nowhere near this size.
+MAX_STREAM_DECODED_BYTES = int(
+    os.environ.get("PDF_MAX_STREAM_BYTES", 64 * 1024 * 1024)
+)
+
+
+def _bounded_inflate(data: bytes, limit: int = 0) -> bytes:
+    limit = limit or MAX_STREAM_DECODED_BYTES
+    dobj = zlib.decompressobj()
+    out = dobj.decompress(data, limit)
+    if dobj.unconsumed_tail or (not dobj.eof and dobj.decompress(b"", 1)):
+        raise PDFParseError(
+            f"FlateDecode stream exceeds {limit} decoded bytes (bomb?)"
+        )
+    return out
+
+
 def decode_stream(stream: Stream, resolver=None) -> bytes:
     if stream._decoded is not None:
         return stream._decoded
@@ -304,7 +325,7 @@ def decode_stream(stream: Stream, resolver=None) -> bytes:
             parm = resolver(parm)
         fname = str(filt)
         if fname == "FlateDecode":
-            data = zlib.decompress(data)
+            data = _bounded_inflate(data)
             if isinstance(parm, dict):
                 pred = parm.get("Predictor", 1)
                 if isinstance(pred, int) and pred >= 10:

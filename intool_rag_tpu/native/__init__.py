@@ -18,6 +18,23 @@ from ..logging import get_logger
 
 logger = get_logger(__name__)
 
+
+def _prefold(text: str) -> str:
+    """NFKC + casefold the text exactly like the Python analyzer
+    (index/analyzer.py tokenize) before handing it to C++.
+
+    The native tokenizer only folds ASCII/Latin-1 case and fullwidth
+    forms; uppercase Cyrillic/Greek, ligatures (ﬁ), and enclosed
+    numerals would otherwise produce index terms that never match
+    query-time terms. Pre-folding in Python makes the two token streams
+    identical by construction — the C++ folds are idempotent no-ops on
+    already-folded text.
+    """
+    from ..index.analyzer import fold
+
+    return fold(text)
+
+
 _SRC = Path(__file__).parent / "analyzer.cc"
 _LIB = Path(__file__).parent / "libintool_native.so"
 _lock = threading.Lock()
@@ -94,7 +111,7 @@ def build_corpus_native(texts: list[str]):
     lib = get_lib()
     if lib is None:
         return None
-    blobs = [t.encode("utf-8") for t in texts]
+    blobs = [_prefold(t).encode("utf-8") for t in texts]
     offsets = np.zeros(len(blobs) + 1, np.int64)
     offsets[1:] = np.cumsum([len(b) for b in blobs])
     data = b"".join(blobs)
@@ -138,7 +155,7 @@ def tokenize_native(text: str) -> list[str] | None:
     lib = get_lib()
     if lib is None:
         return None
-    data = text.encode("utf-8")
+    data = _prefold(text).encode("utf-8")
     cap = max(len(data) * 8 + 64, 4096)
     out = ctypes.create_string_buffer(cap)
     written = ctypes.c_int64(0)

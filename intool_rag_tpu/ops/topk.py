@@ -80,7 +80,7 @@ def _block_topk(scores: jax.Array, k: int, use_approx: bool) -> tuple[jax.Array,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "block_n", "use_approx", "valid_n")
+    jax.jit, static_argnames=("k", "metric", "block_n", "use_approx")
 )
 def flat_topk(
     queries: jax.Array,
@@ -90,13 +90,16 @@ def flat_topk(
     metric: Metric = "cosine",
     block_n: int = 16384,
     use_approx: bool = False,
-    valid_n: int | None = None,
+    valid_n: int | jax.Array | None = None,
     corpus_norms_sq: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k search of ``queries [Q, D]`` against ``corpus [N, D]``.
 
     Returns ``(scores [Q, k] f32, indices [Q, k] i32)`` sorted descending.
-    ``valid_n`` masks out padding rows at the tail of the corpus.
+    ``valid_n`` masks out padding rows at the tail of the corpus; it is a
+    *traced* value (int or scalar array), so corpora of the same padded
+    shape share one compilation across appends, and shard_map callers can
+    pass a per-shard count (parallel/sharded_search.py).
     ``use_approx`` selects ``lax.approx_max_k`` for the per-block reduction
     (TPU-native partial-reduce; CPU falls back to exact sort).
     """
@@ -170,7 +173,13 @@ def rescore_candidates(
         "qd,qkd->qk", queries.astype(jnp.float32), cand,
         precision=jax.lax.Precision.HIGHEST,
     )
-    if metric == "cosine":
+    if metric == "l2":
+        # Same monotonic l2 score space as flat_topk/exact_scores
+        # (2·ip − |e|²); a raw inner product would re-rank an l2 index
+        # by the wrong ordering (ADVICE.md round 1).
+        norms = jnp.sum(cand * cand, axis=-1)  # [Q, K]
+        scores = 2.0 * scores - norms
+    elif metric == "cosine":
         scores = jnp.clip(scores, 0.0, 1.0)
     return jnp.where(rows >= 0, scores, -jnp.inf)
 

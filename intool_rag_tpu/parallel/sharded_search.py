@@ -63,16 +63,21 @@ def sharded_flat_topk(
         start = shard_idx * shard_rows
         # valid rows within this shard
         local_valid = jnp.clip(valid_n - start, 0, shard_rows)
-        # local exact top-k (static k; mask invalid tail via scores)
+        # local exact top-k; the per-shard valid count masks the
+        # zero-padded tail BEFORE selection (padding rows score 0.0
+        # under 'ip' and would displace real negative-scoring
+        # candidates — ADVICE.md round 1)
         local_vals, local_rows = flat_topk(
             q,
             local_corpus,
             k,
             metric="ip",
             block_n=min(block_n, shard_rows),
+            valid_n=local_valid,
         )
-        # re-mask rows beyond this shard's valid range
-        invalid = local_rows >= local_valid
+        # map to global rows; -inf slots (shard had < k valid rows)
+        # carry arbitrary indices — pin them to -1
+        invalid = ~jnp.isfinite(local_vals)
         local_vals = jnp.where(invalid, -jnp.inf, local_vals)
         global_rows = jnp.where(invalid, -1, local_rows + start)
         # merge across shards: gather all candidates, global top-k

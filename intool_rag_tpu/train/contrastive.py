@@ -79,7 +79,7 @@ def make_train_step(
 ) -> Callable:
     """Returns ``train_step(state, batch) -> (state, loss)`` where batch =
     dict(q_ids, q_mask, p_ids, p_mask). Jit + shard outside (see
-    __graft_entry__.dryrun_multichip and train/loop.py)."""
+    __graft_entry__.dryrun_multichip and make_sharded_train_step below)."""
     model = TextEncoder(config)
 
     def loss_fn(params, batch):

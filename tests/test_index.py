@@ -42,13 +42,18 @@ def test_chunk_store_append_and_pad():
     assert store.ref(3).doc_id == "d2"
 
 
-def test_chunk_store_remove_doc():
+def test_chunk_store_without_doc():
     store = ChunkStore(dim=16, dtype="float32")
     store.append(_embed(["a", "b"], 16), "d1", ["c_000_000", "c_000_001"], [0, 0], ["a", "b"])
     store.append(_embed(["c"], 16), "d2", ["c_000_000"], [0], ["c"])
-    assert store.remove_doc("d1") == 2
-    assert len(store) == 1
-    assert store.ref(0).doc_id == "d2"
+    new, removed = store.without_doc("d1")
+    assert removed == 2
+    assert len(new) == 1
+    assert new.ref(0).doc_id == "d2"
+    # copy-on-write: the original store is untouched for live readers
+    assert len(store) == 3
+    assert store.ref(0).doc_id == "d1"
+    assert store.without_doc("nope") == (store, 0)
 
 
 def test_chunk_store_save_load(tmp_path):
@@ -75,6 +80,28 @@ def test_dense_flat_index_search():
     vals, rows = index.search(q, k=1)
     assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2]
     assert np.asarray(vals)[:, 0] == __import__("pytest").approx(1.0, abs=1e-3)
+
+
+def test_dense_flat_index_l2_bf16_rescore_ordering():
+    """bf16 store triggers exact-f32 rescoring; for metric='l2' the
+    rescore must use the same 2·ip − |e|² score space, not a raw inner
+    product (ADVICE.md round 1 — inner product re-ranked l2 results)."""
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((200, 64)).astype(np.float32)
+    # wildly varying norms so ip-ordering != l2-ordering
+    emb *= rng.uniform(0.1, 10.0, (200, 1)).astype(np.float32)
+    texts = [f"doc {i}" for i in range(200)]
+    store = ChunkStore(dim=64, dtype="bfloat16")
+    store.append(emb, "d1", [f"c_000_{i:03d}" for i in range(200)],
+                 [0] * 200, texts)
+    index = DenseFlatIndex(store, metric="l2")
+    queries = emb[:5] + rng.normal(0, 0.01, (5, 64)).astype(np.float32)
+    _, rows = index.search(jnp.asarray(queries), k=10)
+    got_top1 = np.asarray(rows)[:, 0]
+    # NumPy l2 oracle
+    d2 = ((queries[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+    want_top1 = d2.argmin(1)
+    assert (got_top1 == want_top1).all(), (got_top1, want_top1)
 
 
 def test_hybrid_engine_weighted(tmp_storage):

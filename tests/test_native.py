@@ -25,6 +25,14 @@ CASES = [
     "",
     "!!!",
     "a" * 300,
+    # Folding beyond ASCII/Latin-1: uppercase Cyrillic/Greek, ligatures,
+    # enclosed numerals — these diverged before text was pre-folded in
+    # Python (ADVICE.md round 1, native/__init__.py _prefold).
+    "МОСКВА Москва москва",
+    "ΑΘΗΝΑ Αθήνα αθήνα ΣΟΦΙΑ",
+    "ﬁle ﬂow ﬃ ligatures oﬃce",
+    "numbers ① ② ⑩ circled and Ⅷ roman",
+    "İstanbul STRASSE ß",
 ]
 
 

@@ -44,6 +44,28 @@ def test_sharded_flat_topk_matches_single_device(rng):
     assert np.all(np.diff(v, axis=1) <= 1e-6)
 
 
+def test_sharded_topk_negative_scores_not_displaced_by_padding(rng):
+    """The last shard is mostly zero padding; all real scores are
+    NEGATIVE under 'ip'. Padding rows score exactly 0.0 and used to
+    displace real candidates from the local top-k (ADVICE.md round 1) —
+    the per-shard valid_n must mask them before selection."""
+    n, d, q, k = 257, 32, 3, 8  # 257 rows over 8 shards → last shard ~1/33 valid
+    corpus = -np.abs(rng.standard_normal((n, d))).astype(np.float32)
+    queries = np.abs(rng.standard_normal((q, d))).astype(np.float32)  # all ip < 0
+    mesh = corpus_mesh()
+    sharded = shard_corpus(jnp.asarray(corpus), mesh)
+    vals, rows = sharded_flat_topk(
+        jnp.asarray(queries), sharded, k, mesh, valid_n=n, block_n=128
+    )
+    got = np.asarray(rows)
+    v = np.asarray(vals)
+    assert got.max() < n and got.min() >= 0, got
+    assert np.all(v < 0)  # every returned score is a real (negative) score
+    oracle = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for a, b in zip(got.tolist(), oracle.tolist()):
+        assert set(a) == set(b)
+
+
 def test_sharded_train_step_runs_and_reduces_loss():
     cfg = EncoderConfig.tiny()
     mesh = train_mesh()  # (4, 2) on 8 CPU devices

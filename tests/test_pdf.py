@@ -133,6 +133,26 @@ def test_corrupted_pdfs_fail_cleanly():
             pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
 
 
+def test_flate_bomb_rejected(monkeypatch):
+    """A small deflate bomb must raise PDFParseError instead of
+    expanding to gigabytes and OOMing the service (ADVICE.md round 1)."""
+    import zlib
+
+    from intool_rag_tpu.ingest import pdf as pdf_mod
+
+    monkeypatch.setattr(pdf_mod, "MAX_STREAM_DECODED_BYTES", 1 << 20)
+    bomb = zlib.compress(b"\x00" * (16 << 20))  # 16 MiB of zeros, ~16 KiB packed
+    assert len(bomb) < 64 * 1024
+    stream = pdf_mod.Stream(dict={"Filter": "FlateDecode"}, raw=bomb)
+    with pytest.raises(PDFParseError, match="bomb|exceeds"):
+        pdf_mod.decode_stream(stream)
+    # a legitimate stream under the cap still decodes
+    ok = pdf_mod.Stream(
+        dict={"Filter": "FlateDecode"}, raw=zlib.compress(b"hello pdf")
+    )
+    assert pdf_mod.decode_stream(ok) == b"hello pdf"
+
+
 @pytest.mark.skipif(not INVOICES.exists(), reason="reference samples not mounted")
 @pytest.mark.parametrize("name", ["invoice_Aaron Hawkins_4820.pdf", "invoice_Adam Hart_36279.pdf"])
 def test_real_invoice_extraction(name):
