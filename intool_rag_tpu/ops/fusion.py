@@ -4,7 +4,12 @@ Implements the capability the reference declares but never built
 (rag/config.py:43-45: BM25_WEIGHT 0.3 / VECTOR_WEIGHT 0.7, hybrid
 enabled; README.md:54-58). Both fusion modes operate on candidate sets
 (top-K per retriever) with static shapes so they jit cleanly.
-"""
+
+The id join is sort-based: candidates sort by id, equal ids become
+adjacent, and each candidate's contributions combine across its (at most
+two — one per retriever) occurrences by looking one slot left/right.
+O(K log K) per query vs the O(K²) equality-matrix join, which capped the
+practical rerank pool size (round-1 verdict)."""
 
 from __future__ import annotations
 
@@ -12,6 +17,44 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _sorted_join(ids: jax.Array, parts: list[jax.Array]):
+    """Sort candidates by id (invalid ids < 0 → sentinel, sorts last).
+
+    Returns (sorted_ids, sorted_parts, same_prev, same_next) where
+    same_prev/next flag adjacent equal ids. Each id appears at most once
+    per retriever list (top-k indices are unique), so a candidate has at
+    most 2 occurrences and neighbor-combining is an exact join.
+    """
+    clean = jnp.where(ids < 0, _SENTINEL, ids)
+    order = jnp.argsort(clean, axis=1)
+    sid = jnp.take_along_axis(clean, order, axis=1)
+    sparts = [jnp.take_along_axis(p, order, axis=1) for p in parts]
+    zeros = jnp.zeros_like(sid[:, :1], bool)
+    same_prev = jnp.concatenate([zeros, sid[:, 1:] == sid[:, :-1]], axis=1)
+    same_next = jnp.concatenate([sid[:, :-1] == sid[:, 1:], zeros], axis=1)
+    return sid, sparts, same_prev, same_next
+
+
+def _combine_neighbors(x: jax.Array, same_prev: jax.Array, same_next: jax.Array):
+    """x[i] + x[i-1]·same_prev + x[i+1]·same_next (exact pairwise join)."""
+    left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    return x + jnp.where(same_prev, left, 0.0) + jnp.where(same_next, right, 0.0)
+
+
+def _select_topk(sid, fused, same_prev, k):
+    """Mask duplicates/sentinels, take top-k, map sentinel ids to -1."""
+    valid = (sid != _SENTINEL) & ~same_prev
+    fused = jnp.where(valid, fused, -jnp.inf)
+    k = min(k, sid.shape[1])
+    vals, pos = jax.lax.top_k(fused, k)
+    out_ids = jnp.take_along_axis(sid, pos, axis=1)
+    out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
+    return vals, out_ids
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -39,16 +82,12 @@ def weighted_fusion(
     s_part = jnp.concatenate(
         [jnp.zeros_like(dense_scores), sparse_scores], axis=1
     )
-    # Cross-fill: where the same id appears in both lists, each occurrence
-    # must carry both contributions; then dedup keeps the best occurrence.
-    eq = ids[:, :, None] == ids[:, None, :]  # [Q, K, K]
-    d_full = jnp.max(jnp.where(eq, d_part[:, None, :], 0.0), axis=2)
-    s_full = jnp.max(jnp.where(eq, s_part[:, None, :], 0.0), axis=2)
+    sid, (d_s, s_s), same_prev, same_next = _sorted_join(ids, [d_part, s_part])
+    # each part is zero in the other list's slot, so neighbor-sum == join
+    d_full = _combine_neighbors(d_s, same_prev, same_next)
+    s_full = _combine_neighbors(s_s, same_prev, same_next)
     fused = w_dense * d_full + w_sparse * s_full
-    fused = _dedup_mask(ids, fused)
-    k = min(k, ids.shape[1])
-    vals, pos = jax.lax.top_k(fused, k)
-    return vals, jnp.take_along_axis(ids, pos, axis=1)
+    return _select_topk(sid, fused, same_prev, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
@@ -72,22 +111,9 @@ def rrf_fusion(
     contrib = jnp.concatenate(
         [jnp.tile(rank_d, (q, 1)), jnp.tile(rank_s, (q, 1))], axis=1
     )
-    eq = ids[:, :, None] == ids[:, None, :]
-    fused = jnp.sum(jnp.where(eq, contrib[:, None, :], 0.0), axis=2)
-    fused = _dedup_mask(ids, fused)
-    k = min(k, ids.shape[1])
-    vals, pos = jax.lax.top_k(fused, k)
-    return vals, jnp.take_along_axis(ids, pos, axis=1)
-
-
-def _dedup_mask(ids: jax.Array, scores: jax.Array) -> jax.Array:
-    """Keep only the first occurrence of each id (later duplicates → -inf);
-    invalid ids (< 0) also masked."""
-    eq = ids[:, :, None] == ids[:, None, :]  # [Q, K, K]
-    pos = jnp.arange(ids.shape[1])
-    earlier = eq & (pos[None, None, :] < pos[None, :, None])
-    is_dup = jnp.any(earlier, axis=2)
-    return jnp.where(is_dup | (ids < 0), -jnp.inf, scores)
+    sid, (c_s,), same_prev, same_next = _sorted_join(ids, [contrib])
+    fused = _combine_neighbors(c_s, same_prev, same_next)
+    return _select_topk(sid, fused, same_prev, k)
 
 
 def normalize_minmax(scores: jax.Array, axis: int = -1) -> jax.Array:

@@ -36,20 +36,28 @@ def sharded_flat_topk(
     k: int,
     mesh: Mesh,
     *,
-    valid_n: int | None = None,
+    valid_n=None,  # int (prefix layout) | [S] array (per-shard counts) | None
     block_n: int = 16384,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
-    Returns (scores [Q, k], global row indices [Q, k]). ``valid_n`` is the
-    logical (unpadded) corpus length.
+    Returns (scores [Q, k], global row indices [Q, k]). ``valid_n`` is
+    either the logical corpus length (valid rows are a prefix of the
+    concatenated array) or a per-shard count vector ``[n_shards] i32``
+    (incremental-append layout, parallel/sharded_corpus.py — each shard
+    fills independently).
     """
     n = corpus.shape[0]
     n_shards = mesh.shape["data"]
     shard_rows = n // n_shards
     if valid_n is None:
         valid_n = n
-    k = min(k, valid_n)
+    per_shard = not isinstance(valid_n, int)
+    if per_shard:
+        counts = jnp.asarray(valid_n, jnp.int32)
+        k = min(k, shard_rows)
+    else:
+        k = min(k, valid_n)
 
     @functools.partial(
         shard_map,
@@ -62,7 +70,10 @@ def sharded_flat_topk(
         shard_idx = jax.lax.axis_index("data")
         start = shard_idx * shard_rows
         # valid rows within this shard
-        local_valid = jnp.clip(valid_n - start, 0, shard_rows)
+        if per_shard:
+            local_valid = counts[shard_idx]
+        else:
+            local_valid = jnp.clip(valid_n - start, 0, shard_rows)
         # local exact top-k; the per-shard valid count masks the
         # zero-padded tail BEFORE selection (padding rows score 0.0
         # under 'ip' and would displace real negative-scoring
@@ -76,10 +87,18 @@ def sharded_flat_topk(
             valid_n=local_valid,
         )
         # map to global rows; -inf slots (shard had < k valid rows)
-        # carry arbitrary indices — pin them to -1
+        # carry arbitrary indices — pin them to -1.
+        # Layouts: prefix mode → row = shard·shard_rows + slot (matches
+        # the flat concatenated corpus); per-shard mode → interleaved
+        # row = slot·n_shards + shard, which is capacity-independent so
+        # ids survive ShardedCorpus regrowth.
         invalid = ~jnp.isfinite(local_vals)
         local_vals = jnp.where(invalid, -jnp.inf, local_vals)
-        global_rows = jnp.where(invalid, -1, local_rows + start)
+        if per_shard:
+            gids = local_rows * n_shards + shard_idx
+        else:
+            gids = local_rows + start
+        global_rows = jnp.where(invalid, -1, gids)
         # merge across shards: gather all candidates, global top-k
         all_vals = jax.lax.all_gather(local_vals, "data", axis=1, tiled=True)
         all_rows = jax.lax.all_gather(global_rows, "data", axis=1, tiled=True)

@@ -50,6 +50,46 @@ def test_rrf_handles_invalid_padding():
     assert np.asarray(vals)[0, 1] == -np.inf  # padding never ranks
 
 
+def test_fusion_large_pool_oracle():
+    """The sort-based join must stay exact at rerank-pool scale
+    (Kd=Ks=500 — the O(K²) eq-matrix this replaced was capped ~200)."""
+    rng = np.random.default_rng(3)
+    q, kd, ks = 4, 500, 500
+    n_docs = 1500
+    d_idx = np.stack([rng.choice(n_docs, kd, replace=False) for _ in range(q)])
+    s_idx = np.stack([rng.choice(n_docs, ks, replace=False) for _ in range(q)])
+    d_sc = np.sort(rng.random((q, kd)).astype(np.float32))[:, ::-1].copy()
+    s_sc = np.sort(rng.random((q, ks)).astype(np.float32))[:, ::-1].copy()
+    vals, ids = weighted_fusion(
+        jnp.asarray(d_idx), jnp.asarray(d_sc), jnp.asarray(s_idx),
+        jnp.asarray(s_sc), k=20, w_dense=0.7, w_sparse=0.3,
+    )
+    for qi in range(q):
+        oracle: dict[int, float] = {}
+        for i, sc in zip(d_idx[qi], d_sc[qi]):
+            oracle[int(i)] = oracle.get(int(i), 0.0) + 0.7 * float(sc)
+        for i, sc in zip(s_idx[qi], s_sc[qi]):
+            oracle[int(i)] = oracle.get(int(i), 0.0) + 0.3 * float(sc)
+        want = sorted(oracle.items(), key=lambda kv: -kv[1])[:20]
+        got_ids = np.asarray(ids)[qi].tolist()
+        got_vals = np.asarray(vals)[qi]
+        np.testing.assert_allclose(
+            got_vals, [s for _, s in want], rtol=1e-5
+        )
+        assert set(got_ids) == {i for i, _ in want}
+
+    # rrf at the same scale
+    rvals, rids = rrf_fusion(jnp.asarray(d_idx), jnp.asarray(s_idx), k=20)
+    for qi in range(q):
+        oracle = {}
+        for r, i in enumerate(d_idx[qi]):
+            oracle[int(i)] = oracle.get(int(i), 0.0) + 1.0 / (61 + r)
+        for r, i in enumerate(s_idx[qi]):
+            oracle[int(i)] = oracle.get(int(i), 0.0) + 1.0 / (61 + r)
+        want_scores = sorted(oracle.values(), reverse=True)[:20]
+        np.testing.assert_allclose(np.asarray(rvals)[qi], want_scores, rtol=1e-6)
+
+
 def test_normalize_minmax():
     x = jnp.array([[1.0, 3.0, 2.0]])
     out = np.asarray(normalize_minmax(x))

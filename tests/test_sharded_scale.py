@@ -53,6 +53,43 @@ def test_sharded_checkpoint_roundtrip(rng, tmp_path):
     assert len(restored.addressable_shards) == 8
 
 
+def test_incremental_sharded_corpus(rng):
+    """Incremental appends (SURVEY §5.8(c)): rows land in-shard via
+    dynamic scatter — O(batch) movement, stable global ids — and are
+    immediately searchable; growth preserves ids and contents."""
+    from intool_rag_tpu.parallel.sharded_corpus import ShardedCorpus
+
+    mesh = corpus_mesh()
+    d = 32
+    corpus = ShardedCorpus(d, mesh, capacity_per_shard=32)
+    all_rows: list[np.ndarray] = []
+    all_vecs: list[np.ndarray] = []
+    for batch_size in (100, 50, 7):
+        batch = rng.standard_normal((batch_size, d)).astype(np.float32)
+        batch /= np.linalg.norm(batch, axis=1, keepdims=True)
+        rows = corpus.append(batch)
+        assert len(np.unique(rows)) == batch_size  # no slot collisions
+        all_rows.append(rows)
+        all_vecs.append(batch)
+    assert corpus.valid_n == 157
+    # every appended vector retrieves itself at rank 1 under its global id
+    queries = np.concatenate(all_vecs)[::9]
+    want = np.concatenate(all_rows)[::9]
+    vals, got = corpus.search(jnp.asarray(queries), k=1)
+    assert np.asarray(got)[:, 0].tolist() == want.tolist()
+    # force growth (capacity 8*32=256) and re-check old + new rows
+    big = rng.standard_normal((300, d)).astype(np.float32)
+    big /= np.linalg.norm(big, axis=1, keepdims=True)
+    rows_big = corpus.append(big)
+    assert corpus.valid_n == 457
+    vals, got = corpus.search(jnp.asarray(queries), k=1)
+    assert np.asarray(got)[:, 0].tolist() == want.tolist()  # ids stable
+    vals, got = corpus.search(jnp.asarray(big[:5]), k=1)
+    assert np.asarray(got)[:, 0].tolist() == rows_big[:5].tolist()
+    # shards stay balanced (greedy placement)
+    assert corpus.counts.max() - corpus.counts.min() <= 1
+
+
 def test_streaming_ingest_and_sharded_query(rng):
     """Append a new batch to a sharded corpus (reshard), query across the
     union, with CJK BM25 on the sparse side."""
