@@ -26,14 +26,18 @@ import numpy as np
 N_CHUNKS = 1_000_000
 DIM = 1024
 N_QUERIES = 256
-G = 4  # pipelined batches per launch
+G = 16  # pipelined batches per launch (the axon tunnel costs ~25 ms per
+#         launch; G=16 amortizes it to ~1.6 ms/batch — benchmarks/bench_stages.py)
 TOP_K = 10
 CANDIDATES = 100
 VOCAB = 100_000
 TERMS_PER_CHUNK = 64
 QUERY_TERMS = 8
-P_MAX = 4096
-CPU_SAMPLE_Q = 32
+# Impact-pruning cap: p_max 1024 keeps BM25 recall@10 ≥ 0.99 vs the
+# unpruned scorer while cutting the postings sort width 4× (sweep in
+# benchmarks/bench_stages.py: 4096→0.998/31ms, 1024→0.991/19ms).
+P_MAX = 1024
+CPU_SAMPLE_Q = 64
 
 
 def effective_sizes(backend: str) -> tuple[int, int, int]:
@@ -80,8 +84,9 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     import jax.numpy as jnp
 
     from intool_rag_tpu.ops.bm25 import bm25_topk_sorted
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas
     from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
-    from intool_rag_tpu.ops.topk import flat_topk
+    from intool_rag_tpu.ops.topk import flat_topk, rescore_candidates
 
     starts, lens, post_docs, post_w, idf, qterms, qtf = sparse
     dev = [jnp.asarray(x) for x in (starts, lens, post_docs, post_w, idf)]
@@ -89,20 +94,31 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     vocab = len(starts)
     on_tpu = jax.default_backend() == "tpu"
 
+    # pad N to the Pallas kernel's 2048-row block (valid_n masks the tail)
+    n_pad = -(-n // 2048) * 2048 if on_tpu else n
+
     @jax.jit
     def gen_corpus():
-        c = jax.random.normal(jax.random.PRNGKey(7), (n, DIM), jnp.float32)
-        return (c / jnp.linalg.norm(c, axis=1, keepdims=True)).astype(jnp.bfloat16)
+        c = jax.random.normal(jax.random.PRNGKey(7), (n_pad, DIM), jnp.float32)
+        c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+        return c.astype(jnp.bfloat16)
 
     corpus = gen_corpus()
 
-    from intool_rag_tpu.ops.topk import rescore_candidates
+    def dense_topk(q_dense, corpus):
+        if on_tpu:
+            # fused Pallas kernel + approx tail: fastest path (7.2 ms vs
+            # 9.0 ms device time per 256-q batch; bench_stages.py)
+            return flat_topk_pallas(
+                q_dense, corpus, CANDIDATES, group_l=16, valid_n=n
+            )
+        return flat_topk(
+            q_dense, corpus, CANDIDATES, metric="cosine",
+            block_n=min(500_000, n), valid_n=n,
+        )
 
     def hybrid(q_dense, qt, corpus):
-        d_vals, d_rows = flat_topk(
-            q_dense, corpus, CANDIDATES, metric="cosine",
-            block_n=min(500_000, n), use_approx=on_tpu,
-        )
+        d_vals, d_rows = dense_topk(q_dense, corpus)
         # exact f32 rescoring of the candidate pool removes bf16 ranking
         # noise near the fusion cut (recall@10 0.94 → ≥0.95 at 1M)
         d_vals = rescore_candidates(q_dense, corpus, d_rows, metric="cosine")
@@ -153,7 +169,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     def hybrid_exact(q_dense, qt, corpus):
         d_vals, d_rows = flat_topk(
             q_dense, corpus, CANDIDATES, metric="cosine",
-            block_n=min(100_000, n), use_approx=False,
+            block_n=min(100_000, n), use_approx=False, valid_n=n,
         )
         d_vals = rescore_candidates(q_dense, corpus, d_rows, metric="cosine")
         s_vals, s_rows = bm25_topk_sorted(
@@ -201,24 +217,30 @@ def cpu_baseline_qps(sparse, n) -> float:
         shape=(q, vocab),
     )
 
-    t0 = time.perf_counter()
-    d_scores = queries @ corpus.T
-    d_cand = np.argpartition(-d_scores, CANDIDATES, axis=1)[:, :CANDIDATES]
-    d_vals = np.clip(np.take_along_axis(d_scores, d_cand, axis=1), 0, 1)
-    s_scores = (qmat @ mat).toarray()
-    s_cand = np.argpartition(-s_scores, CANDIDATES, axis=1)[:, :CANDIDATES]
-    s_vals = np.take_along_axis(s_scores, s_cand, axis=1)
-    for i in range(q):
-        fused: dict[int, float] = {}
-        lo, hi = s_vals[i].min(), s_vals[i].max()
-        rng_ = max(hi - lo, 1e-9)
-        for c, v in zip(d_cand[i], d_vals[i]):
-            fused[c] = fused.get(c, 0.0) + 0.7 * v
-        for c, v in zip(s_cand[i], (s_vals[i] - lo) / rng_):
-            fused[c] = fused.get(c, 0.0) + 0.3 * v
-        sorted(fused.items(), key=lambda kv: -kv[1])[:TOP_K]
-    dt = time.perf_counter() - t0
-    return q / dt
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        d_scores = queries @ corpus.T
+        d_cand = np.argpartition(-d_scores, CANDIDATES, axis=1)[:, :CANDIDATES]
+        d_vals = np.clip(np.take_along_axis(d_scores, d_cand, axis=1), 0, 1)
+        s_scores = (qmat @ mat).toarray()
+        s_cand = np.argpartition(-s_scores, CANDIDATES, axis=1)[:, :CANDIDATES]
+        s_vals = np.take_along_axis(s_scores, s_cand, axis=1)
+        for i in range(q):
+            fused: dict[int, float] = {}
+            lo, hi = s_vals[i].min(), s_vals[i].max()
+            rng_ = max(hi - lo, 1e-9)
+            for c, v in zip(d_cand[i], d_vals[i]):
+                fused[c] = fused.get(c, 0.0) + 0.7 * v
+            for c, v in zip(s_cand[i], (s_vals[i] - lo) / rng_):
+                fused[c] = fused.get(c, 0.0) + 0.3 * v
+            sorted(fused.items(), key=lambda kv: -kv[1])[:TOP_K]
+        return q / (time.perf_counter() - t0)
+
+    one_pass()  # warm BLAS/page-cache
+    runs = [one_pass() for _ in range(3)]
+    # mean ± sd over 3 passes (round-1 artifact had a 3.3× run-to-run
+    # swing from a single 32-query pass)
+    return float(np.mean(runs)), float(np.std(runs))
 
 
 def main() -> None:
@@ -230,7 +252,7 @@ def main() -> None:
     sparse = make_sparse(rng, n, vocab, p_max)
 
     rows, tpu_qps, oracle = tpu_hybrid(sparse, n, p_max)
-    cpu_qps = cpu_baseline_qps(sparse, n)
+    cpu_qps, cpu_sd = cpu_baseline_qps(sparse, n)
 
     hits = sum(
         len(set(a.tolist()) & set(b.tolist())) for a, b in zip(rows, oracle)
@@ -245,7 +267,9 @@ def main() -> None:
                 "unit": "queries/s",
                 "vs_baseline": round(tpu_qps / cpu_qps, 2),
                 "baseline_qps": round(cpu_qps, 2),
+                "baseline_qps_sd": round(cpu_sd, 2),
                 "recall@10_vs_exact_hybrid": round(recall, 4),
+                "p_max": P_MAX,
                 "backend": backend,
             }
         )

@@ -288,11 +288,14 @@ class Config:
     SHARDED_SEARCH_MIN_ROWS: int = dataclasses.field(
         default_factory=lambda: _env_int("SHARDED_SEARCH_MIN_ROWS", 100_000)
     )
-    # The XLA approx_max_k path measured faster than the fused Pallas
-    # kernel on v5e (15.4k vs 8.8k QPS at 1M×1024, both recall 1.0 @ k=10);
-    # opt into the Pallas kernel explicitly.
+    # The fused Pallas kernel (vectorized grouped reduce + approx tail)
+    # is the fastest TPU dense path: 7.2 ms vs 9.0 ms device time per
+    # 256-query batch at 1M×1024 for XLA approx_max_k, at recall@10
+    # 0.998 vs ~0.94 (and exact f32 scores, so no rescore pass). Round 1
+    # had this off because the then-unvectorized kernel lost; see
+    # ops/flat_pallas.py.
     USE_PALLAS: bool = dataclasses.field(
-        default_factory=lambda: _env_bool("USE_PALLAS", False)
+        default_factory=lambda: _env_bool("USE_PALLAS", True)
     )
     IVF_NLIST: int = dataclasses.field(
         default_factory=lambda: _env_int("IVF_NLIST", 1024)

@@ -93,6 +93,19 @@ class ChunkStore:
             raise ValueError(f"embedding dim {d} != store dim {self.dim}")
         if not (m == len(chunk_ids) == len(pages) == len(texts)):
             raise ValueError("length mismatch between embeddings and identities")
+        # Cosine scoring downstream clamps scores into [0, 1] (reference
+        # score space, faiss_index.py:87), which silently mis-ranks
+        # non-normalized vectors — surface that at ingest time instead.
+        norms = np.linalg.norm(np.asarray(embeddings, np.float32), axis=1)
+        if norms.size and (norms.max() > 1.25 or norms.min() < 0.8):
+            from ..logging import get_logger
+
+            get_logger(__name__).warning(
+                "appending non-normalized embeddings (|e| in [%.2f, %.2f]); "
+                "cosine score clamping assumes unit norms — normalize in the "
+                "provider or use metric='ip'/'l2'",
+                float(norms.min()), float(norms.max()),
+            )
         new_n = self.valid_n + m
         host = np.asarray(self._embeddings[: self.valid_n], np.float32)
         padded = np.zeros((_round_up(new_n, _ROW_BLOCK), self.dim_pad), np.float32)

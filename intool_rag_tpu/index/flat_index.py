@@ -124,6 +124,7 @@ class DenseFlatIndex:
         use_pallas = cfg.USE_PALLAS and _on_tpu() and self.metric in ("cosine", "ip")
         if exact is True:
             use_pallas = False
+        use_approx = False
         if use_pallas:
             # ≤16 keeps the corpus input block within VMEM (see kernel doc)
             group_l = min(16, choose_group_width(store.valid_n, k))
@@ -137,25 +138,19 @@ class DenseFlatIndex:
                 group_l=group_l,
                 valid_n=store.valid_n,
             )
-            if self.metric == "cosine":
-                vals = jnp.where(
-                    jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals
-                )
-            return vals, rows
-        use_approx = (
-            _on_tpu() and self.metric in ("cosine", "ip") and exact is not True
-        )
-        vals, rows = flat_topk(
-            query_embeddings,
-            store.embeddings,
-            k,
-            metric=self.metric,  # type: ignore[arg-type]
-            block_n=min(cfg.SEARCH_BLOCK_N, store.n_pad),
-            valid_n=store.valid_n,
-            # TPU-native partial-reduce selection (recall ≈ 1.0 at serving
-            # k; measured fastest path — see ARCHITECTURE.md §2)
-            use_approx=use_approx,
-        )
+        else:
+            use_approx = (
+                _on_tpu() and self.metric in ("cosine", "ip") and exact is not True
+            )
+            vals, rows = flat_topk(
+                query_embeddings,
+                store.embeddings,
+                k,
+                metric=self.metric,  # type: ignore[arg-type]
+                block_n=min(cfg.SEARCH_BLOCK_N, store.n_pad),
+                valid_n=store.valid_n,
+                use_approx=use_approx,
+            )
         if use_approx or store.embeddings.dtype != jnp.float32:
             # exact f32 rescoring of the candidate pool: removes bf16 /
             # approx selection noise from final scores at ~k rows/query
@@ -168,4 +163,8 @@ class DenseFlatIndex:
             order = jnp.argsort(-rescored, axis=1)
             vals = jnp.take_along_axis(rescored, order, axis=1)
             rows = jnp.take_along_axis(rows, order, axis=1)
+        if self.metric == "cosine":
+            # reference score space (faiss_index.py:87); rescore already
+            # clamps — this covers the f32-store Pallas path
+            vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
         return vals, rows

@@ -11,8 +11,11 @@ builds exact ``IndexFlatL2`` — faiss_index.py:123). Layout is TPU-first:
   a shared *overflow tail* that every query also scans — recall never
   silently degrades, the cost is one extra slice;
 - search: queries → centroid scores (one matmul) → top-nprobe lists →
-  per-query gather+score via scan over probes, processed in query chunks
-  to bound the gathered working set.
+  one batched gather of ``[Qc, nprobe·cap]`` candidate rows → one
+  batched matmul → one top-k, processed in query chunks to bound the
+  gathered working set. (Round 1 scanned probes per query with batch-1
+  matvecs — MXU-hostile and slow to compile; this is three ops.)
+  The shared overflow tail is scored once per chunk with a static slice.
 
 When to use: single/low-batch query latency at large N. For full-batch
 throughput the flat index's one-pass corpus read amortizes better (see
@@ -69,8 +72,10 @@ class IVFFlatIndex:
         centroids, assign = kmeans(
             embeddings, nlist, iters=iters, seed=seed
         )
+        # only the assignment vector (4 bytes/row) comes to host; the
+        # corpus itself is permuted by a device-side gather below (a full
+        # host fetch is minutes at 1M×1024 through the remote tunnel)
         assign_np = np.asarray(assign)
-        emb_np = np.asarray(embeddings, np.float32)
 
         counts = np.bincount(assign_np, minlength=nlist)
         cap = int(np.quantile(counts, cap_quantile)) + 1
@@ -96,13 +101,20 @@ class IVFFlatIndex:
         perm = np.concatenate(main_rows + [overflow]).astype(np.int64)
         m = len(perm)
         m_pad = max(8, -(-(m + cap) // 8) * 8)  # slack so slices never OOB
-        permuted = np.zeros((m_pad, d), np.float32)
-        permuted[:m] = emb_np[perm]
+        out_dtype = dtype or embeddings.dtype
+        perm_dev = jnp.asarray(perm.astype(np.int32))
+
+        @jax.jit
+        def place(emb):
+            gathered = emb[perm_dev].astype(out_dtype)
+            return jnp.zeros((m_pad, d), out_dtype).at[:m].set(gathered)
+
+        permuted = place(embeddings)
         row_map = np.full(m_pad, -1, np.int32)
         row_map[:m] = perm
         return cls(
             centroids=centroids,
-            permuted=jnp.asarray(permuted, dtype=dtype or embeddings.dtype),
+            permuted=permuted,
             row_map=jnp.asarray(row_map),
             list_start=jnp.asarray(list_start),
             list_len=jnp.asarray(list_len),
@@ -159,6 +171,8 @@ def _ivf_search(
     overflow_len,
     query_chunk,
 ):
+    from ..ops.topk import blocked_topk
+
     q, d = queries.shape
     qf = queries.astype(permuted.dtype)
 
@@ -171,50 +185,54 @@ def _ivf_search(
     )
     _, probes = jax.lax.top_k(c_scores, nprobe)  # [Q, nprobe]
 
-    # overflow tail: shared slices appended to every query's probe set
-    n_over_slices = -(-overflow_len // cap) if overflow_len else 0
-
-    def search_one(query, probe_row):
-        def probe_step(carry, inputs):
-            best_vals, best_rows = carry
-            start, length = inputs
-            block = jax.lax.dynamic_slice(permuted, (start, 0), (cap, d))
-            ids = jax.lax.dynamic_slice(row_map, (start,), (cap,))
-            scores = block.astype(jnp.float32) @ query.astype(jnp.float32)
-            pos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-            scores = jnp.where((pos < length) & (ids >= 0), scores, -jnp.inf)
-            merged_vals = jnp.concatenate([best_vals, scores])
-            merged_rows = jnp.concatenate([best_rows, ids])
-            top_vals, top_pos = jax.lax.top_k(merged_vals, k)
-            return (top_vals, jnp.take(merged_rows, top_pos)), None
-
-        starts = jnp.concatenate(
-            [
-                list_start[probe_row],
-                overflow_start
-                + cap * jnp.arange(n_over_slices, dtype=jnp.int32),
-            ]
-        ) if n_over_slices else list_start[probe_row]
-        lens = jnp.concatenate(
-            [
-                list_len[probe_row],
-                jnp.minimum(
-                    overflow_len - cap * jnp.arange(n_over_slices, dtype=jnp.int32),
-                    cap,
-                ),
-            ]
-        ) if n_over_slices else list_len[probe_row]
-        init = (
-            jnp.full((k,), -jnp.inf, jnp.float32),
-            jnp.full((k,), -1, jnp.int32),
-        )
-        (vals, rows), _ = jax.lax.scan(probe_step, init, (starts, lens))
-        return vals, rows
+    # shared overflow tail (static slice bounds — same rows for everyone)
+    over_pad = -(-max(overflow_len, 1) // 8) * 8 if overflow_len else 0
 
     def chunk_body(carry, start):
         chunk_q = jax.lax.dynamic_slice(qf, (start, 0), (query_chunk, d))
-        chunk_p = jax.lax.dynamic_slice(probes, (start, 0), (query_chunk, nprobe))
-        vals, rows = jax.vmap(search_one)(chunk_q, chunk_p)
+        chunk_p = jax.lax.dynamic_slice(
+            probes, (start, 0), (query_chunk, nprobe)
+        )  # [Qc, P]
+        # 2. one batched gather of every probed list's rows
+        p_start = list_start[chunk_p]  # [Qc, P]
+        p_len = list_len[chunk_p]  # [Qc, P]
+        offs = p_start[:, :, None] + jnp.arange(cap, dtype=jnp.int32)  # [Qc,P,cap]
+        offs = offs.reshape(query_chunk, nprobe * cap)
+        cand = permuted[offs]  # [Qc, P·cap, d]
+        ids = row_map[offs]  # [Qc, P·cap]
+        in_len = (
+            jnp.arange(cap, dtype=jnp.int32)[None, None, :] < p_len[:, :, None]
+        ).reshape(query_chunk, nprobe * cap)
+        # 3. one batched matmul + mask
+        scores = jnp.einsum(
+            "qnd,qd->qn", cand.astype(jnp.float32), chunk_q.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST
+            if permuted.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT,
+        )
+        scores = jnp.where(in_len & (ids >= 0), scores, -jnp.inf)
+        if over_pad:
+            oblock = jax.lax.dynamic_slice(
+                permuted, (overflow_start, 0), (over_pad, d)
+            )
+            oids = jax.lax.dynamic_slice(row_map, (overflow_start,), (over_pad,))
+            oscores = jax.lax.dot_general(
+                chunk_q.astype(jnp.float32), oblock.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            opos = jnp.arange(over_pad, dtype=jnp.int32)
+            oscores = jnp.where(
+                (opos < overflow_len) & (oids >= 0), oscores, -jnp.inf
+            )
+            scores = jnp.concatenate([scores, oscores], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(oids, (query_chunk, over_pad))], axis=1
+            )
+        # 4. one top-k over the candidate pool
+        vals, pos = blocked_topk(scores, k, block=1024)
+        rows = jnp.take_along_axis(ids, pos, axis=1)
+        rows = jnp.where(jnp.isfinite(vals), rows, -1)
         return carry, (vals, rows)
 
     q_pad = -(-q // query_chunk) * query_chunk

@@ -41,6 +41,11 @@ class EncoderConfig:
     pad_token_id: int = 1
     layer_norm_eps: float = 1e-5
     dtype: str = "bfloat16"  # compute dtype; params stay f32
+    # Sequences at least this long use the Pallas flash-attention kernel
+    # on TPU (blockwise softmax — no [S, S] score materialization, the
+    # requirement for BGE-M3's 8192-token inputs, SURVEY §5.7). Shorter
+    # sequences and other backends use XLA's fused attention. 0 disables.
+    flash_min_len: int = 1024
 
     @classmethod
     def bge_m3(cls) -> "EncoderConfig":
@@ -76,13 +81,41 @@ class SelfAttention(nn.Module):
         v = dense("value")(hidden)
         b, s, _ = q.shape
         shape = (b, s, cfg.num_heads, head_dim)
-        # mask: [B, S] -> bias broadcast over heads and query positions
-        attn = jax.nn.dot_product_attention(
-            q.reshape(shape),
-            k.reshape(shape),
-            v.reshape(shape),
-            mask=mask[:, None, None, :].astype(bool),
+        use_flash = (
+            cfg.flash_min_len
+            and s >= cfg.flash_min_len
+            and jax.default_backend() == "tpu"
+            and s % 128 == 0
         )
+        if use_flash:
+            # Pallas flash attention: O(S) memory (no [S,S] scores) —
+            # padding is masked by giving pad positions segment id 0
+            # (valid = 1), so they only attend among themselves and
+            # their outputs are discarded by downstream masked pooling.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = mask.astype(jnp.int32)
+            bhsd = (
+                q.reshape(shape).transpose(0, 2, 1, 3),
+                k.reshape(shape).transpose(0, 2, 1, 3),
+                v.reshape(shape).transpose(0, 2, 1, 3),
+            )
+            attn = flash_attention(
+                *bhsd,
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=1.0 / head_dim**0.5,
+            ).transpose(0, 2, 1, 3)
+        else:
+            # mask: [B, S] -> bias broadcast over heads and query positions
+            attn = jax.nn.dot_product_attention(
+                q.reshape(shape),
+                k.reshape(shape),
+                v.reshape(shape),
+                mask=mask[:, None, None, :].astype(bool),
+            )
         out = attn.reshape(b, s, cfg.hidden_size)
         return nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(out)
 

@@ -134,3 +134,45 @@ class OCRModelBundle:
         rec = CTCRecognizer(vocab_size=len(charset), width=width * 2)
         rec_params = rec.init(rng, jnp.zeros((1, 32, 64, 3)))
         return cls(det, det_params, cls_model, cls_params, rec, rec_params, charset)
+
+    # ---------------- artifact persistence ----------------
+
+    def save(self, path) -> None:
+        """Serialize trained params + charset to one ``.npz`` artifact
+        (the TPU-framework equivalent of the reference's downloaded ONNX
+        model files, inference_engine/base.py:82-144)."""
+        import json
+        from pathlib import Path
+
+        import flax.serialization as ser
+        import numpy as np
+
+        meta = json.dumps({"charset": self.charset, "width": self._width()})
+        np.savez_compressed(
+            Path(path),
+            meta=np.frombuffer(meta.encode("utf-8"), np.uint8),
+            det=np.frombuffer(ser.to_bytes(self.det_params), np.uint8),
+            cls=np.frombuffer(ser.to_bytes(self.cls_params), np.uint8),
+            rec=np.frombuffer(ser.to_bytes(self.rec_params), np.uint8),
+        )
+
+    def _width(self) -> int:
+        return self.det.width
+
+    @classmethod
+    def load(cls, path) -> "OCRModelBundle":
+        import json
+
+        import flax.serialization as ser
+        import numpy as np
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+            bundle = cls.create(meta["charset"], width=meta["width"])
+            det_p = ser.from_bytes(bundle.det_params, z["det"].tobytes())
+            cls_p = ser.from_bytes(bundle.cls_params, z["cls"].tobytes())
+            rec_p = ser.from_bytes(bundle.rec_params, z["rec"].tobytes())
+        return cls(
+            bundle.det, det_p, bundle.cls, cls_p, bundle.rec, rec_p,
+            meta["charset"],
+        )

@@ -9,30 +9,40 @@ import time
 import jax
 import numpy as np
 
+from pathlib import Path
+
 from ..logging import get_logger
 from .models import OCRModelBundle
 from .postprocess import (
+    QuadBox,
     TextBox,
-    crop_box,
+    crop_quad,
     ctc_greedy_decode,
-    db_boxes_from_prob_map,
+    db_quads_from_prob_map,
     resize_norm_crop,
     to_markdown,
 )
 
 logger = get_logger(__name__)
 
-DEFAULT_CHARSET = (
-    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    " .,:;!?()[]{}$%&@#+-*/=<>'\"_"
-)
+# Full vocabulary the shipped fonts can render (digits, latin,
+# punctuation, extended latin, Cyrillic, Greek — synth.build_charset).
+# The reference ships an 18,385-char multilingual ONNX vocab; offline we
+# are bounded by renderable glyphs (no CJK font in the image — pass a
+# CJK font + extra chars to train.train_full_ocr to extend).
+from .synth import build_charset as _build_charset
+
+DEFAULT_CHARSET = _build_charset()
+
+DEFAULT_WEIGHTS = Path(__file__).parent / "weights" / "default.npz"
 
 
 @dataclasses.dataclass
 class OCRLine:
-    box: TextBox
+    box: TextBox  # axis-aligned bound (JSON/markdown layout)
     text: str
     confidence: float
+    quad: QuadBox | None = None  # oriented region (rotated text)
 
 
 @dataclasses.dataclass
@@ -69,7 +79,7 @@ class OCREngine:
         text_score: float = 0.5,
         det_limit: int = 640,
     ) -> None:
-        self.bundle = bundle or OCRModelBundle.create(DEFAULT_CHARSET)
+        self.bundle = bundle or self._default_bundle()
         self.use_cls = use_cls
         self.text_score = text_score
         self.det_limit = det_limit
@@ -77,9 +87,29 @@ class OCREngine:
         self._cls_fn = jax.jit(self.bundle.cls.apply)
         self._rec_fn = jax.jit(self.bundle.rec.apply)
 
+    @staticmethod
+    def _default_bundle() -> OCRModelBundle:
+        """The shipped trained weights when present (the working
+        equivalent of the reference's pretrained model resolution,
+        inference_engine/base.py:82-144), else random init (tests that
+        train their own models pass a bundle explicitly)."""
+        if DEFAULT_WEIGHTS.exists():
+            try:
+                return OCRModelBundle.load(DEFAULT_WEIGHTS)
+            except Exception as exc:
+                logger.warning("failed to load OCR weights: %s", exc)
+        logger.warning(
+            "no trained OCR weights at %s — using random init "
+            "(run `python -m intool_rag_tpu.ocr.train` to build them)",
+            DEFAULT_WEIGHTS,
+        )
+        return OCRModelBundle.create(DEFAULT_CHARSET)
+
     # ---------------- stages ----------------
 
-    def detect(self, image: np.ndarray) -> list[TextBox]:
+    def detect(self, image: np.ndarray) -> list[QuadBox]:
+        """Oriented text regions, reading order (reference: TextDetector
+        + DBPostProcess minAreaRect quads, ch_ppocr_det/utils.py:117-202)."""
         h, w = image.shape[:2]
         scale = min(1.0, self.det_limit / max(h, w))
         img = image.astype(np.float32)
@@ -87,9 +117,11 @@ class OCREngine:
             img = img / 255.0
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
-        # pad to multiples of 32 for clean stride-16 feature maps
+        # pad to multiples of 32 for clean stride-16 feature maps;
+        # pad with white (1.0) — pages are white, black borders would
+        # read as giant text blobs to the detector
         ph, pw = _round_up(int(h * scale), 32), _round_up(int(w * scale), 32)
-        canvas = np.zeros((ph, pw, 3), np.float32)
+        canvas = np.ones((ph, pw, 3), np.float32)
         if scale < 1.0:
             from .postprocess import resize_norm_crop  # reuse bilinear
 
@@ -98,22 +130,27 @@ class OCREngine:
         else:
             canvas[:h, :w] = img
         prob = np.asarray(self._det_fn(self.bundle.det_params, canvas[None]))[0]
-        boxes = db_boxes_from_prob_map(prob, scale=2.0 / scale)
-        return [
-            TextBox(
-                min(b.x0, w - 1), min(b.y0, h - 1),
-                min(b.x1, w), min(b.y1, h), b.score,
-            )
-            for b in boxes
-            if b.x1 > b.x0 and b.y1 > b.y0
-        ]
+        quads = db_quads_from_prob_map(prob, scale=2.0 / scale)
+        # keep quads whose center is inside the image (crop_quad clips
+        # sample coordinates, so out-of-range corners are safe)
+        out = []
+        for q in quads:
+            cx, cy = q.points.mean(axis=0)
+            if 0 <= cx < w and 0 <= cy < h and q.width >= 2 and q.height >= 2:
+                out.append(q)
+        return out
 
     def _batch_crops(self, crops: list[np.ndarray], target_h: int = 32) -> np.ndarray:
         """Aspect-ratio-sorted batching (reference: ch_ppocr_rec/main.py:96-137)
-        is handled by the caller ordering; here crops resize to a shared
-        padded width bucket."""
-        resized = [resize_norm_crop(c, target_h=target_h) for c in crops]
-        max_w = max(r.shape[1] for r in resized)
+        is handled by the caller ordering; here crops resize to their
+        content width and pad to a shared 32-multiple bucket (the same
+        zero padding the trainer's _pad_batch applies)."""
+        resized = []
+        for c in crops:
+            h, w = c.shape[:2]
+            cw = max(8, min(640, int(round(w * target_h / max(1, h)))))
+            resized.append(resize_norm_crop(c, target_h=target_h, max_w=640)[:, :cw])
+        max_w = _round_up(max(r.shape[1] for r in resized), 32)
         batch = np.zeros((_round_up(len(crops), 8), target_h, max_w, 3), np.float32)
         for i, r in enumerate(resized):
             batch[i, :, : r.shape[1]] = r
@@ -157,12 +194,14 @@ class OCREngine:
     def __call__(self, image: np.ndarray) -> OCRResult:
         elapse: dict[str, float] = {}
         t0 = time.perf_counter()
-        boxes = self.detect(image)
+        quads = self.detect(image)
         elapse["det"] = time.perf_counter() - t0
 
-        crops = [crop_box(image, b) for b in boxes]
+        # rotated crop: each quad is resampled to an upright strip
+        # (reference: get_rotate_crop_image, ocr/main.py:229-237)
+        crops = [crop_quad(image, q, target_h=32) for q in quads]
         keep = [i for i, c in enumerate(crops) if c.size > 0]
-        boxes = [boxes[i] for i in keep]
+        quads = [quads[i] for i in keep]
         crops = [crops[i] for i in keep]
 
         if self.use_cls and crops:
@@ -175,8 +214,8 @@ class OCREngine:
         elapse["rec"] = time.perf_counter() - t0
 
         lines = [
-            OCRLine(box, text, conf)
-            for box, (text, conf) in zip(boxes, texts)
+            OCRLine(q.aabb(), text, conf, quad=q)
+            for q, (text, conf) in zip(quads, texts)
             if conf >= self.text_score and text
         ]
         return OCRResult(lines=lines, elapse=elapse)

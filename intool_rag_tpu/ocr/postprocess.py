@@ -42,6 +42,197 @@ class TextBox:
         )
 
 
+@dataclasses.dataclass
+class QuadBox:
+    """Oriented text region: 4 corners [4, 2] float (x, y), ordered so
+    points[0]→points[1] is the reading direction (reference: minAreaRect
+    quads from DBPostProcess, ch_ppocr_det/utils.py:117-202)."""
+
+    points: np.ndarray  # [4, 2] float32
+    score: float
+
+    @property
+    def angle(self) -> float:
+        """Rotation of the reading axis in degrees, in (-180, 180]."""
+        v = self.points[1] - self.points[0]
+        return float(np.degrees(np.arctan2(v[1], v[0])))
+
+    @property
+    def width(self) -> float:
+        return float(np.linalg.norm(self.points[1] - self.points[0]))
+
+    @property
+    def height(self) -> float:
+        return float(np.linalg.norm(self.points[3] - self.points[0]))
+
+    def aabb(self) -> "TextBox":
+        x0, y0 = self.points.min(axis=0)
+        x1, y1 = self.points.max(axis=0)
+        return TextBox(int(x0), int(y0), int(round(x1)), int(round(y1)), self.score)
+
+    def scaled(self, s: float) -> "QuadBox":
+        return QuadBox(self.points * s, self.score)
+
+    def expanded(self, ratio: float) -> "QuadBox":
+        """Unclip: grow along both axes proportionally to the minor
+        extent (reference uses pyclipper area-based offsetting; for
+        rectangles a uniform margin of ``ratio·height`` is equivalent)."""
+        c = self.points.mean(axis=0)
+        u = self.points[1] - self.points[0]
+        v = self.points[3] - self.points[0]
+        nu = u / max(1e-6, np.linalg.norm(u))
+        nv = v / max(1e-6, np.linalg.norm(v))
+        m = ratio * self.height
+        pts = self.points.copy()
+        pts[0] += -nu * m - nv * m
+        pts[1] += +nu * m - nv * m
+        pts[2] += +nu * m + nv * m
+        pts[3] += -nu * m + nv * m
+        return QuadBox(pts, self.score)
+
+
+def _quad_from_mask(
+    region_mask: np.ndarray, y_off: int, x_off: int, score: float
+) -> QuadBox:
+    """Oriented rectangle of a connected component via PCA of its pixel
+    cloud (the NumPy equivalent of cv2.minAreaRect for elongated text
+    components). The major axis is snapped to the reading direction:
+    rightward, or downward for near-vertical text — a 180°-flipped crop
+    is later corrected by the orientation classifier."""
+    ys, xs = np.nonzero(region_mask)
+    pts = np.stack([xs + x_off, ys + y_off], axis=1).astype(np.float32)
+    center = pts.mean(axis=0)
+    d = pts - center
+    if len(pts) < 2:
+        major = np.array([1.0, 0.0], np.float32)
+    else:
+        cov = d.T @ d / len(pts)
+        evals, evecs = np.linalg.eigh(cov)
+        major = evecs[:, np.argmax(evals)].astype(np.float32)
+    if abs(major[0]) < 1e-3:
+        if major[1] < 0:  # near-vertical: read downward
+            major = -major
+    elif major[0] < 0:  # otherwise read rightward
+        major = -major
+    minor = np.array([-major[1], major[0]], np.float32)
+    pm = d @ major
+    pn = d @ minor
+    # +0.5px half-pixel margin so single-pixel extents stay non-degenerate
+    a0, a1 = pm.min() - 0.5, pm.max() + 0.5
+    b0, b1 = pn.min() - 0.5, pn.max() + 0.5
+    corners = np.stack(
+        [
+            center + a0 * major + b0 * minor,
+            center + a1 * major + b0 * minor,
+            center + a1 * major + b1 * minor,
+            center + a0 * major + b1 * minor,
+        ]
+    ).astype(np.float32)
+    return QuadBox(corners, score)
+
+
+def db_quads_from_prob_map(
+    prob_map: np.ndarray,
+    *,
+    bin_thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 0.25,
+    min_area: int = 16,
+    scale: float = 2.0,
+) -> list[QuadBox]:
+    """Binarize → connected components → PCA oriented rectangles →
+    unclip → reading-order sort. The rotated-text counterpart of
+    :func:`db_boxes_from_prob_map` (reference: DBPostProcess minAreaRect
+    + unclip, ch_ppocr_det/utils.py:117-202)."""
+    bitmap = prob_map > bin_thresh
+    labels, n = ndimage.label(bitmap)
+    if n == 0:
+        return []
+    quads: list[QuadBox] = []
+    for i, sl in enumerate(ndimage.find_objects(labels)):
+        if sl is None:
+            continue
+        region_mask = labels[sl] == (i + 1)
+        if int(region_mask.sum()) < min_area:
+            continue
+        score = float(prob_map[sl][region_mask].mean())
+        if score < box_thresh:
+            continue
+        quad = _quad_from_mask(region_mask, sl[0].start, sl[1].start, score)
+        quads.append(quad.expanded(unclip_ratio).scaled(scale))
+    # reading order: row bands by aabb y-center, then x
+    def _key(q: QuadBox):
+        bb = q.aabb()
+        return (round((bb.y0 + bb.y1) / 2 / max(16, bb.height or 16)), bb.x0)
+
+    quads.sort(key=_key)
+    return quads
+
+
+def crop_quad(
+    image: np.ndarray, quad: QuadBox, *, target_h: int = 32, max_w: int = 640
+) -> np.ndarray:
+    """Rotated crop: bilinear-sample the quad onto an axis-aligned
+    ``[target_h, W, 3]`` float image (reference: get_rotate_crop_image,
+    ocr/main.py:229-237 — perspective warp; affine suffices for the
+    rectangle quads our detector emits)."""
+    h_src, w_src = image.shape[:2]
+    img = image.astype(np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    if img.max() > 1.5:
+        img = img / 255.0
+    qw, qh = max(quad.width, 1.0), max(quad.height, 1.0)
+    out_w = int(np.clip(round(qw * target_h / qh), 8, max_w))
+    u = (quad.points[1] - quad.points[0]) / qw  # unit reading axis
+    v = (quad.points[3] - quad.points[0]) / qh  # unit descender axis
+    cols = (np.arange(out_w) + 0.5) * (qw / out_w)
+    rows = (np.arange(target_h) + 0.5) * (qh / target_h)
+    xs = quad.points[0, 0] + cols[None, :] * u[0] + rows[:, None] * v[0]
+    ys = quad.points[0, 1] + cols[None, :] * u[1] + rows[:, None] * v[1]
+    xs = np.clip(xs, 0, w_src - 1)
+    ys = np.clip(ys, 0, h_src - 1)
+    x0 = np.floor(xs).astype(int)
+    y0 = np.floor(ys).astype(int)
+    x1 = np.minimum(x0 + 1, w_src - 1)
+    y1 = np.minimum(y0 + 1, h_src - 1)
+    wx = (xs - x0)[..., None]
+    wy = (ys - y0)[..., None]
+    top = img[y0, x0] * (1 - wx) + img[y0, x1] * wx
+    bot = img[y1, x0] * (1 - wx) + img[y1, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def word_quads_from_ctc(
+    quad: QuadBox, logits: np.ndarray, charset: str
+) -> list[tuple[QuadBox, str]]:
+    """Per-word oriented boxes from CTC columns: column spans scale
+    linearly along the quad's reading axis and rotate back into image
+    coordinates (reference: CalRecBoxes rotation reversal,
+    cal_rec_boxes/main.py:21-55)."""
+    aabb = TextBox(0, 0, 1000, 1000, quad.score)  # column spans in [0,1000]
+    from .utils import word_boxes_from_ctc
+
+    words = word_boxes_from_ctc(aabb, logits, charset)
+    u = (quad.points[1] - quad.points[0])
+    v = (quad.points[3] - quad.points[0])
+    out = []
+    for wb, text in words:
+        f0, f1 = wb.x0 / 1000.0, wb.x1 / 1000.0
+        pts = np.stack(
+            [
+                quad.points[0] + f0 * u,
+                quad.points[0] + f1 * u,
+                quad.points[0] + f1 * u + v,
+                quad.points[0] + f0 * u + v,
+            ]
+        ).astype(np.float32)
+        out.append((QuadBox(pts, quad.score), text))
+    return out
+
+
 def db_boxes_from_prob_map(
     prob_map: np.ndarray,
     *,

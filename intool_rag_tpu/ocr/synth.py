@@ -1,0 +1,194 @@
+"""Synthetic document-page rendering for OCR training and verification.
+
+No pretrained OCR weights are shippable offline, so the framework renders
+its own training data: full pages with multiple text lines at varying
+positions, scales, fonts, and rotations, each with ground-truth quads.
+This replaces the reference's dependence on downloaded PP-OCR models
+(reference: rag/ingest/ocr/inference_engine/base.py:82-144 model URL
+registry) with a trainable, self-verifying pipeline.
+
+Charset: everything the available fonts can actually render. The system
+ships DejaVu (latin + extended latin + Cyrillic + Greek); CJK glyph
+rendering requires a CJK-capable font, which can be passed to
+``train_full_ocr(font_paths=...)``/``build_charset`` when available.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+DEFAULT_FONTS = (
+    f"{FONT_DIR}/DejaVuSans.ttf",
+    f"{FONT_DIR}/DejaVuSans-Bold.ttf",
+    f"{FONT_DIR}/DejaVuSerif.ttf",
+    f"{FONT_DIR}/DejaVuSansMono.ttf",
+)
+
+_ASCII = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    " .,:;!?()[]{}$%&@#+-*/=<>'\"_"
+)
+_LATIN_EXT = "àâäáãåæçéèêëíìîïñóòôöõøúùûüýÿßÀÄÉÈÖÜ€£°§"
+_CYRILLIC = (
+    "абвгдежзийклмнопрстуфхцчшщъыьэюя"
+    "АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЫЬЭЮЯё"
+)
+_GREEK = "αβγδεζηθικλμνξοπρστυφχψωΓΔΘΛΞΠΣΦΨΩ"
+
+
+def build_charset(extra: str = "") -> str:
+    """The default recognizer vocabulary: all characters renderable by
+    the shipped fonts (digits, latin, punctuation, extended latin,
+    Cyrillic, Greek — ~240 classes), plus any ``extra`` characters the
+    caller's fonts cover (e.g. a CJK subset with a CJK font)."""
+    seen: dict[str, None] = {}
+    for ch in _ASCII + _LATIN_EXT + _CYRILLIC + _GREEK + extra:
+        seen.setdefault(ch, None)
+    return "".join(seen)
+
+
+@functools.lru_cache(maxsize=32)
+def _load_font(path: str, size: int):
+    from PIL import ImageFont
+
+    return ImageFont.truetype(path, size)
+
+
+def render_line(
+    text: str,
+    *,
+    font_path: str = DEFAULT_FONTS[0],
+    font_size: int = 24,
+    pad: int = 3,
+) -> np.ndarray:
+    """Render one text line → ink mask [H, W] float in [0, 1] (ink=1)."""
+    from PIL import Image, ImageDraw
+
+    font = _load_font(font_path, font_size)
+    dummy = Image.new("L", (4, 4))
+    bbox = ImageDraw.Draw(dummy).textbbox((0, 0), text, font=font)
+    w = max(8, bbox[2] - bbox[0] + 2 * pad)
+    h = max(8, bbox[3] - bbox[1] + 2 * pad)
+    img = Image.new("L", (w, h), 0)
+    ImageDraw.Draw(img).text((pad - bbox[0], pad - bbox[1]), text, font=font,
+                             fill=255)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def random_text(rng: np.random.Generator, charset: str, min_len=4, max_len=14) -> str:
+    n = int(rng.integers(min_len, max_len + 1))
+    chars = [c for c in charset if c != " "]
+    s = "".join(rng.choice(chars, size=n))
+    # inject spaces like real text (only when the vocabulary has one)
+    if " " in charset and n >= 8 and rng.random() < 0.7:
+        cut = int(rng.integers(2, n - 2))
+        s = s[:cut] + " " + s[cut:]
+    return s
+
+
+def _rotate_ink(ink: np.ndarray, angle_deg: float) -> tuple[np.ndarray, np.ndarray]:
+    """Rotate an ink mask; returns (rotated ink, corner offsets [4,2] of
+    the original rect inside the rotated canvas, reading order)."""
+    from PIL import Image
+
+    h, w = ink.shape
+    img = Image.fromarray((ink * 255).astype(np.uint8))
+    rot = img.rotate(angle_deg, expand=True, resample=Image.BILINEAR)
+    out = np.asarray(rot, np.float32) / 255.0
+    # corner mapping: PIL rotates CCW about the center with expand
+    th = np.radians(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    cx, cy = w / 2.0, h / 2.0
+    corners = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    d = corners - [cx, cy]
+    # image y grows downward → CCW visual rotation = [[c, s], [-s, c]]
+    rot_d = np.stack([d[:, 0] * c + d[:, 1] * s, -d[:, 0] * s + d[:, 1] * c], 1)
+    rh, rw = out.shape
+    mapped = rot_d + [rw / 2.0, rh / 2.0]
+    return out, mapped.astype(np.float32)
+
+
+def render_page(
+    rng: np.random.Generator,
+    charset: str,
+    *,
+    size: int = 448,
+    n_lines: tuple[int, int] = (4, 9),
+    font_sizes: tuple[int, int] = (16, 34),
+    rotation: float = 0.0,
+    per_line_jitter: float = 0.0,
+    noise: float = 0.03,
+    fonts: tuple[str, ...] = DEFAULT_FONTS,
+    texts: list[str] | None = None,
+) -> tuple[np.ndarray, list[tuple[np.ndarray, str]]]:
+    """Render a synthetic scanned page.
+
+    Returns (image [size, size, 3] float32 in [0,1], ground truth
+    [(quad corners [4,2] float, text)]). ``rotation`` rotates every line
+    by that many degrees (a rotated scan); ``per_line_jitter`` adds a
+    uniform ±jitter per line on top.
+    """
+    page = np.ones((size, size), np.float32)  # white paper
+    gt: list[tuple[np.ndarray, str]] = []
+    count = int(rng.integers(n_lines[0], n_lines[1] + 1)) if texts is None else len(texts)
+    occupied = np.zeros((size, size), bool)
+    for li in range(count):
+        text = texts[li] if texts is not None else random_text(rng, charset)
+        fs = int(rng.integers(font_sizes[0], font_sizes[1] + 1))
+        font = fonts[int(rng.integers(0, len(fonts)))]
+        ink = render_line(text, font_path=font, font_size=fs)
+        angle = rotation + (rng.uniform(-per_line_jitter, per_line_jitter)
+                            if per_line_jitter else 0.0)
+        if abs(angle) > 0.05:
+            ink, corners = _rotate_ink(ink, angle)
+        else:
+            h0, w0 = ink.shape
+            corners = np.array(
+                [[0, 0], [w0, 0], [w0, h0], [0, h0]], np.float32
+            )
+        h, w = ink.shape
+        if h >= size - 2 or w >= size - 2:
+            continue
+        # find a free spot (reject overlaps, up to a few tries)
+        placed = False
+        for _ in range(12):
+            y = int(rng.integers(1, size - h - 1))
+            x = int(rng.integers(1, size - w - 1))
+            if not occupied[y : y + h, x : x + w].any():
+                placed = True
+                break
+        if not placed:
+            continue
+        darkness = float(rng.uniform(0.65, 1.0))
+        page[y : y + h, x : x + w] -= ink * darkness
+        occupied[max(0, y - 4) : y + h + 4, max(0, x - 4) : x + w + 4] = True
+        gt.append((corners + [x, y], text))
+    page = np.clip(page, 0.0, 1.0)
+    if noise:
+        page = np.clip(page + rng.normal(0, noise, page.shape).astype(np.float32), 0, 1)
+    return np.repeat(page[:, :, None], 3, axis=2), gt
+
+
+def gt_prob_map(
+    gt: list[tuple[np.ndarray, str]],
+    size: int,
+    *,
+    stride: int = 2,
+    shrink: float = 0.3,
+) -> np.ndarray:
+    """Ground-truth detection map at ``1/stride`` resolution: each line's
+    quad filled after shrinking toward its center (DBNet-style shrunk
+    polygons keep adjacent lines separable as connected components)."""
+    from PIL import Image, ImageDraw
+
+    m = size // stride
+    img = Image.new("F", (m, m), 0.0)
+    draw = ImageDraw.Draw(img)
+    for corners, _ in gt:
+        c = corners.mean(axis=0)
+        pts = (c + (corners - c) * (1.0 - shrink)) / stride
+        draw.polygon([tuple(p) for p in pts], fill=1.0)
+    return np.asarray(img, np.float32)

@@ -1,10 +1,13 @@
-"""OCR training utilities: synthetic text rendering + CTC training.
+"""OCR training: synthetic pages → trained det/cls/rec models.
 
 No pretrained OCR weights are shippable offline, so the framework owns
-its training loop (the reference only runs inference on downloaded
-models — SURVEY.md §2.7 #44). The synthetic path doubles as the OCR
-stack's end-to-end verification: render text with PIL, train the CTC
-recognizer until it reads it back.
+its training loops (the reference only runs inference on downloaded
+models — SURVEY.md §2.7 #44): the DB detector trains on rendered pages
+(balanced BCE + dice on the shrunk-quad probability map), the
+orientation classifier on 0°/180° crops, and the CTC recognizer on
+rendered strings. ``train_full_ocr`` produces a complete
+:class:`OCRModelBundle` savable as one artifact; the repo ships one at
+``ocr/weights/default.npz`` (see OCREngine).
 """
 
 from __future__ import annotations
@@ -14,27 +17,27 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .models import CTCRecognizer
+from ..logging import get_logger
+from .models import CTCRecognizer, DBDetector, OrientationClassifier
+
+logger = get_logger(__name__)
 
 
 def render_text_image(
-    text: str, *, height: int = 32, scale: int = 2, pad: int = 4
+    text: str, *, height: int = 32, font_size: int = 22
 ) -> np.ndarray:
-    """Render text to an RGB float image [H, W, 3] in [0, 1] using PIL's
-    built-in bitmap font (no font files needed)."""
-    from PIL import Image, ImageDraw, ImageFont
+    """Render text to an RGB float crop [height, W, 3] in [0, 1], white
+    background / dark ink — the same polarity page crops have after
+    ``crop_quad``, so recognizer training and serving see one input
+    distribution."""
+    from .postprocess import resize_norm_crop
+    from .synth import render_line
 
-    font = ImageFont.load_default()
-    dummy = Image.new("L", (8, 8))
-    draw = ImageDraw.Draw(dummy)
-    bbox = draw.textbbox((0, 0), text, font=font)
-    w = max(8, bbox[2] - bbox[0] + 2 * pad)
-    h = max(8, bbox[3] - bbox[1] + 2 * pad)
-    img = Image.new("L", (w, h), 255)
-    ImageDraw.Draw(img).text((pad - bbox[0], pad - bbox[1]), text, font=font, fill=0)
-    img = img.resize((max(8, w * scale * height // (h * scale)), height))
-    arr = 1.0 - np.asarray(img, np.float32) / 255.0  # ink = 1
-    return np.repeat(arr[:, :, None], 3, axis=2)
+    ink = render_line(text, font_size=font_size)
+    crop = np.repeat((1.0 - ink)[:, :, None], 3, axis=2)
+    return resize_norm_crop(crop, target_h=height, max_w=4096)[
+        :, : max(8, int(round(ink.shape[1] * height / ink.shape[0])))
+    ]
 
 
 def _pad_batch(images: list[np.ndarray], width_mult: int = 32) -> np.ndarray:
@@ -45,6 +48,172 @@ def _pad_batch(images: list[np.ndarray], width_mult: int = 32) -> np.ndarray:
     for i, im in enumerate(images):
         out[i, :, : im.shape[1]] = im[:, :max_w]
     return out
+
+
+def train_synthetic_detector(
+    charset: str,
+    *,
+    steps: int = 400,
+    batch: int = 4,
+    page_size: int = 448,
+    width: int = 16,
+    seed: int = 0,
+    lr: float = 1.5e-3,
+    max_rotation: float = 15.0,
+):
+    """Train DBDetector on synthetic pages. Each batch mixes upright
+    pages with rotated ones (uniform ±max_rotation plus occasional 90°)
+    so the prob map learns oriented text. Returns (model, params,
+    losses)."""
+    from .synth import gt_prob_map, render_page
+
+    rng = np.random.default_rng(seed)
+    model = DBDetector(width)
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, page_size, page_size, 3))
+    )
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, images, targets):
+        def loss_fn(p):
+            prob = model.apply(p, images)  # [B, H/2, W/2]
+            prob = jnp.clip(prob, 1e-6, 1 - 1e-6)
+            pos = targets
+            # balanced BCE: text pixels are ~5-15% of the page
+            n_pos = jnp.maximum(pos.sum(), 1.0)
+            n_neg = jnp.maximum((1 - pos).sum(), 1.0)
+            w_pos = n_neg / n_pos
+            bce = -(w_pos * pos * jnp.log(prob) + (1 - pos) * jnp.log(1 - prob))
+            bce = bce.sum() / (w_pos * n_pos + n_neg)
+            inter = (prob * pos).sum()
+            dice = 1.0 - 2.0 * inter / (prob.sum() + pos.sum() + 1.0)
+            return bce + dice
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for step in range(steps):
+        imgs, maps = [], []
+        for _ in range(batch):
+            r = rng.random()
+            if r < 0.45:
+                rot = 0.0
+            elif r < 0.85:
+                rot = float(rng.uniform(-max_rotation, max_rotation))
+            else:
+                rot = float(rng.choice([90.0, -90.0]))
+            img, gt = render_page(
+                rng, charset, size=page_size, rotation=rot,
+                per_line_jitter=1.0,
+            )
+            imgs.append(img)
+            maps.append(gt_prob_map(gt, page_size))
+        params, opt_state, loss = step_fn(
+            params, opt_state,
+            jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(maps)),
+        )
+        losses.append(float(loss))
+        if step % 50 == 0:
+            logger.info("det step %d loss %.4f", step, losses[-1])
+    return model, params, losses
+
+
+def train_synthetic_classifier(
+    charset: str,
+    *,
+    steps: int = 200,
+    batch: int = 32,
+    width: int = 16,
+    seed: int = 0,
+    lr: float = 2e-3,
+):
+    """Train the 0°/180° OrientationClassifier on rendered line crops
+    (reference capability: ch_ppocr_cls — §2.7 #41). Returns (model,
+    params, losses)."""
+    from .synth import DEFAULT_FONTS, random_text, render_line
+
+    rng = np.random.default_rng(seed)
+    model = OrientationClassifier(width)
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3)))
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, images, labels):
+        def loss_fn(p):
+            logits = model.apply(p, images)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    from .postprocess import resize_norm_crop
+
+    for step in range(steps):
+        images = np.zeros((batch, 32, 160, 3), np.float32)
+        labels = np.zeros(batch, np.int32)
+        for i in range(batch):
+            text = random_text(rng, charset, 4, 10)
+            fs = int(rng.integers(16, 32))
+            font = DEFAULT_FONTS[int(rng.integers(0, len(DEFAULT_FONTS)))]
+            ink = render_line(text, font_path=font, font_size=fs)
+            crop = 1.0 - ink  # white bg, dark ink (what crops look like)
+            crop3 = np.repeat(crop[:, :, None], 3, axis=2)
+            flip = int(rng.random() < 0.5)
+            if flip:
+                crop3 = np.rot90(crop3, 2).copy()
+            r = resize_norm_crop(crop3, target_h=32, max_w=160)
+            images[i] = r
+            labels[i] = flip
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        losses.append(float(loss))
+    return model, params, losses
+
+
+def train_full_ocr(
+    charset: str | None = None,
+    *,
+    det_steps: int = 400,
+    cls_steps: int = 200,
+    rec_steps: int = 3000,
+    width: int = 16,
+    seed: int = 0,
+):
+    """Train all three OCR stages and return a complete
+    :class:`~intool_rag_tpu.ocr.models.OCRModelBundle` (save with
+    ``bundle.save(path)``; the shipped artifact is built by
+    ``python -m intool_rag_tpu.ocr.train``)."""
+    from .models import OCRModelBundle
+    from .synth import build_charset
+
+    charset = charset or build_charset()
+    logger.info("training OCR: charset=%d classes", len(charset))
+    det, det_params, det_losses = train_synthetic_detector(
+        charset, steps=det_steps, width=width, seed=seed
+    )
+    logger.info("det final loss %.4f", det_losses[-1])
+    cls_m, cls_params, cls_losses = train_synthetic_classifier(
+        charset, steps=cls_steps, width=width, seed=seed
+    )
+    logger.info("cls final loss %.4f", cls_losses[-1])
+    rec, rec_params, _, rec_losses = train_synthetic_recognizer(
+        charset, steps=rec_steps, width=width * 2, seed=seed,
+        min_len=3, max_len=12,
+    )
+    logger.info("rec final loss %.4f", rec_losses[-1])
+    return OCRModelBundle(
+        det, det_params, cls_m, cls_params, rec, rec_params, charset
+    )
 
 
 def train_synthetic_recognizer(
@@ -58,14 +227,31 @@ def train_synthetic_recognizer(
     seed: int = 0,
     lr: float = 2e-3,
 ):
-    """Train CTCRecognizer on rendered random strings from ``charset``.
-    Returns (model, params, charset)."""
+    """Train CTCRecognizer on rendered random strings from ``charset``,
+    with font/size/contrast/noise augmentation so it generalizes to
+    detector crops. Returns (model, params, charset, losses)."""
+    from .postprocess import resize_norm_crop
+    from .synth import DEFAULT_FONTS, render_line
+
     rng = np.random.default_rng(seed)
     model = CTCRecognizer(vocab_size=len(charset), width=width)
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3)))
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     blank = len(charset)
+
+    def render_crop(text: str) -> np.ndarray:
+        fs = int(rng.integers(16, 30))
+        font = DEFAULT_FONTS[int(rng.integers(0, len(DEFAULT_FONTS)))]
+        ink = render_line(text, font_path=font, font_size=fs)
+        darkness = float(rng.uniform(0.6, 1.0))
+        crop = 1.0 - ink * darkness
+        crop = np.clip(
+            crop + rng.normal(0, 0.04, crop.shape).astype(np.float32), 0, 1
+        )
+        crop3 = np.repeat(crop[:, :, None], 3, axis=2)
+        w = max(8, int(round(crop.shape[1] * 32 / crop.shape[0])))
+        return resize_norm_crop(crop3, target_h=32, max_w=4096)[:, :w]
 
     @jax.jit
     def step_fn(params, opt_state, images, labels, label_pad):
@@ -81,13 +267,14 @@ def train_synthetic_recognizer(
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    from .synth import random_text
+
     losses = []
     for _ in range(steps):
         texts = [
-            "".join(rng.choice(list(charset), size=rng.integers(min_len, max_len + 1)))
-            for _ in range(batch)
+            random_text(rng, charset, min_len, max_len) for _ in range(batch)
         ]
-        images = _pad_batch([render_text_image(t) for t in texts])
+        images = _pad_batch([render_crop(t) for t in texts])
         max_l = max(len(t) for t in texts)
         labels = np.full((batch, max_l), 0, np.int32)
         label_pad = np.ones((batch, max_l), np.float32)
@@ -100,3 +287,17 @@ def train_synthetic_recognizer(
         )
         losses.append(float(loss))
     return model, params, charset, losses
+
+
+if __name__ == "__main__":
+    # Build the shipped artifact: python -m intool_rag_tpu.ocr.train [out]
+    import sys
+    from pathlib import Path
+
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+        Path(__file__).parent / "weights" / "default.npz"
+    )
+    out.parent.mkdir(parents=True, exist_ok=True)
+    bundle = train_full_ocr()
+    bundle.save(out)
+    print(f"saved {out} ({out.stat().st_size / 1e6:.2f} MB)")

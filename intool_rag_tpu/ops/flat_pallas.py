@@ -42,8 +42,9 @@ def choose_group_width(n: int, k: int, target_recall: float = 0.98) -> int:
     return l
 
 
-def _partial_topk_kernel(q_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l, valid_n):
+def _partial_topk_kernel(valid_ref, q_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l):
     bi = pl.program_id(0)
+    valid_n = valid_ref[0]  # SMEM scalar: no recompile per corpus append
     # HIGHEST precision only makes sense for f32 operands (avoids the bf16
     # 3-pass default); Mosaic rejects fp32 contract precision on bf16 inputs.
     precision = (
@@ -63,18 +64,28 @@ def _partial_topk_kernel(q_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l, v
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (q, block_n), 1)
     scores = jnp.where(base + col_ids < valid_n, scores, -jnp.inf)
 
-    num_groups = block_n // group_l
-    for g in range(num_groups):
-        tile = scores[:, g * group_l : (g + 1) * group_l]  # [Q, L]
-        gmax = jnp.max(tile, axis=1)  # [Q]
-        garg = jnp.argmax(tile, axis=1).astype(jnp.int32)  # [Q]
-        vals_ref[:, g] = gmax
-        idx_ref[:, g] = base + g * group_l + garg
+    # Grouped partial reduce, fully vectorized: split the block's columns
+    # as [group_l, 128] with lanes preserved (col = j·128 + lane — a free
+    # relayout), then one cross-sublane max per block instead of a Python
+    # loop of narrow [Q, L] maxes (which used 16/128 lanes and made the
+    # kernel VPU-bound; see round-1 verdict item 7). Group membership is
+    # strided ({lane + 128·j}) rather than contiguous — recall math is
+    # identical for unordered corpora.
+    lw = block_n // group_l  # lane width: 128 on the real path
+    scores3 = scores.reshape(q, group_l, lw)
+    gmax = jnp.max(scores3, axis=1)  # [Q, lw]
+    # first-argmax over the sublane axis via masked min of row indices
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (q, group_l, lw), 1)
+    is_max = scores3 == gmax[:, None, :]
+    garg = jnp.min(jnp.where(is_max, j_iota, group_l), axis=1)  # [Q, lw]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, lw), 1)
+    vals_ref[:, :] = gmax
+    idx_ref[:, :] = base + garg * lw + lane
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_n", "group_l", "valid_n", "interpret"),
+    static_argnames=("k", "block_n", "group_l", "interpret", "tail"),
 )
 def flat_topk_pallas(
     queries: jax.Array,
@@ -83,8 +94,9 @@ def flat_topk_pallas(
     *,
     block_n: int | None = None,
     group_l: int = 16,
-    valid_n: int | None = None,
+    valid_n: int | jax.Array | None = None,
     interpret: bool = False,
+    tail: str = "approx",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat MIPS top-k. ``corpus [N, D]`` must have N a multiple of
     ``block_n`` and D a multiple of 128 (the index build pads to this).
@@ -117,21 +129,23 @@ def flat_topk_pallas(
     num_blocks = n // block_n
     num_groups = block_n // group_l
 
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q_pad, num_groups), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, num_groups), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, num_groups), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, num_groups), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
         ],
     )
 
     kernel = functools.partial(
-        _partial_topk_kernel, block_n=block_n, group_l=group_l, valid_n=valid_n
+        _partial_topk_kernel, block_n=block_n, group_l=group_l
     )
+    valid_arr = jnp.asarray([valid_n], jnp.int32)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -145,14 +159,26 @@ def flat_topk_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus)
+    )(valid_arr, queries, corpus)
 
     # barrier: without it XLA tries to keep the full [Q, N/L] candidate
     # arrays in scoped VMEM for the downstream top-k and OOMs at 1M rows
     cand_vals, cand_idx = jax.lax.optimization_barrier((cand_vals, cand_idx))
     k_eff = min(k, cand_vals.shape[1])
-    from .topk import blocked_topk
+    if tail == "approx" and cand_vals.shape[1] >= 4 * k_eff:
+        # approx_max_k over the candidate array: adjacent candidates come
+        # from different corpus blocks (position = block·lw + lane), so
+        # the per-group partial reduce loses only random stragglers.
+        # recall_target 0.999: at 0.95 the hybrid pipeline's end-to-end
+        # recall@10 vs the exact-hybrid oracle measured 0.9625 (missing
+        # tail-of-100 dense candidates shift the fusion cut); 0.999
+        # restores ≥0.99 and the tail still beats the exact blocked sort.
+        top_vals, top_pos = jax.lax.approx_max_k(
+            cand_vals, k_eff, recall_target=0.999
+        )
+    else:
+        from .topk import blocked_topk
 
-    top_vals, top_pos = blocked_topk(cand_vals, k_eff, block=1024)
+        top_vals, top_pos = blocked_topk(cand_vals, k_eff, block=1024)
     top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
     return top_vals[:q], top_idx[:q]

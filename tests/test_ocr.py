@@ -37,6 +37,91 @@ def test_db_boxes_threshold():
     assert db_boxes_from_prob_map(prob) == []
 
 
+# ---------------- rotated quads ----------------
+
+
+def _rotated_bar_map(angle_deg: float, size: int = 128) -> np.ndarray:
+    """Probability map with one rotated bar (a tilted text line)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    cx = cy = size / 2
+    th = np.radians(angle_deg)
+    u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+    v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+    return np.where((np.abs(u) < 40) & (np.abs(v) < 5), 0.95, 0.0).astype(np.float32)
+
+
+@pytest.mark.parametrize("angle", [0.0, 15.0, -20.0, 90.0])
+def test_db_quads_recover_rotation(angle):
+    from intool_rag_tpu.ocr.postprocess import db_quads_from_prob_map
+
+    prob = _rotated_bar_map(angle)
+    quads = db_quads_from_prob_map(prob, scale=1.0, unclip_ratio=0.0)
+    assert len(quads) == 1
+    q = quads[0]
+    got = q.angle % 180.0
+    want = angle % 180.0
+    diff = min(abs(got - want), 180 - abs(got - want))
+    assert diff < 3.0, (got, want)
+    assert abs(q.width - 80) < 8 and abs(q.height - 10) < 5
+
+
+def test_crop_quad_unrotates_text():
+    """Rendering a line, rotating the page, detecting the quad, and
+    cropping must recover (approximately) the upright strip — the
+    reference's get_rotate_crop_image behavior (ocr/main.py:229-237)."""
+    from intool_rag_tpu.ocr.postprocess import crop_quad, db_quads_from_prob_map
+    from intool_rag_tpu.ocr.synth import _rotate_ink, render_line
+
+    from scipy import ndimage
+
+    ink = render_line("ROTATION-CHECK-42", font_size=22)
+    rot, corners = _rotate_ink(ink, 17.0)
+    page = 1.0 - rot  # white bg
+    img = np.repeat(page[:, :, None], 3, axis=2)
+    # dilate the ink mask into a connected line region (the trained det
+    # emits connected line blobs; raw ink has per-letter components)
+    mask = ndimage.binary_dilation(rot > 0.3, iterations=5)
+    quads = db_quads_from_prob_map(
+        mask.astype(np.float32), scale=1.0, unclip_ratio=0.0, min_area=30
+    )
+    assert len(quads) == 1, len(quads)
+    q = quads[0]
+    # detected quad recovers the rotation (PIL rotates CCW → negative
+    # angle in y-down image coordinates) and the line's aspect
+    assert abs(q.angle + 17.0) < 3.0, q.angle
+    h0, w0 = ink.shape
+    assert abs(q.width - w0) < 14 and abs(q.height - h0) < 14
+    crop = crop_quad(img, q, target_h=32)
+    # the unrotated crop concentrates ink in the middle rows; a naive
+    # axis-aligned crop of the rotated region would not
+    ink_per_row = (1.0 - crop[..., 0]).sum(axis=1)
+    mid = ink_per_row[8:24].sum()
+    assert mid > 0.65 * ink_per_row.sum(), ink_per_row
+
+
+def test_word_quads_rotate_back():
+    from intool_rag_tpu.ocr.postprocess import QuadBox, word_quads_from_ctc
+
+    charset = "ab "
+    blank = 3
+    # logits spelling "a b" over 8 columns: a a _ (space) _ b b _
+    t = 8
+    logits = np.full((t, 4), -10.0, np.float32)
+    cols = [0, 0, 3, 2, 3, 1, 1, 3]
+    for i, c in enumerate(cols):
+        logits[i, c] = 10.0
+    quad = QuadBox(
+        np.array([[10, 10], [90, 50], [85, 60], [5, 20]], np.float32), 0.9
+    )
+    words = word_quads_from_ctc(quad, logits, charset)
+    assert [w for _, w in words] == ["a", "b"]
+    (q1, _), (q2, _) = words
+    # word quads sit along the reading axis: the second starts after the first
+    assert q2.points[0, 0] > q1.points[0, 0]
+    # and inherit the line's orientation
+    assert abs(q1.angle - quad.angle) < 1e-3
+
+
 # ---------------- CTC decode ----------------
 
 
