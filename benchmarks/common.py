@@ -42,6 +42,35 @@ def device_corpus(n: int, d: int, dtype="bfloat16", seed: int = 0):
     return gen()
 
 
+def device_clustered_corpus(
+    n: int, d: int, *, n_clusters: int = 1024, sigma: float = 0.35,
+    dtype="bfloat16", seed: int = 0,
+):
+    """Unit-norm mixture-of-Gaussians corpus generated on device.
+
+    Real embedding corpora are clustered (that is what makes IVF work at
+    all); a uniform-random corpus has no partition structure and makes
+    every IVF recall number meaningless. sigma is the expected NORM of
+    the noise relative to the unit-norm center (per-dim std = sigma/√d),
+    so cluster tightness is dimension-independent."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen():
+        kc, ki, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
+        centers = jax.random.normal(kc, (n_clusters, d), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        ids = jax.random.randint(ki, (n,), 0, n_clusters)
+        noise = jax.random.normal(kn, (n, d), jnp.float32) * (
+            sigma / jnp.sqrt(jnp.float32(d))
+        )
+        pts = centers[ids] + noise
+        return (pts / jnp.linalg.norm(pts, axis=1, keepdims=True)).astype(dtype)
+
+    return gen()
+
+
 def device_queries(g: int, q: int, d: int, seeds=(1, 2, 3, 4)):
     import jax
     import jax.numpy as jnp

@@ -43,11 +43,66 @@ def build_charset(extra: str = "") -> str:
     """The default recognizer vocabulary: all characters renderable by
     the shipped fonts (digits, latin, punctuation, extended latin,
     Cyrillic, Greek — ~240 classes), plus any ``extra`` characters the
-    caller's fonts cover (e.g. a CJK subset with a CJK font)."""
+    caller's fonts cover (e.g. a CJK subset with a CJK font).
+
+    Homoglyphs are folded to one class: Latin ``o`` / Cyrillic ``о`` /
+    Greek ``ο`` render to identical pixels in every shipped font, so
+    separate CTC classes are unlearnable from rendered text — the
+    decoder emits the canonical (first-listed) form. The fold table is
+    computed from the fonts themselves (``homoglyph_map``), not a
+    hand-curated list."""
     seen: dict[str, None] = {}
     for ch in _ASCII + _LATIN_EXT + _CYRILLIC + _GREEK + extra:
         seen.setdefault(ch, None)
-    return "".join(seen)
+    raw = "".join(seen)
+    fold = homoglyph_map(raw)
+    return "".join(c for c in raw if fold.get(c, c) == c)
+
+
+@functools.lru_cache(maxsize=8)
+def _glyph_signature(ch: str, fonts: tuple[str, ...]) -> tuple:
+    sig = []
+    for f in fonts:
+        try:
+            img = render_line(ch, font_path=f, font_size=28, pad=1)
+        except Exception:
+            sig.append(None)
+            continue
+        sig.append((img.shape, np.round(img, 2).tobytes()))
+    return tuple(sig)
+
+
+@functools.lru_cache(maxsize=4)
+def _homoglyph_map_cached(charset: str, fonts: tuple[str, ...]) -> tuple:
+    canon: dict[tuple, str] = {}
+    fold: list[tuple[str, str]] = []
+    for ch in charset:
+        if ch == " ":
+            continue
+        sig = _glyph_signature(ch, fonts)
+        if sig in canon:
+            fold.append((ch, canon[sig]))
+        else:
+            canon[sig] = ch
+    return tuple(fold)
+
+
+def homoglyph_map(
+    charset: str, fonts: tuple[str, ...] = DEFAULT_FONTS
+) -> dict[str, str]:
+    """char → canonical char for glyphs that render to identical pixels
+    in EVERY shipped font (e.g. Cyrillic А/Latin A). Canonical = first
+    occurrence in ``charset`` order (Latin precedes Cyrillic/Greek in
+    the default charset)."""
+    return dict(_homoglyph_map_cached(charset, tuple(fonts)))
+
+
+def canonicalize_text(text: str, charset_raw: str | None = None) -> str:
+    """Fold homoglyphs in ``text`` to their canonical class — apply to
+    training labels and to expected strings in evaluations."""
+    raw = charset_raw or (_ASCII + _LATIN_EXT + _CYRILLIC + _GREEK)
+    fold = homoglyph_map("".join(dict.fromkeys(raw)))
+    return "".join(fold.get(c, c) for c in text)
 
 
 @functools.lru_cache(maxsize=32)

@@ -165,7 +165,20 @@ def train_synthetic_classifier(
             fs = int(rng.integers(16, 32))
             font = DEFAULT_FONTS[int(rng.integers(0, len(DEFAULT_FONTS)))]
             ink = render_line(text, font_path=font, font_size=fs)
-            crop = 1.0 - ink  # white bg, dark ink (what crops look like)
+            h0 = ink.shape[0]
+            ink = np.pad(  # detector-crop framing margins (see rec aug)
+                ink,
+                (
+                    (int(rng.integers(0, max(1, int(0.35 * h0)))),
+                     int(rng.integers(0, max(1, int(0.35 * h0))))),
+                    (int(rng.integers(0, max(1, int(0.15 * h0)))),
+                     int(rng.integers(0, max(1, int(0.15 * h0))))),
+                ),
+            )
+            crop = 1.0 - ink * float(rng.uniform(0.6, 1.0))
+            crop = np.clip(
+                crop + rng.normal(0, 0.04, crop.shape).astype(np.float32), 0, 1
+            )
             crop3 = np.repeat(crop[:, :, None], 3, axis=2)
             flip = int(rng.random() < 0.5)
             if flip:
@@ -183,9 +196,9 @@ def train_synthetic_classifier(
 def train_full_ocr(
     charset: str | None = None,
     *,
-    det_steps: int = 400,
-    cls_steps: int = 200,
-    rec_steps: int = 3000,
+    det_steps: int = 500,
+    cls_steps: int = 400,
+    rec_steps: int = 8000,
     width: int = 16,
     seed: int = 0,
 ):
@@ -208,7 +221,7 @@ def train_full_ocr(
     logger.info("cls final loss %.4f", cls_losses[-1])
     rec, rec_params, _, rec_losses = train_synthetic_recognizer(
         charset, steps=rec_steps, width=width * 2, seed=seed,
-        min_len=3, max_len=12,
+        min_len=3, max_len=12, batch=32,
     )
     logger.info("rec final loss %.4f", rec_losses[-1])
     return OCRModelBundle(
@@ -236,7 +249,12 @@ def train_synthetic_recognizer(
     rng = np.random.default_rng(seed)
     model = CTCRecognizer(vocab_size=len(charset), width=width)
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3)))
-    optimizer = optax.adam(lr)
+    optimizer = optax.adam(
+        optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps=max(20, steps // 20),
+            decay_steps=steps, end_value=lr * 0.01,
+        )
+    )
     opt_state = optimizer.init(params)
     blank = len(charset)
 
@@ -244,6 +262,15 @@ def train_synthetic_recognizer(
         fs = int(rng.integers(16, 30))
         font = DEFAULT_FONTS[int(rng.integers(0, len(DEFAULT_FONTS)))]
         ink = render_line(text, font_path=font, font_size=fs)
+        # framing augmentation: detector quads carry DB unclip margin, so
+        # serving-time crops have loose borders (text fills ~55-90% of
+        # the strip height at a random offset) — train on that geometry
+        h0, w0 = ink.shape
+        mt = int(rng.integers(0, max(1, int(0.35 * h0))))
+        mb = int(rng.integers(0, max(1, int(0.35 * h0))))
+        ml = int(rng.integers(0, max(1, int(0.15 * h0))))
+        mr = int(rng.integers(0, max(1, int(0.15 * h0))))
+        ink = np.pad(ink, ((mt, mb), (ml, mr)))
         darkness = float(rng.uniform(0.6, 1.0))
         crop = 1.0 - ink * darkness
         crop = np.clip(

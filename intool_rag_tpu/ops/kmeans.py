@@ -78,6 +78,63 @@ def update_centroids(
     return sums, counts
 
 
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def lloyd_step_blockwise(
+    points: jax.Array,  # [N, D]
+    centroids: jax.Array,  # [K, D] f32
+    *,
+    block_n: int = 16_384,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One fused Lloyd iteration: blockwise assignment + accumulation.
+
+    Returns (assignments [N] i32, sums [K, D] f32, counts [K] f32)
+    reading the corpus once and never materializing more than a
+    [block_n, K] one-hot — the [N, K] matrix is 16 GB at N=1M, K=4096,
+    which is what blocks the 1M-corpus IVF build otherwise."""
+    n, d = points.shape
+    k = centroids.shape[0]
+    block_n = min(block_n, n)
+    num_blocks = -(-n // block_n)
+    padded = num_blocks * block_n
+    if padded != n:
+        points = jnp.pad(points, ((0, padded - n), (0, 0)))
+    c_norms = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+
+    def body(carry, block_idx):
+        sums, counts = carry
+        block = jax.lax.dynamic_slice(
+            points, (block_idx * block_n, 0), (block_n, d)
+        )
+        scores = (
+            2.0
+            * jax.lax.dot_general(
+                block,
+                centroids,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            - c_norms[None, :]
+        )
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        valid = (block_idx * block_n + jnp.arange(block_n)) < n
+        one_hot = jax.nn.one_hot(a, k, dtype=jnp.float32) * valid[:, None]
+        sums = sums + jax.lax.dot_general(
+            one_hot,
+            block.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        counts = counts + jnp.sum(one_hot, axis=0)
+        return (sums, counts), a
+
+    (sums, counts), assigns = jax.lax.scan(
+        body,
+        (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        jnp.arange(num_blocks),
+    )
+    return assigns.reshape(-1)[:n], sums, counts
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _kmeans_pp_init(sample: jax.Array, k: int, rng: jax.Array) -> jax.Array:
     """Farthest-point (maxmin) seeding on a subsample: each next seed is
@@ -128,8 +185,9 @@ def kmeans(
     )
 
     for i in range(iters):
-        assignments = assign_blockwise(points, centroids, block_n=block_n)
-        sums, counts = update_centroids(points, assignments, k)
+        _, sums, counts = lloyd_step_blockwise(
+            points, centroids, block_n=min(block_n, 16_384)
+        )
         new_centroids = sums / jnp.maximum(counts[:, None], 1.0)
         # reseed empties: perturb the centroid of the largest cluster
         empty = counts < 0.5

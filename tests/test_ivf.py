@@ -28,6 +28,23 @@ def test_kmeans_recovers_clusters(rng):
     assert (np.asarray(assign) == a2).all()
 
 
+def test_lloyd_step_blockwise_matches_unblocked(rng):
+    from intool_rag_tpu.ops.kmeans import lloyd_step_blockwise, update_centroids
+
+    points = rng.standard_normal((1000, 16)).astype(np.float32)
+    centroids = rng.standard_normal((12, 16)).astype(np.float32)
+    a, sums, counts = lloyd_step_blockwise(
+        jnp.asarray(points), jnp.asarray(centroids), block_n=96
+    )
+    a_ref = np.asarray(
+        assign_blockwise(jnp.asarray(points), jnp.asarray(centroids))
+    )
+    np.testing.assert_array_equal(np.asarray(a), a_ref)
+    sums_ref, counts_ref = update_centroids(jnp.asarray(points), jnp.asarray(a_ref), 12)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(sums_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(counts_ref))
+
+
 def test_kmeans_no_empty_clusters(rng):
     points = rng.standard_normal((100, 8)).astype(np.float32)
     centroids, assign = kmeans(jnp.asarray(points), 10, iters=8)
