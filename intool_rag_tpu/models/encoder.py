@@ -46,6 +46,11 @@ class EncoderConfig:
     # requirement for BGE-M3's 8192-token inputs, SURVEY §5.7). Shorter
     # sequences and other backends use XLA's fused attention. 0 disables.
     flash_min_len: int = 1024
+    # Sequence parallelism (SURVEY §5.7): when set, attention runs the
+    # ring algorithm over this mesh axis — the model must be applied
+    # inside shard_map with activations sharded on the sequence dim
+    # (parallel/sequence.py sp_encode_fn builds that program).
+    ring_axis: str | None = None
 
     @classmethod
     def bge_m3(cls) -> "EncoderConfig":
@@ -81,6 +86,20 @@ class SelfAttention(nn.Module):
         v = dense("value")(hidden)
         b, s, _ = q.shape
         shape = (b, s, cfg.num_heads, head_dim)
+        if cfg.ring_axis is not None:
+            # sequence parallelism: q/k/v are the LOCAL sequence shard;
+            # k/v blocks rotate around the mesh ring (parallel/sequence.py)
+            from ..parallel.sequence import ring_attention
+
+            attn = ring_attention(
+                q.reshape(shape).transpose(0, 2, 1, 3),
+                k.reshape(shape).transpose(0, 2, 1, 3),
+                v.reshape(shape).transpose(0, 2, 1, 3),
+                mask,
+                axis_name=cfg.ring_axis,
+            ).transpose(0, 2, 1, 3)
+            out = attn.astype(dtype).reshape(b, s, cfg.hidden_size)
+            return nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(out)
         use_flash = (
             cfg.flash_min_len
             and s >= cfg.flash_min_len
@@ -153,13 +172,19 @@ class TextEncoder(nn.Module):
         attention_mask: jax.Array,
         *,
         pool: bool = True,
+        positions: jax.Array | None = None,
     ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        # RoBERTa position ids: cumulative over non-pad, offset by pad id
-        positions = (
-            jnp.cumsum(attention_mask, axis=1) * attention_mask + cfg.pad_token_id
-        )
+        if positions is None:
+            # RoBERTa position ids: cumulative over non-pad, offset by
+            # pad id. Under sequence parallelism the cumsum must span the
+            # GLOBAL sequence, so the SP driver precomputes it and passes
+            # the local slice here (parallel/sequence.py).
+            positions = (
+                jnp.cumsum(attention_mask, axis=1) * attention_mask
+                + cfg.pad_token_id
+            )
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="word_emb")(
             input_ids
         )
