@@ -30,6 +30,12 @@ def _env_float(name: str, default: float) -> float:
     return float(os.getenv(name, str(default)))
 
 
+def _ocr_weights_exist() -> bool:
+    from pathlib import Path
+
+    return (Path(__file__).parent / "ocr" / "weights" / "default.npz").exists()
+
+
 def _env_bool(name: str, default: bool) -> bool:
     return os.getenv(name, "true" if default else "false").strip().lower() in (
         "1",
@@ -321,10 +327,12 @@ class Config:
     MESH_MODEL_AXIS: int = dataclasses.field(
         default_factory=lambda: _env_int("MESH_MODEL_AXIS", 1)
     )
-    # OCR fallback for scanned PDF pages (off by default: without trained
-    # weights the recognizer emits noise; enable when weights are loaded)
+    # OCR fallback for scanned PDF pages. Defaults to on exactly when the
+    # shipped trained weights artifact exists (ocr/weights/default.npz,
+    # built by `python -m intool_rag_tpu.ocr.train`); without weights the
+    # recognizer would emit noise, so the default stays off.
     OCR_ENABLED: bool = dataclasses.field(
-        default_factory=lambda: _env_bool("OCR_ENABLED", False)
+        default_factory=lambda: _env_bool("OCR_ENABLED", _ocr_weights_exist())
     )
     # Serving
     SERVICE_HOST: str = dataclasses.field(

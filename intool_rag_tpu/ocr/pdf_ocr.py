@@ -83,12 +83,22 @@ def extract_page_images(pdf_bytes: bytes, page_number: int) -> list[np.ndarray]:
 
 
 class PDFOCRBridge:
-    """loader.OCREngine implementation: scanned page → text via OCR."""
+    """loader.OCREngine implementation: scanned page → text via OCR.
+
+    The engine is constructed lazily on the first scanned page — model
+    init/weight load takes seconds and must not stall service startup
+    (text-PDF ingest never touches it)."""
 
     def __init__(self, engine=None) -> None:
-        from .pipeline import OCREngine
+        self._engine = engine
 
-        self.engine = engine or OCREngine()
+    @property
+    def engine(self):
+        if self._engine is None:
+            from .pipeline import OCREngine
+
+            self._engine = OCREngine()
+        return self._engine
 
     def extract_page(self, pdf_bytes: bytes, page_number: int) -> tuple[str, float]:
         images = extract_page_images(pdf_bytes, page_number)

@@ -20,6 +20,7 @@ from .postprocess import (
     ctc_greedy_decode,
     db_quads_from_prob_map,
     resize_norm_crop,
+    tighten_crop,
     to_markdown,
 )
 
@@ -198,8 +199,12 @@ class OCREngine:
         elapse["det"] = time.perf_counter() - t0
 
         # rotated crop: each quad is resampled to an upright strip
-        # (reference: get_rotate_crop_image, ocr/main.py:229-237)
-        crops = [crop_quad(image, q, target_h=32) for q in quads]
+        # (reference: get_rotate_crop_image, ocr/main.py:229-237), then
+        # tightened to the ink bounding box so cls/rec see the training
+        # crop distribution (the quad carries DB unclip margin)
+        crops = [
+            tighten_crop(crop_quad(image, q, target_h=32)) for q in quads
+        ]
         keep = [i for i, c in enumerate(crops) if c.size > 0]
         quads = [quads[i] for i in keep]
         crops = [crops[i] for i in keep]

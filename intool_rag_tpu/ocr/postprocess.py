@@ -303,6 +303,37 @@ def ctc_greedy_decode(
     return out
 
 
+def tighten_crop(
+    crop: np.ndarray, *, pad_frac: float = 0.08, target_h: int = 32
+) -> np.ndarray:
+    """Re-crop a detector strip to its ink bounding box and resize back
+    to ``target_h``.
+
+    Detector quads carry the DB unclip margin, so raw crops frame the
+    glyphs loosely (text fills ~50-75% of the strip at a random offset).
+    The recognizer/classifier train on tightly-rendered lines; content
+    tightening at inference collapses both distributions to one. The
+    threshold adapts to the crop's own contrast (midpoint of the 2nd/98th
+    luminance percentiles), so darkness variation and mild noise don't
+    move the box. Blank crops pass through unchanged."""
+    gray = crop.mean(axis=2) if crop.ndim == 3 else crop
+    lo, hi = np.percentile(gray, (2, 98))
+    if hi - lo < 0.15:  # no contrast — blank strip
+        return crop
+    ink = gray < (lo + hi) / 2.0
+    rows = np.flatnonzero(ink.any(axis=1))
+    cols = np.flatnonzero(ink.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        return crop
+    h = rows[-1] - rows[0] + 1
+    pad = max(1, int(round(pad_frac * h)))
+    y0, y1 = max(0, rows[0] - pad), min(gray.shape[0], rows[-1] + 1 + pad)
+    x0, x1 = max(0, cols[0] - pad), min(gray.shape[1], cols[-1] + 1 + pad)
+    tight = crop[y0:y1, x0:x1]
+    w = max(8, int(round(tight.shape[1] * target_h / max(1, tight.shape[0]))))
+    return resize_norm_crop(tight, target_h=target_h, max_w=4096)[:, :w]
+
+
 def crop_box(image: np.ndarray, box: TextBox) -> np.ndarray:
     """Extract a box crop (reference: get_rotate_crop_image — axis-aligned
     here since detection emits rects)."""

@@ -166,13 +166,13 @@ def train_synthetic_classifier(
             font = DEFAULT_FONTS[int(rng.integers(0, len(DEFAULT_FONTS)))]
             ink = render_line(text, font_path=font, font_size=fs)
             h0 = ink.shape[0]
-            ink = np.pad(  # detector-crop framing margins (see rec aug)
+            ink = np.pad(  # mild tightened-crop jitter (see rec aug note)
                 ink,
                 (
-                    (int(rng.integers(0, max(1, int(0.35 * h0)))),
-                     int(rng.integers(0, max(1, int(0.35 * h0))))),
-                    (int(rng.integers(0, max(1, int(0.15 * h0)))),
-                     int(rng.integers(0, max(1, int(0.15 * h0))))),
+                    (int(rng.integers(0, max(1, int(0.12 * h0)))),
+                     int(rng.integers(0, max(1, int(0.12 * h0))))),
+                    (int(rng.integers(0, max(1, int(0.06 * h0)))),
+                     int(rng.integers(0, max(1, int(0.06 * h0))))),
                 ),
             )
             crop = 1.0 - ink * float(rng.uniform(0.6, 1.0))
@@ -262,14 +262,15 @@ def train_synthetic_recognizer(
         fs = int(rng.integers(16, 30))
         font = DEFAULT_FONTS[int(rng.integers(0, len(DEFAULT_FONTS)))]
         ink = render_line(text, font_path=font, font_size=fs)
-        # framing augmentation: detector quads carry DB unclip margin, so
-        # serving-time crops have loose borders (text fills ~55-90% of
-        # the strip height at a random offset) — train on that geometry
+        # mild framing jitter: serving crops are ink-tightened
+        # (postprocess.tighten_crop) with ~8% residual margin — train on
+        # that geometry, not on raw detector-strip margins (large random
+        # margins measurably stall cls/rec convergence)
         h0, w0 = ink.shape
-        mt = int(rng.integers(0, max(1, int(0.35 * h0))))
-        mb = int(rng.integers(0, max(1, int(0.35 * h0))))
-        ml = int(rng.integers(0, max(1, int(0.15 * h0))))
-        mr = int(rng.integers(0, max(1, int(0.15 * h0))))
+        mt = int(rng.integers(0, max(1, int(0.12 * h0))))
+        mb = int(rng.integers(0, max(1, int(0.12 * h0))))
+        ml = int(rng.integers(0, max(1, int(0.06 * h0))))
+        mr = int(rng.integers(0, max(1, int(0.06 * h0))))
         ink = np.pad(ink, ((mt, mb), (ml, mr)))
         darkness = float(rng.uniform(0.6, 1.0))
         crop = 1.0 - ink * darkness

@@ -157,6 +157,30 @@ def test_to_markdown_lines():
     assert md == "hello world\nsecond line"
 
 
+def test_tighten_crop_removes_margins():
+    from intool_rag_tpu.ocr.postprocess import tighten_crop
+    from intool_rag_tpu.ocr.synth import render_line
+
+    ink = render_line("Margin 42", font_size=20)
+    h, w = ink.shape
+    loose = np.ones((h * 2, w + 30, 3), np.float32)  # big white frame
+    loose[h // 2 : h // 2 + h, 15 : 15 + w] -= ink[:, :, None] * 0.9
+    tight = tighten_crop(loose)
+    assert tight.shape[0] == 32
+    gray = tight.mean(axis=2)
+    rows = np.flatnonzero((gray < 0.6).any(axis=1))
+    # ink spans most of the tightened strip height (~8% pad each side)
+    assert rows.size >= 22, f"ink rows {rows.size} of 32"
+
+
+def test_tighten_crop_blank_passthrough():
+    from intool_rag_tpu.ocr.postprocess import tighten_crop
+
+    blank = np.ones((32, 64, 3), np.float32)
+    out = tighten_crop(blank)
+    assert out.shape == blank.shape
+
+
 def test_resize_norm_crop_aspect():
     crop = np.ones((16, 64, 3), np.float32)
     out = resize_norm_crop(crop, target_h=32, max_w=320)

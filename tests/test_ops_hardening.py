@@ -109,7 +109,7 @@ def test_service_async_ingest_and_metrics(tmp_storage, monkeypatch):
     server = ServiceServer(service=svc, host="127.0.0.1", port=0)
     server.start_background()
     try:
-        with httpx.Client(base_url=f"http://127.0.0.1:{server.port}") as c:
+        with httpx.Client(base_url=f"http://127.0.0.1:{server.port}", timeout=60) as c:
             r = c.post(
                 "/ingest",
                 params={"project": "p", "doc_id": "d1", "mode": "async"},

@@ -48,7 +48,7 @@ def service(tmp_storage, monkeypatch):
 def client(service):
     server = ServiceServer(service=service, host="127.0.0.1", port=0)
     server.start_background()
-    with httpx.Client(base_url=f"http://127.0.0.1:{server.port}") as c:
+    with httpx.Client(base_url=f"http://127.0.0.1:{server.port}", timeout=60) as c:
         yield c
     server.shutdown()
 
