@@ -197,7 +197,7 @@ def train_full_ocr(
     charset: str | None = None,
     *,
     det_steps: int = 500,
-    cls_steps: int = 400,
+    cls_steps: int = 800,
     rec_steps: int = 8000,
     width: int = 16,
     seed: int = 0,
