@@ -157,6 +157,24 @@ def test_to_markdown_lines():
     assert md == "hello world\nsecond line"
 
 
+def test_homoglyph_folding():
+    from intool_rag_tpu.ocr.synth import (
+        build_charset,
+        canonicalize_text,
+        homoglyph_map,
+    )
+
+    cs = build_charset()
+    fold = homoglyph_map(cs)
+    # the folded charset contains no pair of pixel-identical glyphs
+    assert not fold, f"charset still contains homoglyphs: {fold}"
+    # Cyrillic о / Greek ο fold to Latin o; distinct glyphs survive
+    assert canonicalize_text("о") == "o"  # Cyrillic
+    assert canonicalize_text("ο") == "o"  # Greek
+    assert canonicalize_text("я") == "я"  # genuinely distinct
+    assert "о" not in cs and "o" in cs
+
+
 def test_tighten_crop_removes_margins():
     from intool_rag_tpu.ocr.postprocess import tighten_crop
     from intool_rag_tpu.ocr.synth import render_line
