@@ -60,16 +60,18 @@ def train_synthetic_detector(
     seed: int = 0,
     lr: float = 1.5e-3,
     max_rotation: float = 15.0,
+    rot90_frac: float = 0.15,
+    init_params=None,
 ):
     """Train DBDetector on synthetic pages. Each batch mixes upright
     pages with rotated ones (uniform ±max_rotation plus occasional 90°)
-    so the prob map learns oriented text. Returns (model, params,
-    losses)."""
+    so the prob map learns oriented text. Pass ``init_params`` to
+    continue training shipped weights. Returns (model, params, losses)."""
     from .synth import gt_prob_map, render_page
 
     rng = np.random.default_rng(seed)
     model = DBDetector(width)
-    params = model.init(
+    params = init_params or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, page_size, page_size, 3))
     )
     optimizer = optax.adam(lr)
@@ -100,9 +102,9 @@ def train_synthetic_detector(
         imgs, maps = [], []
         for _ in range(batch):
             r = rng.random()
-            if r < 0.45:
+            if r < 1.0 - rot90_frac - 0.40:
                 rot = 0.0
-            elif r < 0.85:
+            elif r < 1.0 - rot90_frac:
                 rot = float(rng.uniform(-max_rotation, max_rotation))
             else:
                 rot = float(rng.choice([90.0, -90.0]))
@@ -239,16 +241,20 @@ def train_synthetic_recognizer(
     width: int = 32,
     seed: int = 0,
     lr: float = 2e-3,
+    init_params=None,
 ):
     """Train CTCRecognizer on rendered random strings from ``charset``,
     with font/size/contrast/noise augmentation so it generalizes to
-    detector crops. Returns (model, params, charset, losses)."""
+    detector crops. Pass ``init_params`` to continue training shipped
+    weights. Returns (model, params, charset, losses)."""
     from .postprocess import resize_norm_crop
     from .synth import DEFAULT_FONTS, render_line
 
     rng = np.random.default_rng(seed)
     model = CTCRecognizer(vocab_size=len(charset), width=width)
-    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3)))
+    params = init_params or model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3))
+    )
     optimizer = optax.adam(
         optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps=max(20, steps // 20),

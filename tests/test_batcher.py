@@ -98,7 +98,11 @@ def test_service_concurrent_queries_batched(tmp_storage, monkeypatch):
     server = ServiceServer(service=svc, host="127.0.0.1", port=0)
     server.start_background()
     try:
-        with httpx.Client(base_url=f"http://127.0.0.1:{server.port}") as c:
+        # generous timeout: the first query triggers XLA compilation which
+        # can exceed httpx's 5 s default when the host is under load
+        with httpx.Client(
+            base_url=f"http://127.0.0.1:{server.port}", timeout=120.0
+        ) as c:
             c.post(
                 "/ingest",
                 params={"project": "p", "doc_id": "d1"},
