@@ -102,3 +102,32 @@ def test_simple_tokenizer_deterministic():
     assert m1[1].sum() < m1[0].sum()
     # same word -> same id across batches
     assert ids1[0, 1] == ids1[1, 1]
+
+
+def test_encoder_long_sequence_2048():
+    """Long-context path (SURVEY §5.7: BGE-M3's 8192-token claim): a
+    2048-token encode must produce finite unit embeddings, and padding
+    past the content must not perturb them — verifies RoBERTa cumsum
+    position ids beyond the 512 ceiling most encoders assume. (The TPU
+    flash-attention kernel at these lengths is benchmarked in
+    benchmarks/bench_longcontext.py; this is the CPU correctness leg.)"""
+    cfg = EncoderConfig(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position=2052, dtype="float32",
+    )
+    params = init_params(cfg)
+    fn = encode_fn(cfg)
+    rng = np.random.default_rng(0)
+    content = 1800
+    ids = np.full((1, 2048), 1, np.int32)
+    ids[0, :content] = rng.integers(4, 512, content)
+    mask = np.zeros((1, 2048), np.int32)
+    mask[0, :content] = 1
+    out = np.asarray(fn(params, ids, mask))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+    # same content, shorter buffer: identical embedding
+    out_short = np.asarray(
+        fn(params, ids[:, :content], np.ones((1, content), np.int32))
+    )
+    np.testing.assert_allclose(out, out_short, atol=3e-5)
