@@ -239,8 +239,11 @@ def test_train_and_read_synthetic_digits():
         train_synthetic_recognizer,
     )
 
+    # augment=False: this checks the CTC training loop converges on the
+    # clean task quickly; robustness to augmented crops is covered by the
+    # shipped-weights e2e suite (test_ocr_e2e.py)
     model, params, charset, losses = train_synthetic_recognizer(
-        steps=250, batch=16, seed=0
+        steps=250, batch=16, seed=0, augment=False
     )
     assert losses[-1] < losses[0] * 0.2, f"CTC loss did not converge: {losses[-1]}"
     tests = ["0123", "90210", "777"]
