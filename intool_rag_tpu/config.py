@@ -114,6 +114,11 @@ class Config:
     LLM_PROVIDER: str = dataclasses.field(
         default_factory=lambda: _env_str("LLM_PROVIDER", "")
     )
+    # Local HF Llama checkpoint dir for LLM_PROVIDER=tpu (in-process
+    # TPU generation — providers/tpu_llm.py). Empty = tiny random model.
+    LLM_MODEL_PATH: str = dataclasses.field(
+        default_factory=lambda: _env_str("LLM_MODEL_PATH", "")
+    )
 
     # --- Reranker (implemented for real here; declared-only in the
     # reference — rag/config.py:24-27, SURVEY.md §0) ---

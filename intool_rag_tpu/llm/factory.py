@@ -24,6 +24,10 @@ def _build() -> BaseLLM:
         from ..providers.fake import FakeLLM
 
         return FakeLLM()
+    if choice == "tpu":
+        from ..providers.tpu_llm import TPULLM
+
+        return TPULLM()
     if choice == "gemini" or (not choice and cfg.GEMINI_API_KEY):
         from ..providers.gemini import GeminiLLM
 

@@ -1,0 +1,374 @@
+"""Decoder-only generative LM (Llama-family architecture) with KV-cache
+serving on TPU.
+
+The reference's generation capability is an HTTP call to an Ollama
+server running llama-family GGUF models on CPU (reference:
+rag/llm/providers/ollama.py:9-78, docker-compose.yml:17); this module is
+the TPU-native equivalent: the same model family executed in-process on
+the MXU — bf16 matmuls, a static-shape KV cache updated with
+``dynamic_update_slice``, and a ``lax.scan`` decode loop so the whole
+generation is ONE compiled XLA program (no per-token Python dispatch).
+
+Architecture matches HF ``LlamaForCausalLM`` so real checkpoints port
+1:1 (``load_torch_llama``, torch-parity-tested like the encoder):
+
+- RMSNorm (pre-norm blocks), no biases anywhere,
+- rotary position embeddings in HF's rotate-half convention,
+- grouped-query attention (``num_kv_heads`` < ``num_heads``),
+- SwiGLU MLP (gate/up/down).
+
+Serving enters through :class:`intool_rag_tpu.providers.tpu_llm.TPULLM`
+(``LLM_PROVIDER=tpu``), which implements the BaseLLM port
+(reference: rag/llm/base.py:9-83).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32_000
+    hidden_size: int = 2048
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    intermediate_size: int = 5632
+    max_position: int = 2048
+    rope_theta: float = 10_000.0
+    rms_norm_eps: float = 1e-5
+    dtype: str = "bfloat16"  # compute dtype; params stay f32
+
+    @classmethod
+    def tinyllama(cls) -> "DecoderConfig":
+        """TinyLlama-1.1B dimensions (a realistic local-serving size)."""
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "DecoderConfig":
+        """Test-sized config (CPU-fast, GQA still exercised)."""
+        return cls(
+            vocab_size=256,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            intermediate_size=128,
+            max_position=64,
+            dtype="float32",
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer key/value buffers.
+
+    ``k``/``v``: ``[L, B, max_position, num_kv_heads, head_dim]`` in the
+    compute dtype. ``length``: traced i32 scalar — number of filled
+    positions (same for every row; ragged prompts are handled by
+    left-padding + ``valid``). ``valid``: ``[B, max_position]`` bool —
+    False marks prompt padding slots that must never be attended to.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    valid: jax.Array
+    length: jax.Array
+
+
+def init_cache(config: DecoderConfig, batch: int) -> KVCache:
+    shape = (
+        config.num_layers,
+        batch,
+        config.max_position,
+        config.num_kv_heads,
+        config.head_dim,
+    )
+    dtype = jnp.dtype(config.dtype)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        valid=jnp.zeros((batch, config.max_position), bool),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """HF Llama rotary embedding. x: [B, S, H, Dh], positions: [B, S]."""
+    dh = x.shape[-1]
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh)
+    )  # [Dh/2]
+    angles = positions[:, :, None].astype(jnp.float32) * inv_freq  # [B, S, Dh/2]
+    # HF convention: cos/sin are tiled (not interleaved) across halves
+    cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)[:, :, None, :]
+    sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        norm = xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps
+        )
+        return (norm * scale).astype(x.dtype)
+
+
+class DecoderAttention(nn.Module):
+    config: DecoderConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(self, hidden, positions, cache: KVCache):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        b, s, _ = hidden.shape
+        dh = cfg.head_dim
+        proj = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=dtype, name=name
+        )(hidden)
+        q = proj(cfg.num_heads * dh, "q_proj").reshape(b, s, cfg.num_heads, dh)
+        k = proj(cfg.num_kv_heads * dh, "k_proj").reshape(b, s, cfg.num_kv_heads, dh)
+        v = proj(cfg.num_kv_heads * dh, "v_proj").reshape(b, s, cfg.num_kv_heads, dh)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        # append this call's k/v into the cache at [length, length+s)
+        li = self.layer_idx
+        k_all = jax.lax.dynamic_update_slice(
+            cache.k[li], k.astype(cache.k.dtype), (0, cache.length, 0, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            cache.v[li], v.astype(cache.v.dtype), (0, cache.length, 0, 0)
+        )
+
+        # GQA: repeat kv heads to match query heads
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k_r = jnp.repeat(k_all, rep, axis=2)  # [B, P, H, Dh]
+        v_r = jnp.repeat(v_all, rep, axis=2)
+
+        scores = jnp.einsum(
+            "bshd,bphd->bhsp", q.astype(jnp.float32), k_r.astype(jnp.float32)
+        ) / jnp.sqrt(jnp.float32(dh))
+        # causal + validity mask over cache positions
+        p_idx = jnp.arange(cfg.max_position)
+        q_pos = cache.length + jnp.arange(s)
+        causal = p_idx[None, :] <= q_pos[:, None]  # [S, P]
+        # cache.valid already includes this call's fresh real slots
+        # (DecoderLM writes valid_mask before the layers run) — prompt
+        # padding slots stay False and are never attended. Every query
+        # may attend its OWN slot: pad queries would otherwise see zero
+        # valid keys → all -inf → NaN that poisons later layers' value
+        # matmuls (0 · NaN); their outputs are garbage-but-finite and
+        # never read.
+        self_slot = p_idx[None, :] == q_pos[:, None]  # [S, P]
+        mask = causal[None, None, :, :] & (
+            cache.valid[:, None, None, :] | self_slot[None, None, :, :]
+        )
+        scores = jnp.where(mask, scores, -jnp.inf)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhsp,bphd->bshd", attn, v_r.astype(jnp.float32))
+        out = out.astype(dtype).reshape(b, s, cfg.num_heads * dh)
+        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype, name="o_proj")(out)
+        return out, (k_all, v_all)
+
+
+class DecoderBlock(nn.Module):
+    config: DecoderConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(self, hidden, positions, cache: KVCache):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        normed = RMSNorm(cfg.rms_norm_eps, name="input_ln")(hidden)
+        attn_out, kv = DecoderAttention(cfg, self.layer_idx, name="attn")(
+            normed, positions, cache
+        )
+        hidden = hidden + attn_out
+        normed = RMSNorm(cfg.rms_norm_eps, name="post_attn_ln")(hidden)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=dtype,
+                        name="gate_proj")(normed)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=dtype,
+                      name="up_proj")(normed)
+        down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+        return hidden + down, kv
+
+
+class DecoderLM(nn.Module):
+    """``(input_ids, positions, cache) -> (logits, new_cache)``.
+
+    ``input_ids [B, S]``; ``positions [B, S]`` are GLOBAL token positions
+    (prompt padding gets position 0 — masked out via ``cache.valid``).
+    The cache advances by S each call; pass ``valid_mask`` for the
+    prefill call to mark which of this call's slots hold real tokens.
+    """
+
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        positions: jax.Array,
+        cache: KVCache,
+        valid_mask: jax.Array | None = None,
+    ):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        b, s = input_ids.shape
+        if valid_mask is None:
+            valid_mask = jnp.ones((b, s), bool)
+        # mark this call's slots in the cache validity map
+        new_valid = jax.lax.dynamic_update_slice(
+            cache.valid, valid_mask, (0, cache.length)
+        )
+        cache = cache._replace(valid=new_valid)
+
+        hidden = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="embed"
+        )(input_ids)
+        ks, vs = [], []
+        for i in range(cfg.num_layers):
+            hidden, (k_all, v_all) = DecoderBlock(cfg, i, name=f"layer_{i}")(
+                hidden, positions, cache
+            )
+            ks.append(k_all)
+            vs.append(v_all)
+        hidden = RMSNorm(cfg.rms_norm_eps, name="final_ln")(hidden)
+        logits = nn.Dense(
+            cfg.vocab_size, use_bias=False, dtype=dtype, name="lm_head"
+        )(hidden)
+        new_cache = KVCache(
+            k=jnp.stack(ks),
+            v=jnp.stack(vs),
+            valid=cache.valid,
+            length=cache.length + s,
+        )
+        return logits.astype(jnp.float32), new_cache
+
+
+def init_decoder_params(config: DecoderConfig, seed: int = 0):
+    model = DecoderLM(config)
+    cache = init_cache(config, 1)
+    ids = jnp.ones((1, 2), jnp.int32)
+    pos = jnp.zeros((1, 2), jnp.int32)
+    return model.init(jax.random.PRNGKey(seed), ids, pos, cache)
+
+
+def load_torch_llama(config: DecoderConfig, state_dict: dict):
+    """Map an HF ``LlamaForCausalLM`` state dict onto DecoderLM params."""
+    import numpy as np
+
+    def t(name):
+        w = state_dict[name]
+        return np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach") else w)
+
+    def lin(name):
+        return {"kernel": t(name + ".weight").T}
+
+    params = {
+        "embed": {"embedding": t("model.embed_tokens.weight")},
+        "final_ln": {"scale": t("model.norm.weight")},
+        "lm_head": lin("lm_head"),
+    }
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}"
+        params[f"layer_{i}"] = {
+            "input_ln": {"scale": t(f"{p}.input_layernorm.weight")},
+            "post_attn_ln": {"scale": t(f"{p}.post_attention_layernorm.weight")},
+            "attn": {
+                "q_proj": lin(f"{p}.self_attn.q_proj"),
+                "k_proj": lin(f"{p}.self_attn.k_proj"),
+                "v_proj": lin(f"{p}.self_attn.v_proj"),
+                "o_proj": lin(f"{p}.self_attn.o_proj"),
+            },
+            "gate_proj": lin(f"{p}.mlp.gate_proj"),
+            "up_proj": lin(f"{p}.mlp.up_proj"),
+            "down_proj": lin(f"{p}.mlp.down_proj"),
+        }
+    return {"params": jax.tree.map(jnp.asarray, params)}
+
+
+# ---------------- generation ----------------
+
+
+def make_generate_fn(
+    config: DecoderConfig,
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    eos_id: int | None = None,
+    pad_id: int = 0,
+):
+    """Build a jitted ``(params, prompt_ids, prompt_mask, key) -> tokens``.
+
+    ``prompt_ids [B, S]`` LEFT-padded with ``pad_id`` (``prompt_mask`` 0
+    on padding). Prefill is one forward over the prompt; decode is a
+    ``lax.scan`` of single-token steps over the cache — one XLA program
+    end-to-end. Greedy when ``temperature == 0``.
+    """
+    model = DecoderLM(config)
+    eos = -1 if eos_id is None else eos_id
+
+    def sample(logits, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    def fn(params, prompt_ids, prompt_mask, key):
+        b, s = prompt_ids.shape
+        cache = init_cache(config, b)
+        # global positions: 0..len-1 over real tokens (left padding → 0)
+        positions = jnp.maximum(
+            jnp.cumsum(prompt_mask, axis=1) - 1, 0
+        ).astype(jnp.int32)
+        logits, cache = model.apply(
+            params, prompt_ids, positions, cache, prompt_mask.astype(bool)
+        )
+        key, k0 = jax.random.split(key)
+        next_tok = sample(logits[:, -1], k0)
+        n_real = positions[:, -1] + 1  # per-row true prompt length
+
+        def step(carry, key_t):
+            cache, tok, pos, done = carry
+            lgts, cache = model.apply(
+                params, tok[:, None], pos[:, None], cache
+            )
+            nxt = sample(lgts[:, 0], key_t)
+            nxt = jnp.where(done, pad_id, nxt)
+            done = done | (nxt == eos)
+            return (cache, nxt, pos + 1, done), nxt
+
+        keys = jax.random.split(key, max_new_tokens)
+        done0 = next_tok == eos
+        (_, _, _, _), toks = jax.lax.scan(
+            step, (cache, next_tok, n_real, done0), keys[: max_new_tokens - 1]
+        )
+        all_toks = jnp.concatenate([next_tok[:, None], toks.T], axis=1)
+        return all_toks
+
+    return jax.jit(fn)

@@ -1,0 +1,212 @@
+"""In-process TPU text generation behind the BaseLLM port.
+
+The reference's local-generation provider shells out over HTTP to an
+Ollama server running llama-family models on CPU (reference:
+rag/llm/providers/ollama.py:9-78). This provider is the TPU-native
+equivalent: a :class:`~intool_rag_tpu.models.decoder.DecoderLM`
+(HF-Llama-compatible) executed in-process — prefill + ``lax.scan``
+decode as one compiled XLA program per (bucketed) prompt shape.
+
+Weights resolution:
+
+- ``LLM_MODEL_PATH`` set → load an HF Llama checkpoint from that local
+  directory (config.json + pytorch weights + tokenizer). No network.
+- unset → a tiny random-weight model with a byte-level tokenizer. This
+  serves the full pipeline (useful for latency benchmarks and tests —
+  FLOPs and the serving path are weight-independent) but emits
+  uninformative text; the factory therefore only selects this provider
+  when ``LLM_PROVIDER=tpu`` is explicit.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from ..config import get_config
+from ..llm.base import BaseLLM
+from ..logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class ByteTokenizer:
+    """Invertible UTF-8 byte tokenizer: id = byte + 3 (0=pad, 1=bos, 2=eos)."""
+
+    pad_id = 0
+    bos_id = 1
+    eos_id = 2
+    vocab_size = 256 + 3
+
+    def encode(self, text: str) -> list[int]:
+        return [self.bos_id] + [b + 3 for b in text.encode("utf-8")]
+
+    def decode(self, ids) -> str:
+        data = bytes(int(i) - 3 for i in ids if int(i) >= 3)
+        return data.decode("utf-8", errors="replace")
+
+
+def _bucket(n: int, buckets=(64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class TPULLM(BaseLLM):
+    def __init__(
+        self,
+        config=None,
+        params=None,
+        tokenizer=None,
+        *,
+        max_new_tokens: int | None = None,
+        temperature: float | None = None,
+    ) -> None:
+        from ..models.decoder import DecoderConfig, init_decoder_params
+
+        app_cfg = get_config()
+        self.temperature = (
+            app_cfg.LLM_TEMPERATURE if temperature is None else temperature
+        )
+        self.max_new_tokens = max_new_tokens or min(app_cfg.LLM_MAX_TOKENS, 256)
+        model_path = getattr(app_cfg, "LLM_MODEL_PATH", "")
+        if config is not None:
+            self.config = config
+            self.params = params or init_decoder_params(config)
+            self.tokenizer = tokenizer or ByteTokenizer()
+        elif model_path:
+            self.config, self.params, self.tokenizer = self._load_hf(model_path)
+        else:
+            logger.warning(
+                "TPULLM without LLM_MODEL_PATH: tiny random-weight model "
+                "(serving-path benchmarking only — responses are noise)"
+            )
+            self.config = DecoderConfig(
+                vocab_size=ByteTokenizer.vocab_size + 1,
+                hidden_size=256,
+                num_layers=4,
+                num_heads=8,
+                num_kv_heads=4,
+                intermediate_size=512,
+                max_position=1024,
+                dtype="float32",
+            )
+            self.params = init_decoder_params(self.config)
+            self.tokenizer = ByteTokenizer()
+        self._gen_fns: dict = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _load_hf(path: str):
+        """HF Llama checkpoint from a local directory (no network)."""
+        import json
+        from pathlib import Path
+
+        from ..models.decoder import DecoderConfig, load_torch_llama
+
+        p = Path(path)
+        with open(p / "config.json") as f:
+            hf = json.load(f)
+        config = DecoderConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            intermediate_size=hf["intermediate_size"],
+            max_position=min(hf.get("max_position_embeddings", 2048), 4096),
+            rope_theta=hf.get("rope_theta", 10_000.0),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        )
+        import torch
+
+        state: dict = {}
+        for f in sorted(p.glob("*.safetensors")):
+            from safetensors.torch import load_file
+
+            state.update(load_file(f))
+        if not state:
+            for f in sorted(p.glob("pytorch_model*.bin")):
+                state.update(torch.load(f, map_location="cpu", weights_only=True))
+        params = load_torch_llama(config, state)
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(str(p), local_files_only=True)
+        return config, params, tok
+
+    # ---------------- BaseLLM port ----------------
+
+    def _generate_fn(self, prompt_bucket: int):
+        from ..models.decoder import make_generate_fn
+
+        key = prompt_bucket
+        with self._lock:
+            if key not in self._gen_fns:
+                eos = getattr(self.tokenizer, "eos_id", None)
+                if eos is None:
+                    eos = getattr(self.tokenizer, "eos_token_id", None)
+                self._gen_fns[key] = make_generate_fn(
+                    self.config,
+                    max_new_tokens=min(
+                        self.max_new_tokens,
+                        max(1, self.config.max_position - prompt_bucket),
+                    ),
+                    temperature=self.temperature,
+                    eos_id=eos,
+                    pad_id=getattr(self.tokenizer, "pad_id", 0),
+                )
+            return self._gen_fns[key]
+
+    def _encode_prompt(self, prompt: str) -> tuple[np.ndarray, np.ndarray]:
+        if hasattr(self.tokenizer, "encode") and not hasattr(
+            self.tokenizer, "eos_token_id"
+        ):
+            ids = self.tokenizer.encode(prompt)
+        else:  # HF tokenizer
+            ids = self.tokenizer(prompt)["input_ids"]
+        limit = self.config.max_position - self.max_new_tokens
+        ids = ids[-max(8, limit):]
+        bucket = _bucket(len(ids))
+        pad = bucket - len(ids)
+        arr = np.full((1, bucket), getattr(self.tokenizer, "pad_id", 0), np.int32)
+        mask = np.zeros((1, bucket), np.int32)
+        arr[0, pad:] = ids
+        mask[0, pad:] = 1
+        return arr, mask
+
+    def generate(self, prompt: str, **kwargs) -> str:
+        import jax
+
+        ids, mask = self._encode_prompt(prompt)
+        fn = self._generate_fn(ids.shape[1])
+        seed = abs(hash(prompt)) % (2**31)
+        toks = np.asarray(fn(self.params, ids, mask, jax.random.PRNGKey(seed)))[0]
+        eos = getattr(self.tokenizer, "eos_id", None) or getattr(
+            self.tokenizer, "eos_token_id", None
+        )
+        out = []
+        for t in toks:
+            if eos is not None and int(t) == int(eos):
+                break
+            out.append(int(t))
+        return self.tokenizer.decode(out)
+
+    def generate_stream(self, prompt: str, **kwargs) -> Iterator[str]:
+        text = self.generate(prompt, **kwargs)
+        step = 32
+        for i in range(0, len(text), step):
+            yield text[i : i + step]
+
+    def is_ready(self) -> bool:
+        return True
+
+    def get_info(self) -> dict:
+        return {
+            "provider": "TPULLM",
+            "layers": self.config.num_layers,
+            "hidden": self.config.hidden_size,
+            "max_position": self.config.max_position,
+        }

@@ -1,0 +1,175 @@
+"""Decoder LM tests: KV-cache parity, ragged left-padded prompts,
+generation determinism/eos, HF LlamaForCausalLM weight-port parity, and
+the TPULLM provider port (the TPU-native counterpart of the reference's
+Ollama generation provider, rag/llm/providers/ollama.py:9-78)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intool_rag_tpu.models.decoder import (
+    DecoderConfig,
+    DecoderLM,
+    init_cache,
+    init_decoder_params,
+    make_generate_fn,
+)
+
+CFG = DecoderConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_decoder_params(CFG)
+
+
+def test_kv_cache_matches_full_forward(params):
+    """Prefill + stepwise decode must reproduce the one-shot logits."""
+    model = DecoderLM(CFG)
+    rng = np.random.default_rng(0)
+    b, s = 2, 10
+    ids = jnp.asarray(rng.integers(2, CFG.vocab_size, (b, s)).astype(np.int32))
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s)).astype(jnp.int32)
+    full, _ = model.apply(params, ids, pos, init_cache(CFG, b))
+    cache = init_cache(CFG, b)
+    l_pre, cache = model.apply(params, ids[:, :6], pos[:, :6], cache)
+    chunks = [l_pre]
+    for t in range(6, s):
+        lt, cache = model.apply(params, ids[:, t : t + 1], pos[:, t : t + 1], cache)
+        chunks.append(lt)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(jnp.concatenate(chunks, axis=1)), atol=1e-4
+    )
+
+
+def test_left_padded_prompt_matches_unpadded(params):
+    """Ragged batches left-pad; logits at real positions must match the
+    unpadded single-row forward (mask + position-id correctness)."""
+    model = DecoderLM(CFG)
+    rng = np.random.default_rng(1)
+    b, s, pad = 2, 10, 3
+    ids = rng.integers(2, CFG.vocab_size, (b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[1, :pad] = 0
+    ids[1, :pad] = 0
+    pos = np.maximum(np.cumsum(mask, axis=1) - 1, 0).astype(np.int32)
+    lp, _ = model.apply(
+        params, jnp.asarray(ids), jnp.asarray(pos), init_cache(CFG, b),
+        jnp.asarray(mask, bool),
+    )
+    l1, _ = model.apply(
+        params,
+        jnp.asarray(ids[1, pad:][None]),
+        jnp.arange(s - pad)[None].astype(jnp.int32),
+        init_cache(CFG, 1),
+    )
+    assert np.isfinite(np.asarray(lp)[1, pad:]).all()
+    np.testing.assert_allclose(
+        np.asarray(lp)[1, pad:], np.asarray(l1)[0], atol=1e-4
+    )
+
+
+def test_greedy_generation_deterministic(params):
+    gen = make_generate_fn(CFG, max_new_tokens=6)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(2, CFG.vocab_size, (2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    a = np.asarray(gen(params, ids, mask, jax.random.PRNGKey(0)))
+    b = np.asarray(gen(params, ids, mask, jax.random.PRNGKey(9)))
+    assert a.shape == (2, 6)
+    assert (a == b).all(), "greedy decode must ignore the PRNG key"
+
+
+def test_eos_stops_and_pads(params):
+    """After eos is sampled, every later slot must be pad_id."""
+    gen = make_generate_fn(CFG, max_new_tokens=12, eos_id=5, pad_id=0)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(2, CFG.vocab_size, (4, 6)).astype(np.int32))
+    mask = jnp.ones((4, 6), jnp.int32)
+    toks = np.asarray(gen(params, ids, mask, jax.random.PRNGKey(0)))
+    for row in toks:
+        hit = np.where(row == 5)[0]
+        if hit.size:
+            assert (row[hit[0] + 1 :] == 0).all(), row
+
+
+def test_temperature_sampling_varies_with_key(params):
+    gen = make_generate_fn(CFG, max_new_tokens=8, temperature=1.0)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(2, CFG.vocab_size, (1, 8)).astype(np.int32))
+    mask = jnp.ones((1, 8), jnp.int32)
+    a = np.asarray(gen(params, ids, mask, jax.random.PRNGKey(0)))
+    b = np.asarray(gen(params, ids, mask, jax.random.PRNGKey(1)))
+    assert not (a == b).all()
+
+
+@pytest.mark.slow
+def test_decoder_matches_torch_llama():
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from intool_rag_tpu.models.decoder import load_torch_llama
+
+    hf_cfg = LlamaConfig(
+        vocab_size=CFG.vocab_size,
+        hidden_size=CFG.hidden_size,
+        num_hidden_layers=CFG.num_layers,
+        num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_kv_heads,
+        intermediate_size=CFG.intermediate_size,
+        max_position_embeddings=CFG.max_position,
+        rope_theta=CFG.rope_theta,
+        rms_norm_eps=CFG.rms_norm_eps,
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    params = load_torch_llama(CFG, hf.state_dict())
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2, CFG.vocab_size, (2, 12)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    model = DecoderLM(CFG)
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12)).astype(jnp.int32)
+    got, _ = model.apply(
+        params, jnp.asarray(ids.astype(np.int32)), pos, init_cache(CFG, 2)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+
+def test_tpu_llm_provider_roundtrip(monkeypatch):
+    """TPULLM serves the BaseLLM port end-to-end with the tiny model."""
+    from intool_rag_tpu.providers.tpu_llm import ByteTokenizer, TPULLM
+
+    tok = ByteTokenizer()
+    assert tok.decode(tok.encode("héllo wörld")) == "héllo wörld"
+
+    llm = TPULLM(
+        config=CFG, tokenizer=tok, max_new_tokens=8, temperature=0.0
+    )
+    out = llm.generate("2+2=")
+    assert isinstance(out, str)
+    assert llm.generate("2+2=") == out, "greedy generation must be stable"
+    chunks = list(llm.generate_stream("2+2="))
+    assert "".join(chunks) == out
+    assert llm.is_ready()
+    info = llm.get_info()
+    assert info["provider"] == "TPULLM" and info["layers"] == CFG.num_layers
+
+
+def test_factory_builds_tpu_llm(monkeypatch):
+    monkeypatch.setenv("LLM_PROVIDER", "tpu")
+    from intool_rag_tpu import config as config_mod
+    from intool_rag_tpu.llm import factory
+
+    config_mod.reset_config()
+    factory.reset_llm()
+    try:
+        llm = factory.get_llm()
+        assert llm.get_info()["provider"] == "TPULLM"
+    finally:
+        factory.reset_llm()
+        monkeypatch.delenv("LLM_PROVIDER")
+        config_mod.reset_config()
