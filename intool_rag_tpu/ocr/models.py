@@ -133,13 +133,16 @@ class OCRModelBundle:
     charset: str  # rec vocab, index = class id
 
     @classmethod
-    def create(cls, charset: str, seed: int = 0, width: int = 16) -> "OCRModelBundle":
+    def create(
+        cls, charset: str, seed: int = 0, width: int = 16,
+        rec_width: int | None = None,
+    ) -> "OCRModelBundle":
         rng = jax.random.PRNGKey(seed)
         det = DBDetector(width)
         det_params = det.init(rng, jnp.zeros((1, 64, 64, 3)))
         cls_model = OrientationClassifier(width)
         cls_params = cls_model.init(rng, jnp.zeros((1, 32, 64, 3)))
-        rec = CTCRecognizer(vocab_size=len(charset), width=width * 2)
+        rec = CTCRecognizer(vocab_size=len(charset), width=rec_width or width * 2)
         rec_params = rec.init(rng, jnp.zeros((1, 32, 64, 3)))
         return cls(det, det_params, cls_model, cls_params, rec, rec_params, charset)
 
@@ -155,7 +158,11 @@ class OCRModelBundle:
         import flax.serialization as ser
         import numpy as np
 
-        meta = json.dumps({"charset": self.charset, "width": self._width()})
+        meta = json.dumps({
+            "charset": self.charset,
+            "width": self._width(),
+            "rec_width": self.rec.width,
+        })
         np.savez_compressed(
             Path(path),
             meta=np.frombuffer(meta.encode("utf-8"), np.uint8),
@@ -176,7 +183,10 @@ class OCRModelBundle:
 
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
-            bundle = cls.create(meta["charset"], width=meta["width"])
+            bundle = cls.create(
+                meta["charset"], width=meta["width"],
+                rec_width=meta.get("rec_width", meta["width"] * 2),
+            )
             det_p = ser.from_bytes(bundle.det_params, z["det"].tobytes())
             cls_p = ser.from_bytes(bundle.cls_params, z["cls"].tobytes())
             rec_p = ser.from_bytes(bundle.rec_params, z["rec"].tobytes())

@@ -170,12 +170,19 @@ def db_quads_from_prob_map(
 
 
 def crop_quad(
-    image: np.ndarray, quad: QuadBox, *, target_h: int = 32, max_w: int = 640
+    image: np.ndarray, quad: QuadBox, *, target_h: int = 32, max_w: int = 640,
+    extend_frac: float = 0.35,
 ) -> np.ndarray:
     """Rotated crop: bilinear-sample the quad onto an axis-aligned
     ``[target_h, W, 3]`` float image (reference: get_rotate_crop_image,
     ocr/main.py:229-237 — perspective warp; affine suffices for the
-    rectangle quads our detector emits)."""
+    rectangle quads our detector emits).
+
+    The sampled span is extended by ``extend_frac``·height along the
+    reading axis on both ends: DB probability maps respond weakly to
+    thin edge glyphs (``l``, ``:``, ``°``), so detector quads clip them;
+    over-cropping here is trimmed back to actual ink by
+    ``tighten_crop``, which follows in the pipeline."""
     h_src, w_src = image.shape[:2]
     img = image.astype(np.float32)
     if img.ndim == 2:
@@ -185,13 +192,16 @@ def crop_quad(
     if img.max() > 1.5:
         img = img / 255.0
     qw, qh = max(quad.width, 1.0), max(quad.height, 1.0)
-    out_w = int(np.clip(round(qw * target_h / qh), 8, max_w))
+    ext = extend_frac * qh
     u = (quad.points[1] - quad.points[0]) / qw  # unit reading axis
     v = (quad.points[3] - quad.points[0]) / qh  # unit descender axis
+    origin = quad.points[0] - ext * u
+    qw = qw + 2.0 * ext
+    out_w = int(np.clip(round(qw * target_h / qh), 8, max_w))
     cols = (np.arange(out_w) + 0.5) * (qw / out_w)
     rows = (np.arange(target_h) + 0.5) * (qh / target_h)
-    xs = quad.points[0, 0] + cols[None, :] * u[0] + rows[:, None] * v[0]
-    ys = quad.points[0, 1] + cols[None, :] * u[1] + rows[:, None] * v[1]
+    xs = origin[0] + cols[None, :] * u[0] + rows[:, None] * v[0]
+    ys = origin[1] + cols[None, :] * u[1] + rows[:, None] * v[1]
     xs = np.clip(xs, 0, w_src - 1)
     ys = np.clip(ys, 0, h_src - 1)
     x0 = np.floor(xs).astype(int)
@@ -323,6 +333,32 @@ def tighten_crop(
     ink = gray < (lo + hi) / 2.0
     rows = np.flatnonzero(ink.any(axis=1))
     cols = np.flatnonzero(ink.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        return crop
+    # keep only the column span connected to the crop center: crop_quad
+    # over-extends the reading axis to rescue clipped edge glyphs, which
+    # can pull a NEIGHBORING line segment into view — ink separated from
+    # the central mass by a gap much wider than a word space belongs to
+    # that neighbor, not this line
+    has_ink = ink.any(axis=0)
+    max_gap = max(3, int(0.75 * gray.shape[0]))
+    center = gray.shape[1] // 2
+    left = cols[0]
+    right = cols[-1]
+    gap = 0
+    for x in range(center, cols[0] - 1, -1):
+        gap = gap + 1 if not has_ink[x] else 0
+        if gap > max_gap:
+            left = x + gap
+            break
+    gap = 0
+    for x in range(center, cols[-1] + 1):
+        gap = gap + 1 if not has_ink[x] else 0
+        if gap > max_gap:
+            right = x - gap
+            break
+    cols = cols[(cols >= left) & (cols <= right)]
+    rows = np.flatnonzero(ink[:, cols].any(axis=1))
     if rows.size == 0 or cols.size == 0:
         return crop
     h = rows[-1] - rows[0] + 1

@@ -72,9 +72,59 @@ def _glyph_signature(ch: str, fonts: tuple[str, ...]) -> tuple:
     return tuple(sig)
 
 
+@functools.lru_cache(maxsize=512)
+def _glyph_bitmap(ch: str, font: str) -> np.ndarray | None:
+    """Glyph on a normalized 32×32 grid (aspect-preserving, centered) —
+    the comparison space for NEAR-homoglyph detection."""
+    try:
+        img = render_line(ch, font_path=font, font_size=28, pad=1)
+    except Exception:
+        return None
+    h, w = img.shape
+    s = 28.0 / max(h, w)
+    from PIL import Image
+
+    pil = Image.fromarray((img * 255).astype(np.uint8)).resize(
+        (max(1, int(round(w * s))), max(1, int(round(h * s))))
+    )
+    arr = np.asarray(pil, np.float32) / 255.0
+    out = np.zeros((32, 32), np.float32)
+    oy = (32 - arr.shape[0]) // 2
+    ox = (32 - arr.shape[1]) // 2
+    out[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = arr
+    return out
+
+
+def _aligned_diff(a: str, b: str, font: str) -> float:
+    """Normalized L1 ink difference at the best ±2 px alignment."""
+    ga, gb = _glyph_bitmap(a, font), _glyph_bitmap(b, font)
+    if ga is None or gb is None:
+        return 1.0
+    denom = max(float(ga.sum() + gb.sum()), 1e-6)
+    best = 1.0
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            shifted = np.roll(np.roll(gb, dy, 0), dx, 1)
+            best = min(best, float(np.abs(ga - shifted).sum()) / denom)
+    return best
+
+
+def _near_identical(a: str, b: str, fonts: tuple[str, ...], tol: float) -> bool:
+    """True when the pair is unlearnable as separate CTC classes at crop
+    resolution: mean aligned ink difference across fonts < ``tol`` and no
+    font exceeds 3·``tol`` (measured: ё/ë ≈ 0.05 mean, κ/к ≈ 0.05,
+    у/y ≈ 0.02 — the confusions that dominated exact-match errors —
+    vs clearly-learnable б/6 ≈ 0.18, И/N ≈ 0.27)."""
+    diffs = [_aligned_diff(a, b, f) for f in fonts]
+    return float(np.mean(diffs)) < tol and max(diffs) < 3.0 * tol
+
+
 @functools.lru_cache(maxsize=4)
-def _homoglyph_map_cached(charset: str, fonts: tuple[str, ...]) -> tuple:
+def _homoglyph_map_cached(
+    charset: str, fonts: tuple[str, ...], tol: float = 0.0
+) -> tuple:
     canon: dict[tuple, str] = {}
+    reps: list[str] = []  # canonical representatives, charset order
     fold: list[tuple[str, str]] = []
     for ch in charset:
         if ch == " ":
@@ -82,19 +132,35 @@ def _homoglyph_map_cached(charset: str, fonts: tuple[str, ...]) -> tuple:
         sig = _glyph_signature(ch, fonts)
         if sig in canon:
             fold.append((ch, canon[sig]))
-        else:
-            canon[sig] = ch
+            continue
+        if tol > 0:
+            near = next(
+                (r for r in reps if _near_identical(ch, r, fonts, tol)), None
+            )
+            if near is not None:
+                canon[sig] = near
+                fold.append((ch, near))
+                continue
+        canon[sig] = ch
+        reps.append(ch)
     return tuple(fold)
 
 
+NEAR_HOMOGLYPH_TOL = 0.06  # mean aligned L1 ink difference across fonts
+
+
 def homoglyph_map(
-    charset: str, fonts: tuple[str, ...] = DEFAULT_FONTS
+    charset: str, fonts: tuple[str, ...] = DEFAULT_FONTS,
+    tol: float = NEAR_HOMOGLYPH_TOL,
 ) -> dict[str, str]:
     """char → canonical char for glyphs that render to identical pixels
-    in EVERY shipped font (e.g. Cyrillic А/Latin A). Canonical = first
-    occurrence in ``charset`` order (Latin precedes Cyrillic/Greek in
-    the default charset)."""
-    return dict(_homoglyph_map_cached(charset, tuple(fonts)))
+    in EVERY shipped font (e.g. Cyrillic А/Latin A), plus NEAR-identical
+    pairs below ``tol`` normalized ink difference (Φ/Ф, κ/к, ë/ё —
+    measured to dominate the recognizer's confusions; such pairs are
+    unlearnable as separate CTC classes at 32-px crop height). Canonical
+    = first occurrence in ``charset`` order (Latin precedes
+    Cyrillic/Greek in the default charset)."""
+    return dict(_homoglyph_map_cached(charset, tuple(fonts), tol))
 
 
 def canonicalize_text(text: str, charset_raw: str | None = None) -> str:

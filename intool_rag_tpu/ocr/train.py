@@ -350,3 +350,142 @@ if __name__ == "__main__":
     bundle = train_full_ocr()
     bundle.save(out)
     print(f"saved {out} ({out.stat().st_size / 1e6:.2f} MB)")
+
+
+def train_recognizer_cached(
+    charset: str,
+    *,
+    pool_size: int = 16384,
+    steps: int = 40_000,
+    batch: int = 32,
+    crop_w: int = 320,
+    max_len: int = 12,
+    min_len: int = 3,
+    width: int = 32,
+    seed: int = 0,
+    lr: float = 1.5e-3,
+    init_params=None,
+    steps_per_launch: int = 100,
+):
+    """TPU-first recognizer training: render an augmented crop pool ONCE
+    (host PIL rendering is the wall-clock bottleneck of the per-step
+    trainer — ~50 min / 12k steps), park it in device memory at a fixed
+    [pool, 32, crop_w, 3] shape, and run ``steps_per_launch`` optimizer
+    steps per device launch with ``lax.scan`` sampling random batches
+    from the pool — amortizing the ~40 ms remote-tunnel RPC the same way
+    the search benchmarks do (ARCHITECTURE.md §8). ~10× faster wall
+    clock than the per-step trainer at equal step count."""
+    from .postprocess import resize_norm_crop
+    from .synth import DEFAULT_FONTS, random_text, render_line
+
+    rng = np.random.default_rng(seed)
+    model = CTCRecognizer(vocab_size=len(charset), width=width)
+    params = init_params or model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3))
+    )
+    blank = len(charset)
+
+    # ---- render the pool (host, once) ----
+    # serif is upweighted: its hairline strokes at 32-px height are the
+    # measured weak spot of a uniformly-sampled pool (reads 'Invoice'
+    # as 'voce' while sans/mono read clean)
+    font_probs = np.array([0.2, 0.2, 0.4, 0.2])[: len(DEFAULT_FONTS)]
+    font_probs = font_probs / font_probs.sum()
+    pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
+    labels = np.zeros((pool_size, max_len), np.int32)
+    label_pad = np.ones((pool_size, max_len), np.float32)
+    for i in range(pool_size):
+        # random_text may inject a space beyond the requested length
+        text = random_text(rng, charset, min_len, max_len)[:max_len]
+        fs = int(rng.integers(16, 30))
+        font = DEFAULT_FONTS[int(rng.choice(len(DEFAULT_FONTS), p=font_probs))]
+        ink = render_line(text, font_path=font, font_size=fs)
+        h0 = ink.shape[0]
+        ink = np.pad(
+            ink,
+            (
+                (int(rng.integers(0, max(1, int(0.12 * h0)))),
+                 int(rng.integers(0, max(1, int(0.12 * h0))))),
+                (int(rng.integers(0, max(1, int(0.06 * h0)))),
+                 int(rng.integers(0, max(1, int(0.06 * h0))))),
+            ),
+        )
+        crop = 1.0 - ink * float(rng.uniform(0.6, 1.0))
+        # mild noise only — the device-side augmentation adds more per
+        # visit, and heavy baked-in noise erases serif hairlines
+        crop = np.clip(
+            crop + rng.normal(0, 0.02, crop.shape).astype(np.float32), 0, 1
+        )
+        crop3 = np.repeat(crop[:, :, None], 3, axis=2)
+        w = max(8, min(crop_w, int(round(crop.shape[1] * 32 / crop.shape[0]))))
+        r = resize_norm_crop(crop3, target_h=32, max_w=crop_w)[:, :w]
+        pool[i, :, : r.shape[1]] = r
+        labels[i, : len(text)] = [charset.index(c) for c in text]
+        label_pad[i, : len(text)] = 0.0
+        if i % 4096 == 0:
+            logger.info("pool render %d/%d", i, pool_size)
+
+    pool_d = jnp.asarray(pool)
+    labels_d = jnp.asarray(labels)
+    lpad_d = jnp.asarray(label_pad)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=max(50, steps // 50),
+        decay_steps=steps, end_value=lr * 0.02,
+    )
+    optimizer = optax.adam(schedule)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def launch(params, opt_state, key, pool, labels, lpad):
+        def one_step(carry, key_t):
+            params, opt_state = carry
+            ki, kc, kb, kn = jax.random.split(key_t, 4)
+            idx = jax.random.randint(ki, (batch,), 0, pool_size)
+            images = pool[idx]
+            lab = labels[idx]
+            lp = lpad[idx]
+            # device-side augmentation: each pool crop is reused ~150×
+            # over a 40k-step run — contrast/brightness jitter + fresh
+            # noise per visit keeps that from memorizing pixel values
+            contrast = jax.random.uniform(kc, (batch, 1, 1, 1), minval=0.8,
+                                          maxval=1.15)
+            bright = jax.random.uniform(kb, (batch, 1, 1, 1), minval=-0.08,
+                                        maxval=0.08)
+            images = jnp.clip(
+                (images - 1.0) * contrast + 1.0 + bright
+                + 0.02 * jax.random.normal(kn, images.shape),
+                0.0, 1.0,
+            )
+
+            def loss_fn(p):
+                logits = model.apply(p, images)
+                logit_pad = jnp.zeros(logits.shape[:2], jnp.float32)
+                return optax.ctc_loss(
+                    logits, logit_pad, lab, lp, blank_id=blank
+                ).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        keys = jax.random.split(key, steps_per_launch)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys
+        )
+        return params, opt_state, losses
+
+    losses: list[float] = []
+    n_launches = -(-steps // steps_per_launch)
+    for li in range(n_launches):
+        params, opt_state, batch_losses = launch(
+            params, opt_state, jax.random.PRNGKey(seed * 7919 + li),
+            pool_d, labels_d, lpad_d,
+        )
+        losses.extend(np.asarray(batch_losses).tolist())
+        if li % 20 == 0:
+            recent = float(np.mean(losses[-steps_per_launch:]))
+            logger.info(
+                "rec cached launch %d/%d mean loss %.4f", li, n_launches, recent
+            )
+    return model, params, charset, losses
