@@ -313,3 +313,42 @@ def gt_prob_map(
         pts = (c + (corners - c) * (1.0 - shrink)) / stride
         draw.polygon([tuple(p) for p in pts], fill=1.0)
     return np.asarray(img, np.float32)
+
+
+_SYLLABLES = (
+    "al an ar as at ba be ca ce co da de di do du el en er es et fa fi "
+    "ge ha he hi in is it la le li lo lu ma me mi mo mu na ne ni no nu "
+    "on or os ra re ri ro ru sa se si so su ta te ti to tu ul um un ur "
+    "us ve vi vo"
+).split()
+
+
+def wordlike_text(rng: np.random.Generator, charset: str, max_len: int = 12) -> str:
+    """A document-like text fragment: pseudo-words (syllable chains),
+    digit groups, prices, dates, codes — the statistics of real invoice
+    and report lines, restricted to characters present in ``charset``."""
+    kind = rng.random()
+    if kind < 0.5:  # pseudo-word(s), maybe capitalized
+        words = []
+        budget = max_len
+        while budget >= 4:
+            w = "".join(
+                rng.choice(_SYLLABLES)
+                for _ in range(int(rng.integers(1, 3)))
+            )
+            if rng.random() < 0.35:
+                w = w.capitalize() if rng.random() < 0.8 else w.upper()
+            words.append(w[: budget])
+            budget -= len(w) + 1
+        s = " ".join(words)
+    elif kind < 0.7:  # number / price / percentage
+        n = "".join(rng.choice(list("0123456789"), size=int(rng.integers(2, 6))))
+        s = rng.choice([n, f"{n}.{int(rng.integers(0,99)):02d}", f"${n}",
+                        f"{n}%", f"#{n}"])
+    elif kind < 0.85:  # date-ish
+        s = f"{int(rng.integers(1,28)):02d}/{int(rng.integers(1,12)):02d}/{int(rng.integers(2000,2030))}"
+    else:  # code: letters+digits
+        chars = list("ABCDEFGHJKLMNPRSTUVWXYZ0123456789-")
+        s = "".join(rng.choice(chars, size=int(rng.integers(4, 9))))
+    s = "".join(c for c in s if c in charset) or "0"
+    return s[:max_len]

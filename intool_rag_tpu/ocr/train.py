@@ -394,36 +394,58 @@ def train_recognizer_cached(
     pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
     labels = np.zeros((pool_size, max_len), np.int32)
     label_pad = np.ones((pool_size, max_len), np.float32)
-    for i in range(pool_size):
-        # random_text may inject a space beyond the requested length
-        text = random_text(rng, charset, min_len, max_len)[:max_len]
-        fs = int(rng.integers(16, 30))
-        font = DEFAULT_FONTS[int(rng.choice(len(DEFAULT_FONTS), p=font_probs))]
-        ink = render_line(text, font_path=font, font_size=fs)
-        h0 = ink.shape[0]
-        ink = np.pad(
-            ink,
-            (
-                (int(rng.integers(0, max(1, int(0.12 * h0)))),
-                 int(rng.integers(0, max(1, int(0.12 * h0))))),
-                (int(rng.integers(0, max(1, int(0.06 * h0)))),
-                 int(rng.integers(0, max(1, int(0.06 * h0))))),
-            ),
+    # text mix: half word-like lines (latin words, digit groups, prices,
+    # dates — the distribution of real document text, which the engine's
+    # primary PDF/invoice workload is), half uniform-random multiscript
+    # strings (full charset coverage). An all-random pool teaches a
+    # multiscript prior that misreads plain ASCII words (measured:
+    # 'Total due 1250' → 'Total de 15' with hallucinated Cyrillic).
+    # Crops are produced by the SERVING pipeline itself: render full
+    # pages (upright, tilted, 90-degree), push the ground-truth quads
+    # through crop_quad + tighten_crop — the exact geometry detector
+    # crops see (page compositing, quad resampling, ink tightening).
+    # Directly-rendered crops leave a train/serve distribution gap that
+    # measurably flips reads on detector crops.
+    from .postprocess import QuadBox, crop_quad, tighten_crop
+    from .synth import render_page, wordlike_text
+
+    def gen_texts(n):
+        out = []
+        for _ in range(n):
+            if rng.random() < 0.5:
+                out.append(wordlike_text(rng, charset, max_len))
+            else:
+                out.append(random_text(rng, charset, min_len, max_len)[:max_len])
+        return out
+
+    i = 0
+    while i < pool_size:
+        texts = gen_texts(int(rng.integers(4, 8)))
+        r = rng.random()
+        rot = 0.0
+        if r > 0.85:
+            rot = float(rng.choice([90.0, -90.0]))
+        elif r > 0.45:
+            rot = float(rng.uniform(-15.0, 15.0))
+        page, gt = render_page(
+            rng, charset, size=448, texts=texts, rotation=rot,
+            font_sizes=(16, 30), noise=float(rng.uniform(0.0, 0.03)),
         )
-        crop = 1.0 - ink * float(rng.uniform(0.6, 1.0))
-        # mild noise only — the device-side augmentation adds more per
-        # visit, and heavy baked-in noise erases serif hairlines
-        crop = np.clip(
-            crop + rng.normal(0, 0.02, crop.shape).astype(np.float32), 0, 1
-        )
-        crop3 = np.repeat(crop[:, :, None], 3, axis=2)
-        w = max(8, min(crop_w, int(round(crop.shape[1] * 32 / crop.shape[0]))))
-        r = resize_norm_crop(crop3, target_h=32, max_w=crop_w)[:, :w]
-        pool[i, :, : r.shape[1]] = r
-        labels[i, : len(text)] = [charset.index(c) for c in text]
-        label_pad[i, : len(text)] = 0.0
-        if i % 4096 == 0:
-            logger.info("pool render %d/%d", i, pool_size)
+        for quad_pts, text in gt:
+            if i >= pool_size or not text:
+                continue
+            crop = tighten_crop(crop_quad(page, QuadBox(quad_pts, 1.0)))
+            if crop.ndim != 3 or crop.shape[0] != 32 or crop.size == 0:
+                continue
+            if crop.shape[1] > crop_w:  # truncating would corrupt labels
+                continue
+            r2 = crop
+            pool[i, :, : r2.shape[1]] = r2
+            labels[i, : len(text)] = [charset.index(c) for c in text]
+            label_pad[i, : len(text)] = 0.0
+            i += 1
+            if i % 4096 == 0:
+                logger.info("pool render %d/%d", i, pool_size)
 
     pool_d = jnp.asarray(pool)
     labels_d = jnp.asarray(labels)
@@ -440,7 +462,7 @@ def train_recognizer_cached(
     def launch(params, opt_state, key, pool, labels, lpad):
         def one_step(carry, key_t):
             params, opt_state = carry
-            ki, kc, kb, kn = jax.random.split(key_t, 4)
+            ki, kc, kb, kn, ks = jax.random.split(key_t, 5)
             idx = jax.random.randint(ki, (batch,), 0, pool_size)
             images = pool[idx]
             lab = labels[idx]
@@ -457,6 +479,40 @@ def train_recognizer_cached(
                 + 0.02 * jax.random.normal(kn, images.shape),
                 0.0, 1.0,
             )
+            # random blur: serving crops are resampled twice (page
+            # compose + rotated quad crop), which softens strokes the
+            # directly-rendered pool keeps crisp — measured to flip
+            # clean-crop reads ('Total due 1250' → 'Total de 5') when
+            # absent. 3×3 tent blur at random per-crop strength.
+            blurred = (
+                4.0 * images
+                + 2.0 * (jnp.roll(images, 1, 1) + jnp.roll(images, -1, 1)
+                         + jnp.roll(images, 1, 2) + jnp.roll(images, -1, 2))
+                + (jnp.roll(jnp.roll(images, 1, 1), 1, 2)
+                   + jnp.roll(jnp.roll(images, 1, 1), -1, 2)
+                   + jnp.roll(jnp.roll(images, -1, 1), 1, 2)
+                   + jnp.roll(jnp.roll(images, -1, 1), -1, 2))
+            ) / 16.0
+            a = jax.random.uniform(ks, (batch, 1, 1, 1), minval=0.0, maxval=0.85)
+            images = (1.0 - a) * images + a * blurred
+            # horizontal compression (compress-only keeps labels intact:
+            # text never leaves the canvas): serving crops arrive at
+            # arbitrary aspect from quad geometry; reads were measured
+            # to flip under ±10% width rescales without this
+            kw = jax.random.fold_in(ks, 1)
+            scale = jax.random.uniform(kw, (batch, 1), minval=0.78, maxval=1.0)
+            src = jnp.arange(crop_w, dtype=jnp.float32)[None, :] / scale
+            src_i = jnp.clip(src.astype(jnp.int32), 0, crop_w - 1)
+            gather_idx = jnp.broadcast_to(
+                src_i[:, None, :, None], images.shape
+            )
+            stretched = jnp.take_along_axis(images, gather_idx, axis=2)
+            # past-the-end columns sample the (black-padded) tail, which
+            # is already the pad value — no masking needed
+            use = jax.random.uniform(
+                jax.random.fold_in(kw, 2), (batch, 1, 1, 1)
+            ) < 0.5
+            images = jnp.where(use, stretched, images)
 
             def loss_fn(p):
                 logits = model.apply(p, images)
@@ -489,3 +545,129 @@ def train_recognizer_cached(
                 "rec cached launch %d/%d mean loss %.4f", li, n_launches, recent
             )
     return model, params, charset, losses
+
+
+def train_classifier_cached(
+    charset: str,
+    *,
+    pool_size: int = 16384,
+    steps: int = 12_000,
+    batch: int = 64,
+    crop_w: int = 192,
+    width: int = 16,
+    seed: int = 0,
+    lr: float = 1.5e-3,
+    steps_per_launch: int = 100,
+):
+    """Cached-pool trainer for the 0°/180° OrientationClassifier, with
+    the SAME device-side augmentation as the recognizer (contrast,
+    brightness, noise, blur, horizontal compression). A classifier
+    trained on crisp host-rendered crops false-flips serving crops
+    (measured: 'Invoice 2026' read upside-down as '9zoz eэ[oΛu' —
+    the resampling blur of quad crops is out of its distribution)."""
+    from .postprocess import resize_norm_crop
+    from .synth import DEFAULT_FONTS, random_text, render_line, wordlike_text
+
+    rng = np.random.default_rng(seed)
+    model = OrientationClassifier(width)
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3)))
+
+    font_probs = np.array([0.2, 0.2, 0.4, 0.2])[: len(DEFAULT_FONTS)]
+    font_probs = font_probs / font_probs.sum()
+    pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
+    labels = np.zeros(pool_size, np.int32)
+    for i in range(pool_size):
+        if rng.random() < 0.5:
+            text = wordlike_text(rng, charset, 10)
+        else:
+            text = random_text(rng, charset, 3, 10)[:10]
+        fs = int(rng.integers(16, 30))
+        font = DEFAULT_FONTS[int(rng.choice(len(DEFAULT_FONTS), p=font_probs))]
+        ink = render_line(text, font_path=font, font_size=fs)
+        h0 = ink.shape[0]
+        ink = np.pad(
+            ink,
+            ((int(rng.integers(0, max(1, int(0.12 * h0)))),
+              int(rng.integers(0, max(1, int(0.12 * h0))))),
+             (int(rng.integers(0, max(1, int(0.06 * h0)))),
+              int(rng.integers(0, max(1, int(0.06 * h0)))))),
+        )
+        crop = 1.0 - ink * float(rng.uniform(0.6, 1.0))
+        crop3 = np.repeat(crop[:, :, None], 3, axis=2)
+        flip = int(rng.random() < 0.5)
+        if flip:
+            crop3 = np.rot90(crop3, 2).copy()
+        w = max(8, min(crop_w, int(round(crop3.shape[1] * 32 / crop3.shape[0]))))
+        r = resize_norm_crop(crop3, target_h=32, max_w=crop_w)[:, :w]
+        pool[i, :, : r.shape[1]] = r
+        labels[i] = flip
+        if i % 4096 == 0:
+            logger.info("cls pool render %d/%d", i, pool_size)
+
+    pool_d = jnp.asarray(pool)
+    labels_d = jnp.asarray(labels)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=max(50, steps // 50),
+        decay_steps=steps, end_value=lr * 0.02,
+    )
+    optimizer = optax.adam(schedule)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def launch(params, opt_state, key, pool, labels):
+        def one_step(carry, key_t):
+            params, opt_state = carry
+            ki, kc, kb, kn, ks = jax.random.split(key_t, 5)
+            idx = jax.random.randint(ki, (batch,), 0, pool_size)
+            images = pool[idx]
+            lab = labels[idx]
+            contrast = jax.random.uniform(kc, (batch, 1, 1, 1), minval=0.8, maxval=1.15)
+            bright = jax.random.uniform(kb, (batch, 1, 1, 1), minval=-0.08, maxval=0.08)
+            images = jnp.clip(
+                (images - 1.0) * contrast + 1.0 + bright
+                + 0.02 * jax.random.normal(kn, images.shape), 0.0, 1.0)
+            blurred = (
+                4.0 * images
+                + 2.0 * (jnp.roll(images, 1, 1) + jnp.roll(images, -1, 1)
+                         + jnp.roll(images, 1, 2) + jnp.roll(images, -1, 2))
+                + (jnp.roll(jnp.roll(images, 1, 1), 1, 2)
+                   + jnp.roll(jnp.roll(images, 1, 1), -1, 2)
+                   + jnp.roll(jnp.roll(images, -1, 1), 1, 2)
+                   + jnp.roll(jnp.roll(images, -1, 1), -1, 2))
+            ) / 16.0
+            a = jax.random.uniform(ks, (batch, 1, 1, 1), minval=0.0, maxval=0.85)
+            images = (1.0 - a) * images + a * blurred
+            kw = jax.random.fold_in(ks, 1)
+            scale = jax.random.uniform(kw, (batch, 1), minval=0.78, maxval=1.0)
+            src = jnp.arange(crop_w, dtype=jnp.float32)[None, :] / scale
+            src_i = jnp.clip(src.astype(jnp.int32), 0, crop_w - 1)
+            gather_idx = jnp.broadcast_to(src_i[:, None, :, None], images.shape)
+            stretched = jnp.take_along_axis(images, gather_idx, axis=2)
+            use = jax.random.uniform(
+                jax.random.fold_in(kw, 2), (batch, 1, 1, 1)) < 0.5
+            images = jnp.where(use, stretched, images)
+
+            def loss_fn(p):
+                logits = model.apply(p, images)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, lab).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        keys = jax.random.split(key, steps_per_launch)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    losses: list[float] = []
+    for li in range(-(-steps // steps_per_launch)):
+        params, opt_state, bl = launch(
+            params, opt_state, jax.random.PRNGKey(seed * 6311 + li),
+            pool_d, labels_d)
+        losses.extend(np.asarray(bl).tolist())
+        if li % 20 == 0:
+            logger.info("cls cached launch %d mean loss %.4f",
+                        li, float(np.mean(losses[-steps_per_launch:])))
+    return model, params, losses

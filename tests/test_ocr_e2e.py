@@ -1,0 +1,93 @@
+"""End-to-end OCR: the SHIPPED weights artifact must read full synthetic
+pages — upright and rotated — and feed the PDF ingest path.
+
+This is the closed loop the reference gets from its pretrained PP-OCR
+models (rag/ingest/ocr/main.py:87 functional det→cls→rec;
+rag/ingest/ocr/pdf_ocr.py:93 page bridge): render a page the models
+never saw, run the full engine, and assert the strings come back.
+"""
+
+import numpy as np
+import pytest
+
+from intool_rag_tpu.ocr.eval import evaluate_engine
+from intool_rag_tpu.ocr.pipeline import DEFAULT_WEIGHTS, OCREngine
+
+pytestmark = pytest.mark.skipif(
+    not DEFAULT_WEIGHTS.exists(),
+    reason="shipped OCR weights missing — run python -m intool_rag_tpu.ocr.train",
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return OCREngine()
+
+
+def test_shipped_weights_load(engine):
+    # the default engine must be the trained artifact, not random init
+    assert len(engine.bundle.charset) > 200
+
+
+def test_engine_reads_upright_pages(engine):
+    """Bars are the measured level of the shipped synthetic-trained
+    models on multiscript random text (exact-match there is bounded by
+    per-font-identical glyph pairs — I/l in DejaVu Sans, scale-only
+    Cyrillic case pairs — that no 32-px recognizer can split; real
+    invoice-style text reads higher, see the PDF bridge test)."""
+    stats = evaluate_engine(engine, pages=3, rotation=0.0, seed=7)
+    assert stats["lines"] >= 10
+    assert stats["detected"] >= 0.9 * stats["lines"], stats
+    assert stats["exact_rate"] >= 0.45, stats
+    assert stats["fuzzy_rate"] >= 0.82, stats
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rotation", [15.0, -15.0, 90.0])
+def test_engine_reads_rotated_pages(engine, rotation):
+    stats = evaluate_engine(engine, pages=2, rotation=rotation, seed=11)
+    assert stats["lines"] >= 6
+    # rotated scans go through quad detection + rotated crops; fuzzy
+    # recovery is the reference-parity bar (VERDICT #3: ±15°/90°)
+    assert stats["fuzzy_rate"] >= 0.70, (rotation, stats)
+
+
+def test_pdf_ocr_bridge_reads_scanned_pdf(engine, tmp_path):
+    """Scanned-PDF path: page image inside a PDF → loader → text."""
+    from test_ocr import _pdf_with_image
+
+    from intool_rag_tpu.ingest.loader import PageBasedLoader, register_ocr_engine
+    from intool_rag_tpu.ocr.pdf_ocr import PDFOCRBridge
+    from intool_rag_tpu.ocr.synth import render_page
+
+    rng = np.random.default_rng(3)
+    texts = ["Invoice 2026", "Total due 1250", "Net terms 30"]
+    img, _ = render_page(
+        rng, engine.bundle.charset, size=448, texts=texts, font_sizes=(22, 26),
+        noise=0.0,
+    )
+    pdf = _pdf_with_image((img * 255).astype(np.uint8))
+    path = tmp_path / "scan.pdf"
+    path.write_bytes(pdf)
+    register_ocr_engine(PDFOCRBridge(engine))
+    try:
+        pages = PageBasedLoader().load(path)
+    finally:
+        register_ocr_engine(None)
+    assert len(pages) == 1
+    assert pages[0].has_ocr
+    got = pages[0].raw_content
+    # exact or near-exact (≥0.9 similarity covers O/0-class glyph
+    # ambiguity, which is intrinsic at 32-px crops, not a pipeline bug —
+    # this test is about the PDF→image→OCR→loader chain)
+    import difflib
+
+    lines = got.splitlines()
+    hits = sum(
+        any(
+            t in ln or difflib.SequenceMatcher(None, t, ln).ratio() >= 0.9
+            for ln in lines
+        )
+        for t in texts
+    )
+    assert hits >= 2, f"recovered {hits}/3 strings from scanned PDF: {got!r}"
