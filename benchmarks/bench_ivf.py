@@ -78,15 +78,18 @@ def main() -> None:
         cap=index.cap, overflow_rows=index.overflow_len, backend=backend,
     )
 
-    # recall oracle: exact f32-scored flat top-k on the same corpus
+    # recall oracle: exact f32-scored flat top-k on the same corpus.
+    # corpus is an ARGUMENT, not a closure constant — a captured 2 GB
+    # corpus gets embedded in the executable and stalls the remote
+    # tunnel (CLAUDE.md benchmark rules).
     @jax.jit
-    def noisy_queries(key):
+    def noisy_queries(key, corpus):
         base = jax.lax.dynamic_slice(corpus, (0, 0), (64, d)).astype(jnp.float32)
         # noise norm ≈ 0.3 relative to the unit rows (per-dim std 0.3/√d)
         q = base + (0.3 / jnp.sqrt(jnp.float32(d))) * jax.random.normal(key, (64, d))
         return q / jnp.linalg.norm(q, axis=1, keepdims=True)
 
-    queries = noisy_queries(jax.random.PRNGKey(9))
+    queries = noisy_queries(jax.random.PRNGKey(9), corpus)
     _, exact_rows = flat_topk(
         queries, corpus, K, metric="ip", block_n=min(250_000, n),
         use_approx=False,
@@ -106,10 +109,13 @@ def main() -> None:
         index.centroids, index.permuted, index.row_map,
         index.list_start, index.list_len,
     )
-    for nprobe in (4, 8, 16, 32, 64, 128):
+    for nprobe in (4, 5, 6, 8, 16, 32):
         if nprobe > nlist:
             continue
-        _, rows = index.search(queries, K, nprobe=nprobe, query_chunk=64)
+        # bound the gathered candidate working set [Qc, nprobe*cap, d]
+        # to ~2 GB f32 — nprobe 64 at cap 840 with Qc=64 is 14 GB (OOM)
+        chunk = max(4, min(64, (512 * 1024 * 1024 // 4) // (nprobe * index.cap * d)))
+        _, rows = index.search(queries, K, nprobe=nprobe, query_chunk=chunk)
         rows_np = np.asarray(rows)
         rec = sum(
             len(exact[i] & set(r.tolist())) for i, r in enumerate(rows_np)
@@ -118,7 +124,8 @@ def main() -> None:
             lambda q, c, p, rm, ls, ll: _ivf_search(
                 q, c, p, rm, ls, ll, k=K, nprobe=nprobe, cap=index.cap,
                 overflow_start=index.overflow_start,
-                overflow_len=index.overflow_len, query_chunk=LOW_Q,
+                overflow_len=index.overflow_len,
+                query_chunk=min(LOW_Q, chunk),
             ),
             ivf_ops, LOW_Q, d,
         )

@@ -47,8 +47,8 @@ def main() -> None:
         m = np.ones((2, 1024), np.int32)
         m[1, 700:] = 0  # padding in one row
         m = jnp.asarray(m)
-        e_flash = np.asarray(encode_fn(cfg_small)(params, ids, m))
-        e_xla = np.asarray(encode_fn(cfg_noflash)(params, ids, m))
+        e_flash = np.asarray(jax.jit(encode_fn(cfg_small))(params, ids, m))
+        e_xla = np.asarray(jax.jit(encode_fn(cfg_noflash))(params, ids, m))
         cos = float(
             (e_flash * e_xla).sum(-1).mean()
             / (np.linalg.norm(e_flash, axis=-1) * np.linalg.norm(e_xla, axis=-1)).mean()
@@ -60,7 +60,7 @@ def main() -> None:
     params = init_params(cfg)
     out["seq"] = {}
     for seq, batch in ((512, 8), (2048, 4), (8192, 1)):
-        fn = encode_fn(cfg)
+        fn = jax.jit(encode_fn(cfg))
         rng = np.random.default_rng(seq)
         variants = [
             (
