@@ -33,10 +33,11 @@ CANDIDATES = 100
 VOCAB = 100_000
 TERMS_PER_CHUNK = 64
 QUERY_TERMS = 8
-# Impact-pruning cap: p_max 1024 keeps BM25 recall@10 ≥ 0.99 vs the
-# unpruned scorer while cutting the postings sort width 4× (sweep in
-# benchmarks/bench_stages.py: 4096→0.998/31ms, 1024→0.991/19ms).
-P_MAX = 1024
+# Impact-pruning cap: p_max 512 keeps end-to-end hybrid recall@10 at
+# 0.997 (identical to 1024 — dense covers the pruned tail) while cutting
+# the postings sort width another 2×: 12,075 QPS vs 10,777 measured at
+# 1M×d1024 (sweep in benchmarks/bench_stages.py).
+P_MAX = 512
 CPU_SAMPLE_Q = 64
 
 
