@@ -243,6 +243,7 @@ def render_page(
     per_line_jitter: float = 0.0,
     noise: float = 0.03,
     fonts: tuple[str, ...] = DEFAULT_FONTS,
+    font_probs: np.ndarray | None = None,
     texts: list[str] | None = None,
 ) -> tuple[np.ndarray, list[tuple[np.ndarray, str]]]:
     """Render a synthetic scanned page.
@@ -259,7 +260,7 @@ def render_page(
     for li in range(count):
         text = texts[li] if texts is not None else random_text(rng, charset)
         fs = int(rng.integers(font_sizes[0], font_sizes[1] + 1))
-        font = fonts[int(rng.integers(0, len(fonts)))]
+        font = fonts[int(rng.choice(len(fonts), p=font_probs))]
         ink = render_line(text, font_path=font, font_size=fs)
         angle = rotation + (rng.uniform(-per_line_jitter, per_line_jitter)
                             if per_line_jitter else 0.0)

@@ -430,6 +430,7 @@ def train_recognizer_cached(
         page, gt = render_page(
             rng, charset, size=448, texts=texts, rotation=rot,
             font_sizes=(16, 30), noise=float(rng.uniform(0.0, 0.03)),
+            font_probs=font_probs,
         )
         for quad_pts, text in gt:
             if i >= pool_size or not text:

@@ -59,8 +59,7 @@ def ring_attention(
     neg = jnp.float32(-1e30)  # large-negative instead of -inf: keeps
     # fully-masked rows NaN-free through exp/renorm
 
-    def step(carry, _):
-        kb, vb, mb, acc, row_max, row_sum = carry
+    def attend_block(kb, vb, mb, acc, row_max, row_sum):
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", qf, kb.astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -75,6 +74,11 @@ def ring_attention(
             "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        return acc, new_max, row_sum
+
+    def step(carry, _):
+        kb, vb, mb, acc, row_max, row_sum = carry
+        acc, new_max, row_sum = attend_block(kb, vb, mb, acc, row_max, row_sum)
         perm = [(i, (i + 1) % n) for i in range(n)]
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
@@ -93,7 +97,12 @@ def ring_attention(
         zero[..., 0] + neg,
         zero[..., 0],
     )
-    (_, _, _, acc, _, row_sum), _ = jax.lax.scan(step, init, None, length=n)
+    # n−1 rotating steps, then the last block attends WITHOUT the trailing
+    # ppermute (whose rotated data would never be read — dead ICI traffic)
+    (kb, vb, mb, acc, row_max, row_sum), _ = jax.lax.scan(
+        step, init, None, length=n - 1
+    )
+    acc, _, row_sum = attend_block(kb, vb, mb, acc, row_max, row_sum)
     return acc / jnp.maximum(row_sum[..., None], 1e-30)
 
 

@@ -44,11 +44,16 @@ class ByteTokenizer:
         return [self.bos_id] + [b + 3 for b in text.encode("utf-8")]
 
     def decode(self, ids) -> str:
-        data = bytes(int(i) - 3 for i in ids if int(i) >= 3)
+        # clamp to the byte range: sampled ids above 258 (possible when the
+        # model's vocab is padded past the tokenizer's) would overflow bytes()
+        data = bytes(int(i) - 3 for i in ids if 3 <= int(i) <= 258)
         return data.decode("utf-8", errors="replace")
 
 
-def _bucket(n: int, buckets=(64, 128, 256, 512, 1024, 2048)) -> int:
+_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, buckets=_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
@@ -167,7 +172,12 @@ class TPULLM(BaseLLM):
             ids = self.tokenizer.encode(prompt)
         else:  # HF tokenizer
             ids = self.tokenizer(prompt)["input_ids"]
-        limit = self.config.max_position - self.max_new_tokens
+        # keep at most min(position budget, largest bucket) tokens: _bucket()
+        # caps at its last entry, so a longer kept prompt would make
+        # pad = bucket - len(ids) negative and break the slice below
+        limit = min(
+            self.config.max_position - self.max_new_tokens, _BUCKETS[-1]
+        )
         ids = ids[-max(8, limit):]
         bucket = _bucket(len(ids))
         pad = bucket - len(ids)
