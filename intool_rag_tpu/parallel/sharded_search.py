@@ -55,9 +55,14 @@ def sharded_flat_topk(
     per_shard = not isinstance(valid_n, int)
     if per_shard:
         counts = jnp.asarray(valid_n, jnp.int32)
-        k = min(k, shard_rows)
+        # local selection caps at the shard size, but the MERGED result
+        # must still honor the requested k (a shard holds at most
+        # shard_rows of the global top-k, so merging n_shards local
+        # top-k_local lists stays exact up to k_local·n_shards)
+        k = min(k, shard_rows * n_shards)
     else:
         k = min(k, valid_n)
+    k_local = min(k, shard_rows)
 
     @functools.partial(
         shard_map,
@@ -81,7 +86,7 @@ def sharded_flat_topk(
         local_vals, local_rows = flat_topk(
             q,
             local_corpus,
-            k,
+            k_local,
             metric="ip",
             block_n=min(block_n, shard_rows),
             valid_n=local_valid,
@@ -102,7 +107,7 @@ def sharded_flat_topk(
         # merge across shards: gather all candidates, global top-k
         all_vals = jax.lax.all_gather(local_vals, "data", axis=1, tiled=True)
         all_rows = jax.lax.all_gather(global_rows, "data", axis=1, tiled=True)
-        top_vals, top_pos = jax.lax.top_k(all_vals, k)
+        top_vals, top_pos = jax.lax.top_k(all_vals, min(k, all_vals.shape[1]))
         top_rows = jnp.take_along_axis(all_rows, top_pos, axis=1)
         return top_vals, top_rows
 
