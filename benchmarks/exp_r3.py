@@ -27,7 +27,8 @@ def stream_time(fn, rotate_inputs, *consts, reps: int = 3) -> float:
     @jax.jit
     def stream(consts, batched):
         def step(_, inp):
-            return None, fn(*inp, *consts)
+            args = inp if isinstance(inp, tuple) else (inp,)
+            return None, fn(*args, *consts)
 
         _, out = jax.lax.scan(step, None, batched)
         return out

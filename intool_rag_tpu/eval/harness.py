@@ -28,8 +28,16 @@ def evaluate_engine(
     *,
     k: int = 10,
     modes: tuple[str, ...] = ("dense", "sparse", "hybrid"),
+    reranker=None,
+    rerank_candidates: int = 50,
 ) -> dict[str, dict[str, float]]:
-    """Returns mode → {recall@k, mrr, ndcg@k} averaged over examples."""
+    """Returns mode → {recall@k, mrr, ndcg@k} averaged over examples.
+
+    Mode ``"rerank"`` (requires ``reranker``) retrieves
+    ``rerank_candidates`` hybrid hits and reorders them with the
+    cross-encoder before cutting to k — the reference's declared-but-
+    unimplemented retrieve-100 → rerank-10 pipeline (rag/config.py:24-27).
+    """
     queries = [e.query for e in examples]
     emb = jnp.asarray(provider.embed_batch(queries, is_query=True))
     results: dict[str, dict[str, float]] = {}
@@ -42,6 +50,30 @@ def evaluate_engine(
             vals, rows = engine.bm25.topk(queries, k)
             rows = jnp.where(vals > 0, rows, -1)
             ranked_lists = np.asarray(rows)
+        elif mode == "rerank":
+            assert reranker is not None, "rerank mode needs a reranker"
+            _, rows = engine.search(
+                queries, emb, rerank_candidates,
+                candidates=rerank_candidates, hybrid=True,
+            )
+            rows = np.asarray(rows)
+            # score ALL (query, candidate) pairs in one bucketed pass
+            flat_q, flat_p, owner = [], [], []
+            for qi, (query, cand) in enumerate(zip(queries, rows)):
+                for r in cand:
+                    if r >= 0:
+                        flat_q.append(query)
+                        flat_p.append(engine.store.texts[int(r)])
+                        owner.append((qi, int(r)))
+            scores = reranker.score_pairs(flat_q, flat_p)
+            per_q: list[list[tuple[float, int]]] = [[] for _ in queries]
+            for (qi, r), s in zip(owner, scores):
+                per_q[qi].append((float(s), r))
+            ranked_lists = np.full((len(queries), k), -1, np.int64)
+            for qi, cand in enumerate(per_q):
+                cand.sort(key=lambda t: -t[0])
+                for j, (_, r) in enumerate(cand[:k]):
+                    ranked_lists[qi, j] = r
         else:
             _, rows = engine.search(queries, emb, k, hybrid=True)
             ranked_lists = np.asarray(rows)
