@@ -348,9 +348,95 @@ def bm25_experiments():
     print(json.dumps(out, indent=1))
 
 
+def gather_experiments():
+    """Compare the vmapped-dynamic-slice postings gather (current) with a
+    2-D aligned row-gather layout [n_terms, p_max]."""
+    from intool_rag_tpu.backend import ensure_backend
+
+    backend = ensure_backend()
+    import jax
+    import jax.numpy as jnp
+
+    from bench import effective_sizes, make_sparse
+
+    n, vocab, p_max = effective_sizes(backend)
+    rng = np.random.default_rng(0)
+    starts, lens, post_docs, post_w, idf, qterms, qtf = make_sparse(
+        rng, n, vocab, p_max)
+    g = 16 if backend == "tpu" else 2
+    sqs = [
+        jnp.asarray((qterms[None].repeat(g, 0) + 31 * i) % vocab)
+        for i in range(4)
+    ]
+    out = {"backend": backend, "n": n, "p_max": p_max, "T": qterms.shape[1]}
+
+    # build the 2-D layout on host: every term one padded row
+    nnz = int(lens.sum())
+    rows2d_docs = np.full((vocab, p_max), n, np.int32)
+    rows2d_w = np.zeros((vocab, p_max), np.float32)
+    for t in range(vocab):
+        l = lens[t]
+        if l:
+            s0 = starts[t]
+            rows2d_docs[t, :l] = post_docs[s0:s0+l]
+            rows2d_w[t, :l] = post_w[s0:s0+l]
+    d2_docs = jnp.asarray(rows2d_docs)
+    d2_w = jnp.asarray(rows2d_w)
+    idf_d = jnp.asarray(idf)
+    qtf_d = jnp.asarray(qtf)
+    starts_d = jnp.asarray(starts)
+    lens_d = jnp.asarray(lens)
+    pd_d = jnp.asarray(post_docs)
+    pw_d = jnp.asarray(post_w)
+    out["bytes_2d_mb"] = round((rows2d_docs.nbytes + rows2d_w.nbytes) / 1e6, 1)
+    out["bytes_1d_mb"] = round((post_docs.nbytes + post_w.nbytes) / 1e6, 1)
+
+    def gather_1d(qt):
+        def gather_one(terms_row, qtf_row):
+            def per_term(term, q_tf):
+                t_safe = jnp.maximum(term, 0)
+                start = starts_d[t_safe]
+                length = jnp.minimum(lens_d[t_safe], p_max)
+                docs = jax.lax.dynamic_slice(pd_d, (start,), (p_max,))
+                w = jax.lax.dynamic_slice(pw_d, (start,), (p_max,))
+                pos = jax.lax.broadcasted_iota(jnp.int32, (p_max, 1), 0)[:, 0]
+                mask = (pos < length) & (term >= 0)
+                contrib = jnp.where(mask, w * idf_d[t_safe] * q_tf, 0.0)
+                docs = jnp.where(mask, docs, n)
+                return docs, contrib
+            docs, contrib = jax.vmap(per_term)(terms_row, qtf_row)
+            return docs.reshape(-1), contrib.reshape(-1)
+        docs, contrib = jax.vmap(gather_one)(qt, qtf_d)
+        return docs.sum() + contrib.sum()
+
+    out["gather_1d_ms"] = 1e3 * stream_time(gather_1d, sqs)
+
+    def gather_2d(qt):
+        t_safe = jnp.maximum(qt, 0)
+        docs = d2_docs[t_safe]          # [Q, T, p_max] row gather
+        w = d2_w[t_safe]
+        contrib = w * (idf_d[t_safe] * qtf_d)[:, :, None]
+        q = qt.shape[0]
+        docs = jnp.where((qt >= 0)[:, :, None], docs, n)
+        return docs.sum() + contrib.sum()
+
+    out["gather_2d_ms"] = 1e3 * stream_time(gather_2d, sqs)
+
+    def gather_2d_take(qt):
+        t_safe = jnp.maximum(qt, 0).reshape(-1)
+        docs = jnp.take(d2_docs, t_safe, axis=0)
+        w = jnp.take(d2_w, t_safe, axis=0)
+        return docs.sum() + w.sum()
+
+    out["gather_2d_take_ms"] = 1e3 * stream_time(gather_2d_take, sqs)
+    print(json.dumps(out, indent=1))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "dense"
     if which == "dense":
         dense_experiments()
+    elif which == "gather":
+        gather_experiments()
     else:
         bm25_experiments()
