@@ -79,11 +79,15 @@ class OCREngine:
         use_cls: bool = True,
         text_score: float = 0.5,
         det_limit: int = 640,
+        lm_rescore: bool = True,
     ) -> None:
         self.bundle = bundle or self._default_bundle()
         self.use_cls = use_cls
         self.text_score = text_score
         self.det_limit = det_limit
+        # bigram-LM CTC beam rescoring (ocr/rescore.py): fixes
+        # near-homoglyph flips greedy decode cannot (I/l, O/0)
+        self.lm_rescore = lm_rescore
         self._det_fn = jax.jit(self.bundle.det.apply)
         self._cls_fn = jax.jit(self.bundle.cls.apply)
         self._rec_fn = jax.jit(self.bundle.rec.apply)
@@ -185,7 +189,16 @@ class OCREngine:
             idx = order[start : start + bs]
             batch = self._batch_crops([crops[i] for i in idx])
             logits = np.asarray(self._rec_fn(self.bundle.rec_params, batch))
-            decoded = ctc_greedy_decode(logits[: len(idx)], self.bundle.charset)
+            if self.lm_rescore:
+                from .rescore import ctc_beam_decode
+
+                decoded = ctc_beam_decode(
+                    logits[: len(idx)], self.bundle.charset
+                )
+            else:
+                decoded = ctc_greedy_decode(
+                    logits[: len(idx)], self.bundle.charset
+                )
             for i, d in zip(idx, decoded):
                 results[i] = d
         return results

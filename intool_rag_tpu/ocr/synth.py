@@ -25,6 +25,10 @@ DEFAULT_FONTS = (
     f"{FONT_DIR}/DejaVuSans-Bold.ttf",
     f"{FONT_DIR}/DejaVuSerif.ttf",
     f"{FONT_DIR}/DejaVuSansMono.ttf",
+    # round-3: all 6 faces in the image (round-2 verdict item 5 — push
+    # the recognizer on every available asset)
+    f"{FONT_DIR}/DejaVuSerif-Bold.ttf",
+    f"{FONT_DIR}/DejaVuSansMono-Bold.ttf",
 )
 
 _ASCII = (
@@ -292,6 +296,40 @@ def render_page(
     if noise:
         page = np.clip(page + rng.normal(0, noise, page.shape).astype(np.float32), 0, 1)
     return np.repeat(page[:, :, None], 3, axis=2), gt
+
+
+def degrade_page(
+    rng: np.random.Generator,
+    page: np.ndarray,  # [H, W, 3] float32 in [0,1]
+    *,
+    p_blur: float = 0.4,
+    p_jpeg: float = 0.4,
+    p_contrast: float = 0.5,
+) -> np.ndarray:
+    """Scan-quality degradations that leave geometry (gt quads) intact:
+    Gaussian blur, JPEG ringing/blocking, and global contrast shifts —
+    the round-3 augmentation pass (round-2 verdict item 5: 'aggressive
+    augmentation: blur, JPEG artifacts, contrast')."""
+    import io
+
+    from PIL import Image, ImageFilter
+
+    img = Image.fromarray((page[:, :, 0] * 255).astype(np.uint8))
+    if rng.random() < p_blur:
+        img = img.filter(
+            ImageFilter.GaussianBlur(radius=float(rng.uniform(0.4, 1.1)))
+        )
+    if rng.random() < p_jpeg:
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=int(rng.integers(30, 80)))
+        buf.seek(0)
+        img = Image.open(buf).convert("L")
+    out = np.asarray(img, np.float32) / 255.0
+    if rng.random() < p_contrast:
+        lo = float(rng.uniform(0.0, 0.12))
+        hi = float(rng.uniform(0.82, 1.0))
+        out = np.clip(lo + out * (hi - lo), 0.0, 1.0)
+    return np.repeat(out[:, :, None], 3, axis=2)
 
 
 def gt_prob_map(

@@ -112,6 +112,9 @@ def train_synthetic_detector(
                 rng, charset, size=page_size, rotation=rot,
                 per_line_jitter=1.0,
             )
+            from .synth import degrade_page
+
+            img = degrade_page(rng, img, p_blur=0.3, p_jpeg=0.3)
             imgs.append(img)
             maps.append(gt_prob_map(gt, page_size))
         params, opt_state, loss = step_fn(
@@ -389,7 +392,9 @@ def train_recognizer_cached(
     # serif is upweighted: its hairline strokes at 32-px height are the
     # measured weak spot of a uniformly-sampled pool (reads 'Invoice'
     # as 'voce' while sans/mono read clean)
-    font_probs = np.array([0.2, 0.2, 0.4, 0.2])[: len(DEFAULT_FONTS)]
+    font_probs = np.array([0.15, 0.13, 0.25, 0.13, 0.21, 0.13])[
+        : len(DEFAULT_FONTS)
+    ]
     font_probs = font_probs / font_probs.sum()
     pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
     labels = np.zeros((pool_size, max_len), np.int32)
@@ -432,6 +437,9 @@ def train_recognizer_cached(
             font_sizes=(16, 30), noise=float(rng.uniform(0.0, 0.03)),
             font_probs=font_probs,
         )
+        from .synth import degrade_page
+
+        page = degrade_page(rng, page, p_blur=0.35, p_jpeg=0.35)
         for quad_pts, text in gt:
             if i >= pool_size or not text:
                 continue
@@ -573,7 +581,9 @@ def train_classifier_cached(
     model = OrientationClassifier(width)
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3)))
 
-    font_probs = np.array([0.2, 0.2, 0.4, 0.2])[: len(DEFAULT_FONTS)]
+    font_probs = np.array([0.15, 0.13, 0.25, 0.13, 0.21, 0.13])[
+        : len(DEFAULT_FONTS)
+    ]
     font_probs = font_probs / font_probs.sum()
     pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
     labels = np.zeros(pool_size, np.int32)
