@@ -84,13 +84,22 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     import jax
     import jax.numpy as jnp
 
-    from intool_rag_tpu.ops.bm25 import bm25_topk_sorted
+    from intool_rag_tpu.ops.bm25 import (
+        bm25_topk_rows,
+        bm25_topk_sorted,
+        build_padded_layout,
+    )
     from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas
     from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
     from intool_rag_tpu.ops.topk import flat_topk, rescore_candidates
 
     starts, lens, post_docs, post_w, idf, qterms, qtf = sparse
     dev = [jnp.asarray(x) for x in (starts, lens, post_docs, post_w, idf)]
+    # two-tier row layout: the fast gather path (round-3)
+    lay = build_padded_layout(
+        starts, lens, post_docs, post_w, n_docs=n, p_max=p_max
+    )
+    rows_dev = {k: jnp.asarray(v) for k, v in lay.items()}
     qtf_d = jnp.asarray(qtf)
     vocab = len(starts)
     on_tpu = jax.default_backend() == "tpu"
@@ -108,10 +117,13 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
 
     def dense_topk(q_dense, corpus):
         if on_tpu:
-            # fused Pallas kernel + approx tail: fastest path (7.2 ms vs
-            # 9.0 ms device time per 256-q batch; bench_stages.py)
+            # fused Pallas kernel, split-query precise scores + approx
+            # tail: in-kernel scores now match f32-query × bf16-corpus,
+            # so the separate candidate rescore (5.9 ms/batch of gather)
+            # is gone (round-3)
             return flat_topk_pallas(
-                q_dense, corpus, CANDIDATES, group_l=16, valid_n=n
+                q_dense, corpus, CANDIDATES, group_l=16, valid_n=n,
+                precise=True,
             )
         return flat_topk(
             q_dense, corpus, CANDIDATES, metric="cosine",
@@ -120,11 +132,14 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
 
     def hybrid(q_dense, qt, corpus):
         d_vals, d_rows = dense_topk(q_dense, corpus)
-        # exact f32 rescoring of the candidate pool removes bf16 ranking
-        # noise near the fusion cut (recall@10 0.94 → ≥0.95 at 1M)
-        d_vals = rescore_candidates(q_dense, corpus, d_rows, metric="cosine")
-        s_vals, s_rows = bm25_topk_sorted(
-            qt, qtf_d, *dev, CANDIDATES, n_docs=n, p_max=p_max,
+        if on_tpu:
+            # cosine score-space clamp (the kernel returns raw ip)
+            d_vals = jnp.clip(d_vals, 0.0, 1.0)
+        s_vals, s_rows = bm25_topk_rows(
+            qt, qtf_d, rows_dev["term_row"], rows_dev["term_hot"],
+            rows_dev["hot_docs"], rows_dev["hot_w"],
+            rows_dev["cold_docs"], rows_dev["cold_w"],
+            dev[4], CANDIDATES, n_docs=n,
         )
         d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
         s_rows = jnp.where(s_vals > 0.0, s_rows, -1)
@@ -153,7 +168,11 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         t0 = time.perf_counter()
         np.asarray(stream(corpus, dq, sq)[1])
         times.append(time.perf_counter() - t0)
-    qps = N_QUERIES * G / min(times)
+    # mean ± sd across passes (round-2 verdict item 10: a best-of run
+    # presented ~6% run variance as a point value)
+    qps_runs = [N_QUERIES * G / t for t in times]
+    qps = float(np.mean(qps_runs))
+    qps_sd = float(np.std(qps_runs))
 
     # correctness pass on the CPU-oracle query subsample: same dense
     # queries the oracle will score (corpus rows come back to host once,
@@ -185,7 +204,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
 
     _, oracle_rows = jax.jit(hybrid_exact)(full_dq, full_sq, corpus)
     oracle_rows = np.asarray(oracle_rows)[:CPU_SAMPLE_Q]
-    return fast_rows, qps, oracle_rows
+    return fast_rows, qps, qps_sd, oracle_rows
 
 
 def cpu_baseline_qps(sparse, n) -> float:
@@ -252,7 +271,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     sparse = make_sparse(rng, n, vocab, p_max)
 
-    rows, tpu_qps, oracle = tpu_hybrid(sparse, n, p_max)
+    rows, tpu_qps, tpu_sd, oracle = tpu_hybrid(sparse, n, p_max)
     cpu_qps, cpu_sd = cpu_baseline_qps(sparse, n)
 
     hits = sum(
@@ -265,6 +284,7 @@ def main() -> None:
             {
                 "metric": f"hybrid_qps_per_chip_{n // 1000}k_d{DIM}",
                 "value": round(tpu_qps, 2),
+                "value_sd": round(tpu_sd, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(tpu_qps / cpu_qps, 2),
                 "baseline_qps": round(cpu_qps, 2),

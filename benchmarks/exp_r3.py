@@ -391,7 +391,7 @@ def gather_experiments():
     out["bytes_2d_mb"] = round((rows2d_docs.nbytes + rows2d_w.nbytes) / 1e6, 1)
     out["bytes_1d_mb"] = round((post_docs.nbytes + post_w.nbytes) / 1e6, 1)
 
-    def gather_1d(qt):
+    def gather_1d(qt, starts_d, lens_d, pd_d, pw_d, idf_d):
         def gather_one(terms_row, qtf_row):
             def per_term(term, q_tf):
                 t_safe = jnp.maximum(term, 0)
@@ -409,26 +409,26 @@ def gather_experiments():
         docs, contrib = jax.vmap(gather_one)(qt, qtf_d)
         return docs.sum() + contrib.sum()
 
-    out["gather_1d_ms"] = 1e3 * stream_time(gather_1d, sqs)
+    out["gather_1d_ms"] = 1e3 * stream_time(
+        gather_1d, sqs, starts_d, lens_d, pd_d, pw_d, idf_d)
 
-    def gather_2d(qt):
+    def gather_2d(qt, dd, dw, idf_):
         t_safe = jnp.maximum(qt, 0)
-        docs = d2_docs[t_safe]          # [Q, T, p_max] row gather
-        w = d2_w[t_safe]
-        contrib = w * (idf_d[t_safe] * qtf_d)[:, :, None]
-        q = qt.shape[0]
+        docs = dd[t_safe]          # [Q, T, p_max] row gather
+        w = dw[t_safe]
+        contrib = w * (idf_[t_safe] * qtf_d)[:, :, None]
         docs = jnp.where((qt >= 0)[:, :, None], docs, n)
         return docs.sum() + contrib.sum()
 
-    out["gather_2d_ms"] = 1e3 * stream_time(gather_2d, sqs)
+    out["gather_2d_ms"] = 1e3 * stream_time(gather_2d, sqs, d2_docs, d2_w, idf_d)
 
-    def gather_2d_take(qt):
+    def gather_2d_take(qt, dd, dw):
         t_safe = jnp.maximum(qt, 0).reshape(-1)
-        docs = jnp.take(d2_docs, t_safe, axis=0)
-        w = jnp.take(d2_w, t_safe, axis=0)
+        docs = jnp.take(dd, t_safe, axis=0)
+        w = jnp.take(dw, t_safe, axis=0)
         return docs.sum() + w.sum()
 
-    out["gather_2d_take_ms"] = 1e3 * stream_time(gather_2d_take, sqs)
+    out["gather_2d_take_ms"] = 1e3 * stream_time(gather_2d_take, sqs, d2_docs, d2_w)
     print(json.dumps(out, indent=1))
 
 

@@ -64,6 +64,25 @@ class BM25Index:
         self.post_docs = jnp.asarray(post_docs)
         self.post_w = jnp.asarray(post_w)
         self.idf = jnp.asarray(idf)
+        # two-tier row layout for the fast gather path (built lazily:
+        # ops/bm25.build_padded_layout — round-3: the dynamic-slice
+        # gather was the dominant BM25 stage cost on TPU)
+        self._rows = None
+
+    def _row_layout(self):
+        if self._rows is None:
+            from ..ops.bm25 import build_padded_layout
+
+            lay = build_padded_layout(
+                np.asarray(self.term_start),
+                np.asarray(self.term_len),
+                np.asarray(self.post_docs),
+                np.asarray(self.post_w),
+                n_docs=self.n_docs,
+                p_max=self.params.p_max,
+            )
+            self._rows = {k: jnp.asarray(v) for k, v in lay.items()}
+        return self._rows
 
     # ---------------- build ----------------
 
@@ -244,15 +263,18 @@ class BM25Index:
         )
 
     def topk(self, queries: list[str], k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Sorted-aggregation kernel (scatter-free; ~2× faster on TPU at
-        serving shapes, identical results up to f32 summation order)."""
-        from ..ops.bm25 import bm25_topk_sorted
+        """Row-layout kernel (two aligned row gathers + sorted
+        aggregation — the fast TPU path; identical results to the 1-D
+        kernels up to f32 summation order)."""
+        from ..ops.bm25 import bm25_topk_rows
 
         qterms, qtf = self.encode_queries(queries)
-        return bm25_topk_sorted(
-            qterms, qtf, self.term_start, self.term_len,
-            self.post_docs, self.post_w, self.idf, k,
-            n_docs=self.n_docs, p_max=self.params.p_max,
+        rows = self._row_layout()
+        return bm25_topk_rows(
+            qterms, qtf, rows["term_row"], rows["term_hot"],
+            rows["hot_docs"], rows["hot_w"],
+            rows["cold_docs"], rows["cold_w"],
+            self.idf, k, n_docs=self.n_docs,
         )
 
     # ---------------- persistence ----------------

@@ -75,3 +75,52 @@ if __name__ == "__main__":
     for rot in (0.0, 15.0, -15.0, 90.0):
         out[f"rot{rot:+.0f}"] = evaluate_engine(engine, rotation=rot)
     print(json.dumps(out, indent=1))
+
+
+def _norm_line(s: str) -> str:
+    return " ".join(s.split())
+
+
+def evaluate_on_invoices(
+    engine,
+    *,
+    pdf_dir: str = "/root/reference/invoices",
+    scale: float = 2.0,
+    min_chars: int = 3,
+) -> dict:
+    """Out-of-distribution e2e eval (round-2 verdict item 5): rasterize
+    the reference invoice PDFs with the in-repo renderer
+    (ingest/rasterize.py), OCR the page images, and score recovery
+    against the PDF text layer (free exact ground truth). Unlike the
+    synthetic eval, content, layout, line density and font sizes here
+    come from real documents the training pipeline never generates."""
+    import glob
+
+    from ..ingest.rasterize import page_ground_truth_lines, rasterize_page
+
+    total = exact = 0
+    fuzzy_sum = 0.0
+    per_doc = {}
+    for path in sorted(glob.glob(f"{pdf_dir}/*.pdf")):
+        data = open(path, "rb").read()
+        img, _ = rasterize_page(data, 0, scale=scale)
+        gt = page_ground_truth_lines(data, 0, min_chars=min_chars)
+        result = engine(img)
+        got = [_norm_line(ln.text) for ln in result.lines if ln.text]
+        d_exact = 0
+        for want in gt:
+            want_n = _norm_line(want)
+            total += 1
+            if want_n in got:
+                exact += 1
+                d_exact += 1
+            fuzzy_sum += _best_ratio(want_n, got)
+        per_doc[path.rsplit("/", 1)[-1]] = {
+            "gt_lines": len(gt), "exact": d_exact,
+        }
+    return {
+        "lines": total,
+        "exact_rate": exact / max(total, 1),
+        "fuzzy_rate": fuzzy_sum / max(total, 1),
+        "per_doc": per_doc,
+    }

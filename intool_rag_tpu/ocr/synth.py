@@ -380,12 +380,32 @@ def wordlike_text(rng: np.random.Generator, charset: str, max_len: int = 12) -> 
             words.append(w[: budget])
             budget -= len(w) + 1
         s = " ".join(words)
-    elif kind < 0.7:  # number / price / percentage
+    elif kind < 0.7:  # number / price / percentage (incl. comma grouping
+        # — invoice amounts like $3,122.43 were read with dropped commas
+        # before the distribution covered them)
         n = "".join(rng.choice(list("0123456789"), size=int(rng.integers(2, 6))))
-        s = rng.choice([n, f"{n}.{int(rng.integers(0,99)):02d}", f"${n}",
-                        f"{n}%", f"#{n}"])
-    elif kind < 0.85:  # date-ish
-        s = f"{int(rng.integers(1,28)):02d}/{int(rng.integers(1,12)):02d}/{int(rng.integers(2000,2030))}"
+        amt = int(rng.integers(100, 99999))
+        s = rng.choice([
+            n, f"{n}.{int(rng.integers(0,99)):02d}", f"${n}",
+            f"{n}%", f"#{n}",
+            f"${amt:,}.{int(rng.integers(0,99)):02d}",
+            f"{amt:,}",
+        ])
+    elif kind < 0.8:  # date-ish (numeric and month-name forms)
+        if rng.random() < 0.5:
+            s = f"{int(rng.integers(1,28)):02d}/{int(rng.integers(1,12)):02d}/{int(rng.integers(2000,2030))}"
+        else:
+            mon = rng.choice(["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])
+            s = f"{mon} {int(rng.integers(1,28)):02d} {int(rng.integers(2000,2030))}"
+    elif kind < 0.9:  # label word with colon ("Total:", "Ship Mode:")
+        w = "".join(
+            rng.choice(_SYLLABLES) for _ in range(int(rng.integers(1, 3)))
+        ).capitalize()
+        if rng.random() < 0.4:
+            w2 = "".join(rng.choice(_SYLLABLES)).capitalize()
+            w = f"{w} {w2}"
+        s = f"{w}:"
     else:  # code: letters+digits
         chars = list("ABCDEFGHJKLMNPRSTUVWXYZ0123456789-")
         s = "".join(rng.choice(chars, size=int(rng.integers(4, 9))))

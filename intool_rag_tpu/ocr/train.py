@@ -110,7 +110,7 @@ def train_synthetic_detector(
                 rot = float(rng.choice([90.0, -90.0]))
             img, gt = render_page(
                 rng, charset, size=page_size, rotation=rot,
-                per_line_jitter=1.0,
+                per_line_jitter=1.0, font_sizes=(14, 48),
             )
             from .synth import degrade_page
 
@@ -434,7 +434,7 @@ def train_recognizer_cached(
             rot = float(rng.uniform(-15.0, 15.0))
         page, gt = render_page(
             rng, charset, size=448, texts=texts, rotation=rot,
-            font_sizes=(16, 30), noise=float(rng.uniform(0.0, 0.03)),
+            font_sizes=(14, 44), noise=float(rng.uniform(0.0, 0.03)),
             font_probs=font_probs,
         )
         from .synth import degrade_page

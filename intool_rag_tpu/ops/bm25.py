@@ -180,6 +180,154 @@ def bm25_topk_sorted(
     return jnp.where(finite, vals, 0.0), jnp.where(finite, ids, 0)
 
 
+def build_padded_layout(
+    term_start: "np.ndarray",
+    term_len: "np.ndarray",
+    post_docs: "np.ndarray",
+    post_w: "np.ndarray",
+    *,
+    n_docs: int,
+    p_max: int,
+    cold_width: int = 64,
+):
+    """Repack 1-D postings into the two-tier ROW layout the TPU gather
+    wants (round-3 finding: the vmapped dynamic-slice gather ran at
+    ~1.2 GB/s — 6.9 ms/batch, the dominant BM25 stage cost — while an
+    aligned row gather from a 2-D array runs 3.6× faster).
+
+    Terms with ≤ ``cold_width`` postings go to a narrow [C, cold_width]
+    matrix, the rest (impact-capped at ``p_max``) to [H, p_max]; each
+    term is exactly one row of its tier, so the query-side gather is two
+    `take(axis=0)` row gathers. Two tiers bound the padding waste that a
+    single [V, p_max] layout would pay on rare terms (real vocabularies
+    are zipf: most terms have tiny df).
+
+    Returns dict of numpy arrays: term_row [V], term_hot [V] bool,
+    hot_docs [H, p_max], hot_w, cold_docs [C, cold_width], cold_w.
+    """
+    import numpy as np
+
+    v = len(term_start)
+    capped = np.minimum(term_len, p_max)
+    hot = capped > cold_width
+    term_row = np.zeros(v, np.int32)
+    term_row[hot] = np.arange(int(hot.sum()), dtype=np.int32)
+    term_row[~hot] = np.arange(v - int(hot.sum()), dtype=np.int32)
+    h = max(int(hot.sum()), 1)
+    c = max(v - int(hot.sum()), 1)
+    hot_docs = np.full((h, p_max), n_docs, np.int32)
+    hot_w = np.zeros((h, p_max), np.float32)
+    cold_docs = np.full((c, cold_width), n_docs, np.int32)
+    cold_w = np.zeros((c, cold_width), np.float32)
+    # vectorized scatter: pair i of term t sits at 1-D position
+    # term_start[t] + j  →  2-D (term_row[t], j) in its tier
+    capped64 = capped.astype(np.int64)
+    total = int(capped64.sum())
+    row_of_pair = np.repeat(term_row, capped64)
+    hot_of_pair = np.repeat(hot, capped64)
+    col_of_pair = np.arange(total, dtype=np.int64) - np.repeat(
+        term_start.astype(np.int64), capped64
+    )
+    src_docs = post_docs[:total]
+    src_w = post_w[:total]
+    hp = hot_of_pair
+    hot_docs[row_of_pair[hp], col_of_pair[hp]] = src_docs[hp]
+    hot_w[row_of_pair[hp], col_of_pair[hp]] = src_w[hp]
+    cp = ~hot_of_pair
+    cold_docs[row_of_pair[cp], col_of_pair[cp]] = src_docs[cp]
+    cold_w[row_of_pair[cp], col_of_pair[cp]] = src_w[cp]
+    return {
+        "term_row": term_row,
+        "term_hot": hot,
+        "hot_docs": hot_docs,
+        "hot_w": hot_w,
+        "cold_docs": cold_docs,
+        "cold_w": cold_w,
+    }
+
+
+def _aggregate_topk(docs: jax.Array, contrib: jax.Array, k: int, n_docs: int):
+    """Shared candidate aggregation: sort by doc id, exact segmented sum
+    (cumsum − cummax base; valid because contributions ≥ 0), blocked
+    top-k. Same contract as bm25_topk_sorted's tail."""
+    q = docs.shape[0]
+    docs_s, contrib_s = jax.lax.sort_key_val(docs, contrib, dimension=1)
+    cs = jnp.cumsum(contrib_s, axis=1)
+    excl = cs - contrib_s
+    prev = jnp.concatenate(
+        [jnp.full((q, 1), -1, docs_s.dtype), docs_s[:, :-1]], axis=1
+    )
+    nxt = jnp.concatenate(
+        [docs_s[:, 1:], jnp.full((q, 1), jnp.iinfo(jnp.int32).max, docs_s.dtype)],
+        axis=1,
+    )
+    is_start = docs_s != prev
+    is_end = docs_s != nxt
+    base = jax.lax.cummax(jnp.where(is_start, excl, -1.0), axis=1)
+    totals = cs - base
+    valid = is_end & (docs_s < n_docs)
+    slot_scores = jnp.where(valid, totals, -jnp.inf)
+    from .topk import blocked_topk
+
+    k_eff = min(k, slot_scores.shape[1])
+    vals, pos = blocked_topk(slot_scores, k_eff, block=1024)
+    ids = jnp.take_along_axis(docs_s, pos, axis=1)
+    finite = jnp.isfinite(vals)
+    return jnp.where(finite, vals, 0.0), jnp.where(finite, ids, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_docs"))
+def bm25_topk_rows(
+    qterms: jax.Array,  # [Q, T] i32, -1 padding
+    qtf: jax.Array,  # [Q, T] f32
+    term_row: jax.Array,  # [V] i32
+    term_hot: jax.Array,  # [V] bool
+    hot_docs: jax.Array,  # [H, p_max]
+    hot_w: jax.Array,
+    cold_docs: jax.Array,  # [C, cold_width]
+    cold_w: jax.Array,
+    idf: jax.Array,  # [V] f32
+    k: int,
+    *,
+    n_docs: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-layout BM25 top-k (the fast TPU path): two aligned row
+    gathers (hot/cold tier), mask by tier membership, aggregate. Exact
+    (identical contributions to the 1-D kernels up to f32 sum order)."""
+    q, t = qterms.shape
+    p_max = hot_docs.shape[1]
+    cold_width = cold_docs.shape[1]
+    t_safe = jnp.maximum(qterms, 0)
+    row = term_row[t_safe]  # [Q, T]
+    is_hot = term_hot[t_safe] & (qterms >= 0)
+    is_cold = ~term_hot[t_safe] & (qterms >= 0)
+    scale = (idf[t_safe] * qtf)[:, :, None]  # [Q, T, 1]
+
+    hd = jnp.take(hot_docs, jnp.where(is_hot, row, 0).reshape(-1), axis=0)
+    hw = jnp.take(hot_w, jnp.where(is_hot, row, 0).reshape(-1), axis=0)
+    hd = hd.reshape(q, t, p_max)
+    hw = hw.reshape(q, t, p_max)
+    h_contrib = jnp.maximum(jnp.where(is_hot[:, :, None], hw * scale, 0.0), 0.0)
+    hd = jnp.where(is_hot[:, :, None], hd, n_docs)
+
+    cd = jnp.take(cold_docs, jnp.where(is_cold, row, 0).reshape(-1), axis=0)
+    cw = jnp.take(cold_w, jnp.where(is_cold, row, 0).reshape(-1), axis=0)
+    cd = cd.reshape(q, t, cold_width)
+    cw = cw.reshape(q, t, cold_width)
+    c_contrib = jnp.maximum(
+        jnp.where(is_cold[:, :, None], cw * scale, 0.0), 0.0
+    )
+    cd = jnp.where(is_cold[:, :, None], cd, n_docs)
+
+    docs = jnp.concatenate(
+        [hd.reshape(q, -1), cd.reshape(q, -1)], axis=1
+    )
+    contrib = jnp.concatenate(
+        [h_contrib.reshape(q, -1), c_contrib.reshape(q, -1)], axis=1
+    )
+    return _aggregate_topk(docs, contrib, k, n_docs)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_docs", "p_max", "qbits"))
 def bm25_topk_packed(
     qterms: jax.Array,  # [Q, T] i32, -1 padding

@@ -172,3 +172,31 @@ def test_choose_group_width():
     assert choose_group_width(1_000_000, 10) == 128
     assert choose_group_width(4096, 10) <= 64
     assert choose_group_width(512, 10) == 8
+
+
+def test_flat_pallas_precise_split_query(rng):
+    """precise=True (split-query 2-pass bf16) must reproduce the f32
+    ranking that plain bf16 queries lose (round-3: replaces the separate
+    candidate rescore)."""
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas
+
+    n, d = 512, 128
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    cb = jnp.asarray(corpus).astype(jnp.bfloat16)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    vals, rows = flat_topk_pallas(
+        jnp.asarray(queries), cb, 10, block_n=128, group_l=1,
+        interpret=True, tail="exact", precise=True,
+    )
+    # oracle: f32 queries × bf16 corpus (the storage precision)
+    ref = queries @ np.asarray(cb.astype(jnp.float32)).T
+    want_rows = np.argsort(-ref, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(rows), want_rows)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.sort(ref, axis=1)[:, ::-1][:, :10], rtol=2e-4
+    )
