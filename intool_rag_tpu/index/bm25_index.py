@@ -69,19 +69,34 @@ class BM25Index:
         # gather was the dominant BM25 stage cost on TPU)
         self._rows = None
 
-    def _row_layout(self):
+    def _row_layout(self, cold_width: int = 64):
         if self._rows is None:
-            from ..ops.bm25 import build_padded_layout
+            from ..ops.bm25 import build_padded_layout_device
 
-            lay = build_padded_layout(
-                np.asarray(self.term_start),
-                np.asarray(self.term_len),
-                np.asarray(self.post_docs),
-                np.asarray(self.post_w),
-                n_docs=self.n_docs,
-                p_max=self.params.p_max,
+            lens = np.minimum(np.asarray(self.term_len), self.params.p_max)
+            hot = lens > cold_width
+            term_row = np.zeros(len(lens), np.int32)
+            term_row[hot] = np.arange(int(hot.sum()), dtype=np.int32)
+            term_row[~hot] = np.arange(len(lens) - int(hot.sum()),
+                                       dtype=np.int32)
+            hot_terms = np.flatnonzero(hot).astype(np.int32)
+            cold_terms = np.flatnonzero(~hot).astype(np.int32)
+            if len(hot_terms) == 0:
+                hot_terms = np.zeros(1, np.int32)
+            if len(cold_terms) == 0:
+                cold_terms = np.zeros(1, np.int32)
+            hd, hw, cd, cw = build_padded_layout_device(
+                self.term_start, self.term_len, self.post_docs, self.post_w,
+                jnp.asarray(hot_terms), jnp.asarray(cold_terms),
+                n_docs=self.n_docs, p_max=self.params.p_max,
+                cold_width=cold_width,
             )
-            self._rows = {k: jnp.asarray(v) for k, v in lay.items()}
+            self._rows = {
+                "term_row": jnp.asarray(term_row),
+                "term_hot": jnp.asarray(hot),
+                "hot_docs": hd, "hot_w": hw,
+                "cold_docs": cd, "cold_w": cw,
+            }
         return self._rows
 
     # ---------------- build ----------------

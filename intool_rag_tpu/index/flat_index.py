@@ -125,18 +125,25 @@ class DenseFlatIndex:
         if exact is True:
             use_pallas = False
         use_approx = False
+        precise_pallas = False
         if use_pallas:
             # ≤16 keeps the corpus input block within VMEM (see kernel doc)
             group_l = min(16, choose_group_width(store.valid_n, k))
             # shrink until the kernel's 128·group_l block divides n_pad
             while group_l > 8 and store.n_pad % (128 * group_l) != 0:
                 group_l //= 2
+            # split-query compensation: in-kernel scores match the
+            # f32-query × bf16-corpus product, so no candidate rescore
+            # pass is needed afterwards (round 3 — the rescore row
+            # gather cost ~6 ms/256-query batch at 1M rows)
+            precise_pallas = store.embeddings.dtype == jnp.bfloat16
             vals, rows = flat_topk_pallas(
                 query_embeddings,
                 store.embeddings,
                 k,
                 group_l=group_l,
                 valid_n=store.valid_n,
+                precise=precise_pallas,
             )
         else:
             use_approx = (
@@ -151,7 +158,7 @@ class DenseFlatIndex:
                 valid_n=store.valid_n,
                 use_approx=use_approx,
             )
-        if use_approx or store.embeddings.dtype != jnp.float32:
+        if (use_approx or store.embeddings.dtype != jnp.float32) and not precise_pallas:
             # exact f32 rescoring of the candidate pool: removes bf16 /
             # approx selection noise from final scores at ~k rows/query
             from ..ops.topk import rescore_candidates

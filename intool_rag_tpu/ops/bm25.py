@@ -246,6 +246,43 @@ def build_padded_layout(
     }
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "p_max", "cold_width")
+)
+def build_padded_layout_device(
+    term_start: jax.Array,  # [V] i32
+    term_len: jax.Array,  # [V] i32
+    post_docs: jax.Array,  # [nnz_pad] i32 (device-resident)
+    post_w: jax.Array,  # [nnz_pad] f32
+    hot_terms: jax.Array,  # [H] i32 — term ids with capped len > cold_width
+    cold_terms: jax.Array,  # [C] i32
+    *,
+    n_docs: int,
+    p_max: int,
+    cold_width: int = 64,
+):
+    """Device-side construction of the two-tier row layout from the 1-D
+    postings already in HBM. Only the tiny per-term id vectors cross the
+    host→device boundary — round-3 lesson: uploading the ~0.4 GB padded
+    arrays through the remote tunnel stalls (CLAUDE.md multi-GB-upload
+    hang); a one-time on-device gather (~0.4 s at 1M×64) does not.
+    Returns (hot_docs, hot_w, cold_docs, cold_w) device arrays."""
+
+    def tier(terms, width):
+        starts = term_start[terms]  # [R]
+        lens = jnp.minimum(term_len[terms], width)
+        idx = starts[:, None] + jnp.arange(width)[None, :]
+        valid = jnp.arange(width)[None, :] < lens[:, None]
+        idx = jnp.clip(idx, 0, post_docs.shape[0] - 1)
+        docs = jnp.where(valid, post_docs[idx], n_docs)
+        w = jnp.where(valid, post_w[idx], 0.0)
+        return docs.astype(jnp.int32), w.astype(jnp.float32)
+
+    hot_docs, hot_w = tier(hot_terms, p_max)
+    cold_docs, cold_w = tier(cold_terms, cold_width)
+    return hot_docs, hot_w, cold_docs, cold_w
+
+
 def _aggregate_topk(docs: jax.Array, contrib: jax.Array, k: int, n_docs: int):
     """Shared candidate aggregation: sort by doc id, exact segmented sum
     (cumsum − cummax base; valid because contributions ≥ 0), blocked
