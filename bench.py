@@ -110,6 +110,8 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         jnp.asarray(np.flatnonzero(~hot).astype(np.int32)),
         n_docs=n, p_max=p_max, cold_width=cold_width,
     )
+    jax.block_until_ready(hd)
+    _progress("postings layout built on device")
     rows_dev = {
         "term_row": jnp.asarray(term_row),
         "term_hot": jnp.asarray(hot),
@@ -145,16 +147,23 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
             block_n=min(500_000, n), valid_n=n,
         )
 
-    def hybrid(q_dense, qt, corpus):
+    # NOTE: all device arrays are threaded through as ARGUMENTS — a jit
+    # closure over a big device array embeds it in the executable and
+    # stalls remote_compile on the tunnel (CLAUDE.md; reproduced thrice
+    # in round 3 with the ~400 MB postings layout as a captured const)
+    rows_tuple = (
+        rows_dev["term_row"], rows_dev["term_hot"],
+        rows_dev["hot_docs"], rows_dev["hot_w"],
+        rows_dev["cold_docs"], rows_dev["cold_w"],
+    )
+
+    def hybrid(q_dense, qt, corpus, rows, idf_d):
         d_vals, d_rows = dense_topk(q_dense, corpus)
         if on_tpu:
             # cosine score-space clamp (the kernel returns raw ip)
             d_vals = jnp.clip(d_vals, 0.0, 1.0)
         s_vals, s_rows = bm25_topk_rows(
-            qt, qtf_d, rows_dev["term_row"], rows_dev["term_hot"],
-            rows_dev["hot_docs"], rows_dev["hot_w"],
-            rows_dev["cold_docs"], rows_dev["cold_w"],
-            dev[4], CANDIDATES, n_docs=n,
+            qt, qtf_d, *rows, idf_d, CANDIDATES, n_docs=n,
         )
         d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
         s_rows = jnp.where(s_vals > 0.0, s_rows, -1)
@@ -164,10 +173,10 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         return weighted_fusion(d_rows, d_vals, s_rows, s_norm, TOP_K)
 
     @jax.jit
-    def stream(corpus, dq_all, sq_all):
+    def stream(corpus, rows, idf_d, dq_all, sq_all):
         def step(_, inp):
             dq, sq = inp
-            return None, hybrid(dq, sq, corpus)
+            return None, hybrid(dq, sq, corpus, rows, idf_d)
 
         _, out = jax.lax.scan(step, None, (dq_all, sq_all))
         return out
@@ -177,11 +186,13 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     sqs = [
         jnp.asarray((qterms[None].repeat(G, 0) + 31 * i) % vocab) for i in range(4)
     ]
-    np.asarray(stream(corpus, dqs[-1], sqs[-1])[1])  # warmup/compile
+    _progress("compiling stream")
+    np.asarray(stream(corpus, rows_tuple, dev[4], dqs[-1], sqs[-1])[1])
+    _progress("warmup done; timing")
     times = []
     for dq, sq in zip(dqs[:3], sqs[:3]):
         t0 = time.perf_counter()
-        np.asarray(stream(corpus, dq, sq)[1])
+        np.asarray(stream(corpus, rows_tuple, dev[4], dq, sq)[1])
         times.append(time.perf_counter() - t0)
     # mean ± sd across passes (round-2 verdict item 10: a best-of run
     # presented ~6% run variance as a point value)
@@ -198,10 +209,10 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     # moving the 2-4GB corpus through the tunnel.
     full_dq = jnp.asarray(np.asarray(dqs[0][0]))
     full_sq = jnp.asarray(qterms)
-    vals, rows = jax.jit(hybrid)(full_dq, full_sq, corpus)
+    vals, rows = jax.jit(hybrid)(full_dq, full_sq, corpus, rows_tuple, dev[4])
     fast_rows = np.asarray(rows)[:CPU_SAMPLE_Q]
 
-    def hybrid_exact(q_dense, qt, corpus):
+    def hybrid_exact(q_dense, qt, corpus, dev):
         d_vals, d_rows = flat_topk(
             q_dense, corpus, CANDIDATES, metric="cosine",
             block_n=min(100_000, n), use_approx=False, valid_n=n,
@@ -217,7 +228,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         s_norm = jnp.where(s_rows >= 0, s_norm, 0.0)
         return weighted_fusion(d_rows, d_vals, s_rows, s_norm, TOP_K)
 
-    _, oracle_rows = jax.jit(hybrid_exact)(full_dq, full_sq, corpus)
+    _, oracle_rows = jax.jit(hybrid_exact)(full_dq, full_sq, corpus, tuple(dev))
     oracle_rows = np.asarray(oracle_rows)[:CPU_SAMPLE_Q]
     return fast_rows, qps, qps_sd, oracle_rows
 
@@ -278,15 +289,26 @@ def cpu_baseline_qps(sparse, n) -> float:
     return float(np.mean(runs)), float(np.std(runs))
 
 
+def _progress(msg: str) -> None:
+    import sys
+    import time as _t
+
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     from intool_rag_tpu.backend import ensure_backend
 
+    _progress("claiming backend")
     backend = ensure_backend()
+    _progress(f"backend={backend}")
     n, vocab, p_max = effective_sizes(backend)
     rng = np.random.default_rng(0)
     sparse = make_sparse(rng, n, vocab, p_max)
+    _progress("sparse data built")
 
     rows, tpu_qps, tpu_sd, oracle = tpu_hybrid(sparse, n, p_max)
+    _progress("tpu passes done")
     cpu_qps, cpu_sd = cpu_baseline_qps(sparse, n)
 
     hits = sum(
