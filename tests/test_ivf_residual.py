@@ -1,0 +1,80 @@
+"""IVF int4-residual index (ROADMAP #7): recall vs the exact scan, int4
+code round-trip, and capacity accounting."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from intool_rag_tpu.index.ivf_residual import (
+    IVFResidualIndex,
+    dequantize_int4,
+    encode_int4_residuals,
+)
+
+
+def test_int4_roundtrip(rng):
+    x = rng.standard_normal((64, 32)).astype(np.float32)
+    packed, scale = encode_int4_residuals(jnp.asarray(x))
+    assert packed.shape == (64, 16) and packed.dtype == jnp.uint8
+    recon = np.asarray(dequantize_int4(packed, scale))
+    # 4-bit symmetric: max error is scale/2 = group absmax/14 per element
+    absmax = np.abs(x).max(axis=1, keepdims=True)
+    assert (np.abs(recon - x) <= absmax / 14.0 + 1e-6).all()
+
+
+def test_int4_groupwise_scales(rng):
+    """An outlier dim must not inflate other groups' quantization step."""
+    x = rng.standard_normal((16, 256)).astype(np.float32) * 0.1
+    x[:, 0] = 50.0  # outlier in group 0
+    packed, scale = encode_int4_residuals(jnp.asarray(x))
+    assert scale.shape == (16, 2)
+    recon = np.asarray(dequantize_int4(packed, scale))
+    # group 1 (dims 128..255) unaffected by the outlier: error bounded
+    # by ITS OWN absmax/14, not the outlier group's (50/14 ≈ 3.6)
+    g1_absmax = np.abs(x[:, 128:]).max(axis=1, keepdims=True)
+    err = np.abs(recon[:, 128:] - x[:, 128:])
+    assert (err <= g1_absmax / 14.0 + 1e-6).all()
+    assert err.max() < 0.05
+
+
+def test_ivf_residual_recall(rng):
+    # clustered corpus with top-10 score separations above the int4
+    # noise floor — the capacity-index regime (very tight clusters where
+    # neighbors differ by less than the code resolution need the flat /
+    # int8 indexes instead, at 2-8x the memory)
+    n_clusters, per, d = 32, 128, 64
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 5
+    pts = np.concatenate(
+        [c + rng.standard_normal((per, d)).astype(np.float32)
+         for c in centers]
+    )
+    n = len(pts)
+    queries = pts[rng.integers(0, n, 24)] + 0.2 * rng.standard_normal(
+        (24, d)
+    ).astype(np.float32)
+
+    index = IVFResidualIndex.build(jnp.asarray(pts), nlist=32, iters=8)
+    vals, rows = index.search(jnp.asarray(queries), 10, nprobe=8)
+
+    exact = queries @ pts.T
+    want = np.argsort(-exact, axis=1)[:, :10]
+    got = np.asarray(rows)
+    recall = np.mean([
+        len(set(got[i]) & set(want[i])) / 10 for i in range(len(queries))
+    ])
+    assert recall >= 0.9, f"recall@10 {recall}"
+    # scores must track exact inner products (centroid part exact, int4
+    # residual error bounded by the group scale)
+    top1_exact = exact[np.arange(len(queries)), got[:, 0]]
+    rel = np.abs(np.asarray(vals)[:, 0] - top1_exact) / np.abs(top1_exact)
+    assert rel.max() < 0.02, rel.max()
+
+
+def test_ivf_residual_capacity_halves_int8(rng):
+    pts = rng.standard_normal((2048, 128)).astype(np.float32)
+    index = IVFResidualIndex.build(jnp.asarray(pts), nlist=16, iters=3)
+    # codes dominate: D/2 bytes per row vs D for int8
+    assert index.codes.shape[1] == 64
+    code_bytes = index.codes.size
+    assert code_bytes <= 2048 * 64 * 1.2  # permuted padding slack only
