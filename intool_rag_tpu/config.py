@@ -119,6 +119,13 @@ class Config:
     LLM_MODEL_PATH: str = dataclasses.field(
         default_factory=lambda: _env_str("LLM_MODEL_PATH", "")
     )
+    # sampling controls for the in-process decoder (0 / 1.0 = disabled)
+    LLM_TOP_K: int = dataclasses.field(
+        default_factory=lambda: _env_int("LLM_TOP_K", 0)
+    )
+    LLM_TOP_P: float = dataclasses.field(
+        default_factory=lambda: _env_float("LLM_TOP_P", 1.0)
+    )
 
     # --- Reranker (implemented for real here; declared-only in the
     # reference — rag/config.py:24-27, SURVEY.md §0) ---
@@ -285,7 +292,7 @@ class Config:
         default_factory=lambda: _env_str("INDEX_DTYPE", "bfloat16")  # or f32/int8
     )
     INDEX_KIND: str = dataclasses.field(
-        default_factory=lambda: _env_str("INDEX_KIND", "flat")  # flat | ivf
+        default_factory=lambda: _env_str("INDEX_KIND", "flat")  # flat | ivf | ivf_residual
     )
     SEARCH_BLOCK_N: int = dataclasses.field(
         default_factory=lambda: _env_int("SEARCH_BLOCK_N", 16384)

@@ -61,14 +61,24 @@ class DenseFlatIndex:
         return self._sharded
 
     def _ivf_index(self):
-        from .ivf_index import IVFFlatIndex
-
         if self._ivf is None or self._ivf_built_at != self.store.mutation_count:
             cfg = get_config()
-            self._ivf = IVFFlatIndex.build(
-                self.store.embeddings[: self.store.valid_n],
-                nlist=cfg.IVF_NLIST,
-            )
+            if cfg.INDEX_KIND == "ivf_residual":
+                # capacity index: int4 residual codes, ~8× smaller than
+                # f32 / 2× smaller than int8 (index/ivf_residual.py)
+                from .ivf_residual import IVFResidualIndex
+
+                self._ivf = IVFResidualIndex.build(
+                    self.store.embeddings[: self.store.valid_n],
+                    nlist=cfg.IVF_NLIST,
+                )
+            else:
+                from .ivf_index import IVFFlatIndex
+
+                self._ivf = IVFFlatIndex.build(
+                    self.store.embeddings[: self.store.valid_n],
+                    nlist=cfg.IVF_NLIST,
+                )
             self._ivf_built_at = self.store.mutation_count
         return self._ivf
 
@@ -110,7 +120,7 @@ class DenseFlatIndex:
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
             return vals, rows
         if (
-            cfg.INDEX_KIND == "ivf"
+            cfg.INDEX_KIND in ("ivf", "ivf_residual")
             and exact is not True
             and store.valid_n >= self._IVF_MIN_ROWS
             and self.metric in ("cosine", "ip")

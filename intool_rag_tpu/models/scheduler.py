@@ -58,12 +58,16 @@ class ContinuousGenerator:
         temperature: float = 0.0,
         eos_id: int | None = None,
         pad_id: int = 0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> None:
         self.config = config
         self.params = params
         self.n_slots = n_slots
         self.seg_len = seg_len
         self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
         self.eos = -1 if eos_id is None else eos_id
         self.pad_id = pad_id
         self.model = DecoderLM(config)
@@ -75,6 +79,9 @@ class ContinuousGenerator:
     def _sample(self, logits, key):
         if self.temperature <= 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from .decoder import filter_logits
+
+        logits = filter_logits(logits, top_k=self.top_k, top_p=self.top_p)
         return jax.random.categorical(
             key, logits / self.temperature, axis=-1
         ).astype(jnp.int32)

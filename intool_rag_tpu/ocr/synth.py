@@ -127,6 +127,40 @@ def _near_identical(a: str, b: str, fonts: tuple[str, ...], tol: float) -> bool:
 def _homoglyph_map_cached(
     charset: str, fonts: tuple[str, ...], tol: float = 0.0
 ) -> tuple:
+    # disk cache: the pairwise aligned-ink comparison is ~90 s for the
+    # full charset over 6 faces; fonts in the image never change, so the
+    # result is keyed by (charset, fonts, tol) content hash and persisted
+    # next to the shipped weights
+    import hashlib
+    import json
+    from pathlib import Path
+
+    key = hashlib.md5(
+        repr((charset, fonts, round(tol, 4))).encode()
+    ).hexdigest()[:16]
+    cache_dir = Path(__file__).parent / "weights"
+    cache_file = cache_dir / f"homoglyphs_{key}.json"
+    if cache_file.exists():
+        try:
+            data = json.loads(cache_file.read_text(encoding="utf-8"))
+            return tuple(tuple(p) for p in data)
+        except Exception:
+            pass
+    result = _homoglyph_map_compute(charset, fonts, tol)
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        cache_file.write_text(
+            json.dumps([list(p) for p in result], ensure_ascii=False),
+            encoding="utf-8",
+        )
+    except OSError:
+        pass
+    return result
+
+
+def _homoglyph_map_compute(
+    charset: str, fonts: tuple[str, ...], tol: float = 0.0
+) -> tuple:
     canon: dict[tuple, str] = {}
     reps: list[str] = []  # canonical representatives, charset order
     fold: list[tuple[str, str]] = []

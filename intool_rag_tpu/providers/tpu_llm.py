@@ -153,6 +153,7 @@ class TPULLM(BaseLLM):
                 eos = getattr(self.tokenizer, "eos_id", None)
                 if eos is None:
                     eos = getattr(self.tokenizer, "eos_token_id", None)
+                app_cfg = get_config()
                 self._gen_fns[key] = make_generate_fn(
                     self.config,
                     max_new_tokens=min(
@@ -162,6 +163,8 @@ class TPULLM(BaseLLM):
                     temperature=self.temperature,
                     eos_id=eos,
                     pad_id=getattr(self.tokenizer, "pad_id", 0),
+                    top_k=app_cfg.LLM_TOP_K,
+                    top_p=app_cfg.LLM_TOP_P,
                 )
             return self._gen_fns[key]
 

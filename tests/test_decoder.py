@@ -173,3 +173,27 @@ def test_factory_builds_tpu_llm(monkeypatch):
         factory.reset_llm()
         monkeypatch.delenv("LLM_PROVIDER")
         config_mod.reset_config()
+
+
+def test_filter_logits_topk_topp():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from intool_rag_tpu.models.decoder import filter_logits
+
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0, -3.0]])
+    # top-k=2: only the two largest survive
+    f = np.asarray(filter_logits(logits, top_k=2))
+    assert np.isfinite(f[0, :2]).all() and not np.isfinite(f[0, 2:]).any()
+    # top-p: smallest nucleus covering p keeps the head, always ≥1 token
+    f = np.asarray(filter_logits(logits, top_p=0.5))
+    assert np.isfinite(f[0, 0])
+    assert not np.isfinite(f[0, 4])
+    # tiny p keeps exactly the argmax
+    f = np.asarray(filter_logits(logits, top_p=1e-6))
+    assert np.isfinite(f[0, 0]) and not np.isfinite(f[0, 1:]).any()
+    # disabled filters are identity
+    np.testing.assert_array_equal(
+        np.asarray(filter_logits(logits, top_k=0, top_p=1.0)),
+        np.asarray(logits),
+    )
