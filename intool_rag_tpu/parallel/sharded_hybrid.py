@@ -75,6 +75,102 @@ class ShardedHybrid:
         )
         return gids
 
+    # ---------------- checkpoint / restore (SURVEY §5.4) ----------------
+
+    def save(self, path) -> None:
+        """Persist the full engine: dense shards via the per-shard
+        sharded-array writer plus the sparse counted state (tokenized
+        postings + global stats). Row ids are interleaved by shard
+        count, so a checkpoint binds to its mesh size — load() enforces
+        it."""
+        import json
+        from pathlib import Path
+
+        from ..storage.sharded import save_sharded
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        save_sharded(
+            self.corpus.data, path / "dense",
+            meta={
+                "counts": self.corpus.counts.tolist(),
+                "cap": self.corpus.cap,
+                "dim": self.corpus.dim,
+                "n_shards": self.corpus.n_shards,
+            },
+        )
+        bm = self.bm25
+        arrays = {"df": bm.df}
+        for i, sc in enumerate(bm.shards):
+            arrays[f"s{i}_slots"] = sc.slots
+            arrays[f"s{i}_indptr"] = sc.indptr
+            arrays[f"s{i}_terms"] = sc.terms
+            arrays[f"s{i}_counts"] = sc.counts
+            arrays[f"s{i}_lens"] = sc.lens
+        np.savez_compressed(path / "sparse.npz", **arrays)
+        (path / "sparse.meta.json").write_text(
+            json.dumps({
+                "vocab": list(bm.vocab.keys()),
+                "n_docs": bm.n_docs,
+                "total_len": bm.total_len,
+                "cap": bm._cap,
+                "k1": bm.params.k1,
+                "b": bm.params.b,
+                "p_max": bm.params.p_max,
+                "n_shards": bm.n_shards,
+            }, ensure_ascii=False),
+            encoding="utf-8",
+        )
+
+    @classmethod
+    def load(cls, path, mesh: Mesh) -> "ShardedHybrid":
+        import json
+        from pathlib import Path
+
+        from ..index.bm25_index import BM25Params
+        from ..parallel.sharded_bm25 import _ShardCounts
+        from ..storage.sharded import load_sharded
+
+        path = Path(path)
+        meta = json.loads((path / "sparse.meta.json").read_text(encoding="utf-8"))
+        n_shards = mesh.shape["data"]
+        if n_shards != meta["n_shards"]:
+            raise ValueError(
+                f"checkpoint was sharded {meta['n_shards']}-way; mesh has "
+                f"{n_shards} data shards (interleaved row ids bind to the "
+                "shard count)"
+            )
+        data, dmeta = load_sharded(path / "dense", mesh)
+        engine = cls(
+            dmeta["dim"], mesh, capacity_per_shard=dmeta["cap"],
+            params=BM25Params(
+                k1=meta["k1"], b=meta["b"], p_max=meta["p_max"]
+            ),
+        )
+        engine.corpus.cap = dmeta["cap"]
+        engine.corpus.counts = np.asarray(dmeta["counts"], np.int32)
+        engine.corpus.data = data
+        engine.corpus._place = engine.corpus._build_place()
+
+        arrays = np.load(path / "sparse.npz")
+        bm = engine.bm25
+        bm.vocab = {t: i for i, t in enumerate(meta["vocab"])}
+        bm.df = arrays["df"]
+        bm.n_docs = meta["n_docs"]
+        bm.total_len = meta["total_len"]
+        bm._cap = meta["cap"]
+        bm.shards = [
+            _ShardCounts(
+                slots=arrays[f"s{i}_slots"],
+                indptr=arrays[f"s{i}_indptr"],
+                terms=arrays[f"s{i}_terms"],
+                counts=arrays[f"s{i}_counts"],
+                lens=arrays[f"s{i}_lens"],
+            )
+            for i in range(n_shards)
+        ]
+        return engine
+
     def search(
         self,
         query_texts: list[str],

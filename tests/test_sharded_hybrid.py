@@ -183,3 +183,35 @@ def test_sharded_hybrid_dense_only_mode(rng):
     vals, rows = engine.search(texts[:3], jnp.asarray(q), 5, hybrid=False)
     # self-retrieval: each query's top hit is its own row
     np.testing.assert_array_equal(np.asarray(rows)[:, 0], gids[:3])
+
+
+def test_sharded_hybrid_checkpoint_roundtrip(rng, tmp_path):
+    """save() → load() must restore identical search results and keep
+    accepting streaming appends (SURVEY §5.4 sharded checkpointing,
+    extended to the hybrid engine)."""
+    dim = 16
+    params = BM25Params(k1=1.5, b=0.75, p_max=256)
+    mesh = corpus_mesh()
+    engine = ShardedHybrid(dim, mesh, capacity_per_shard=16, params=params)
+    texts, emb = _make_corpus(rng, 80, dim)
+    engine.append(texts, emb)
+
+    q_texts = [" ".join(rng.choice(_WORDS, size=4)) for _ in range(4)]
+    q_emb = rng.standard_normal((4, dim)).astype(np.float32)
+    before_v, before_r = engine.search(q_texts, jnp.asarray(q_emb), 8)
+
+    engine.save(tmp_path / "ckpt")
+    restored = ShardedHybrid.load(tmp_path / "ckpt", mesh)
+    after_v, after_r = restored.search(q_texts, jnp.asarray(q_emb), 8)
+    np.testing.assert_allclose(
+        np.asarray(before_v), np.asarray(after_v), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(before_r), np.asarray(after_r))
+
+    # streaming continues after restore
+    more_t, more_e = _make_corpus(rng, 24, dim)
+    gids = restored.append(more_t, more_e)
+    assert restored.valid_n == 104
+    assert len(set(map(int, gids))) == 24
+    v2, r2 = restored.search(q_texts, jnp.asarray(q_emb), 8)
+    assert np.isfinite(np.asarray(v2)).all()
