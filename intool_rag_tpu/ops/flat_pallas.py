@@ -198,6 +198,12 @@ def flat_topk_pallas(
             )
 
         operands = (valid_arr := jnp.asarray([valid_n], jnp.int32), queries, corpus)
+    compiler_params = None
+    if not interpret:
+        # the split-query second matmul's accumulator exceeds the 16 MB
+        # default scoped-VMEM budget at block_n 2048 / D 1024 (measured
+        # 17.65 MB); v5e has 128 MB VMEM — raise the cap
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -210,6 +216,7 @@ def flat_topk_pallas(
             bytes_accessed=n * d * corpus.dtype.itemsize + q_pad * d * 4,
             transcendentals=0,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
 
