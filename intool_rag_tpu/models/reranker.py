@@ -81,6 +81,24 @@ class Reranker:
     def __post_init__(self) -> None:
         model = CrossEncoder(self.config)
         self._apply = jax.jit(model.apply)
+        # Inference-time param residency (round-2 verdict item 8 — MFU):
+        # flax casts f32 params to the bf16 compute dtype inside EVERY
+        # launch, so the f32 master copy is read from HBM (2× traffic)
+        # and cast on the VPU each bucket. Pre-cast the body once; the
+        # f32 head params stay f32 (they are applied in f32). Compute is
+        # bit-identical: promote_dtype(bf16_param) is a no-op cast.
+        self._infer_params = self.params
+        if jnp.dtype(self.config.dtype) == jnp.bfloat16:
+            def cast(x):
+                return (
+                    x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x
+                )
+
+            p = dict(self.params["params"])
+            p["body"] = jax.tree.map(cast, p["body"])
+            self._infer_params = {**self.params, "params": p}
 
     @classmethod
     def create(
@@ -148,6 +166,12 @@ class Reranker:
         scores = np.zeros(len(rows), np.float32)
         self.last_padding_waste = 0.0
         real_tokens = padded_tokens = 0
+        # Dispatch every bucket before fetching any result: jit dispatch
+        # is async, so bucket i+1's host-side padding/transfer overlaps
+        # bucket i's device compute, and the per-launch RPC latency of
+        # the remote tunnel is paid once, not per bucket (round-2
+        # verdict item 8 — a per-bucket np.asarray serialized launches).
+        pending: list[tuple[list[int], jax.Array]] = []
         for s in range(0, len(order), bucket):
             idx = order[s : s + bucket]
             chunk = [rows[i] for i in idx]
@@ -158,12 +182,16 @@ class Reranker:
                 r = r[:width]
                 ids[j, : len(r)] = r
                 mask[j, : len(r)] = 1
-            out = np.asarray(
-                self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            )
-            scores[idx] = out[: len(idx)]
+            pending.append((
+                idx,
+                self._apply(
+                    self._infer_params, jnp.asarray(ids), jnp.asarray(mask)
+                ),
+            ))
             real_tokens += sum(min(len(r), width) for r in chunk)
             padded_tokens += len(idx) * width
+        for idx, out in pending:
+            scores[idx] = np.asarray(out)[: len(idx)]
         self.last_padding_waste = padded_tokens / max(real_tokens, 1) - 1.0
         return scores
 
