@@ -19,9 +19,14 @@ for free; round 2's in-process decoder served static batches only
 
 Capacity note: the shared cursor advances 1 per decode step, so one
 cache of ``max_position`` P serves ~P total decode steps between
-resets; ``generate_many`` drains its whole queue within one cache
-lifetime by construction (it errors if the workload can't fit — pick
-``max_position`` ≥ prompt_pad + total_steps/n_slots headroom).
+COMPACTIONS. When the cursor would overrun, the scheduler re-prefills
+every live stream's full history (prompt + generated-so-far) into a
+fresh cache and resets the cursor to the longest live history's bucket
+— causal-transformer K/V for a token depends only on its prefix, so the
+re-prefilled state is math-identical to the incrementally built one
+(greedy outputs are bit-stable across compactions; regression-tested).
+Serving is therefore unbounded: steady-state cost is one prefill per
+live slot every ~(P − history) decode steps.
 """
 
 from __future__ import annotations
@@ -147,6 +152,47 @@ class ContinuousGenerator:
         )
         return cache, toks.T, tok, pos, active  # toks [B, seg]
 
+    # ---------------- cache compaction (ROADMAP #6) ----------------
+
+    def _compact(self, prompts, slots, queue_head_bucket: int = 0):
+        """Build a fresh cache holding every live stream's history.
+
+        History = prompt + tokens[:-1] (the newest sampled token has not
+        been fed yet — it stays in ``tok`` and is fed by the next decode
+        segment, exactly as before compaction). The cursor resets to the
+        largest live-history bucket (or the next queued prompt's bucket
+        if larger, so the following refill fits without a bump). The
+        sampling key inside the insert program is a dummy — its output
+        token is discarded, so the main RNG stream is untouched and
+        sampled sequences are identical with or without compaction."""
+        cfg = self.config
+        hist: list[list[int] | None] = []
+        for b in range(self.n_slots):
+            st = slots[b]
+            hist.append(
+                None if st is None
+                else list(prompts[st.idx]) + st.tokens[:-1]
+            )
+        live = [h for h in hist if h]
+        s_max = max([len(h) for h in live] + [queue_head_bucket, 8])
+        bucket0 = 1 << max(3, (s_max - 1).bit_length())
+        fresh = init_cache(cfg, self.n_slots)
+        fresh = fresh._replace(length=jnp.asarray(bucket0, jnp.int32))
+        dummy = jax.random.PRNGKey(0)
+        for b, ids in enumerate(hist):
+            if not ids:
+                continue
+            s_bucket = 1 << max(3, (len(ids) - 1).bit_length())
+            arr = np.full((1, s_bucket), self.pad_id, np.int32)
+            mask = np.zeros((1, s_bucket), np.int32)
+            arr[0, s_bucket - len(ids):] = ids
+            mask[0, s_bucket - len(ids):] = 1
+            fresh, _, _ = self._insert_fn(s_bucket)(
+                self.params, fresh, jnp.asarray(arr), jnp.asarray(mask),
+                jnp.asarray(b, jnp.int32), dummy,
+            )
+        return fresh
+
     # ---------------- host scheduler ----------------
 
     def generate_many(
@@ -182,8 +228,9 @@ class ContinuousGenerator:
         results: list[list[int]] = [[] for _ in range(n)]
         t0 = time.perf_counter()
         lat: list[float] = []
+        n_compact = 0
         budget_err = (
-            "cache capacity exhausted: raise max_position or lower load"
+            "stream too long for the cache: raise max_position"
         )
 
         def refill(cache):
@@ -200,7 +247,14 @@ class ContinuousGenerator:
                 arr[0, s_bucket - len(ids):] = ids
                 mask[0, s_bucket - len(ids):] = 1
                 if int(cache.length) < s_bucket:
-                    raise RuntimeError(budget_err)
+                    # prompt bucket past the cursor (fresh/compacted
+                    # cache): bump the shared cursor — skipped rows just
+                    # stay invalid for every slot
+                    if s_bucket + self.seg_len > cfg.max_position:
+                        raise RuntimeError(budget_err)
+                    cache = cache._replace(
+                        length=jnp.asarray(s_bucket, jnp.int32)
+                    )
                 key, sub = jax.random.split(key)
                 cache, first, n_real = self._insert_fn(s_bucket)(
                     self.params, cache, jnp.asarray(arr),
@@ -224,7 +278,14 @@ class ContinuousGenerator:
         cache, _ = refill(cache)
         while any(s is not None for s in slots) or queue:
             if int(cache.length) + self.seg_len > cfg.max_position:
-                raise RuntimeError(budget_err)
+                head = (
+                    1 << max(3, (len(prompts[queue[0]]) - 1).bit_length())
+                    if queue else 0
+                )
+                cache = self._compact(prompts, slots, head)
+                n_compact += 1
+                if int(cache.length) + self.seg_len > cfg.max_position:
+                    raise RuntimeError(budget_err)
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, self.seg_len)
             cache, toks, tok_d, pos_d, act_d = self._decode_fn(
@@ -260,6 +321,7 @@ class ContinuousGenerator:
             "tokens_per_s": total_tokens / max(wall, 1e-9),
             "p50_latency_s": float(np.median(lat)) if lat else 0.0,
             "p95_latency_s": float(np.percentile(lat, 95)) if lat else 0.0,
+            "compactions": n_compact,
         }
         return results, stats
 

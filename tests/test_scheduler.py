@@ -59,6 +59,33 @@ def test_continuous_matches_static_greedy(rng):
     assert stats["p50_latency_s"] > 0
 
 
+def test_compaction_parity(rng):
+    """Unbounded serving (ROADMAP #6): a cache too small for the total
+    decode-step budget forces ≥1 compaction (re-prefill of live
+    histories); greedy outputs must be IDENTICAL to a run with ample
+    cache, and the ample run must not compact."""
+    params = init_decoder_params(_tiny_config())
+    n = 8
+    prompts = [
+        rng.integers(5, 250, size=int(rng.integers(4, 16))).tolist()
+        for _ in range(n)
+    ]
+    limits = [int(rng.integers(8, 16)) for _ in range(n)]
+    # total decode steps ≈ sum(limits) / n_slots · slack; cursor starts
+    # at 16: max_position 64 forces compaction well before the queue
+    # drains, 512 never does
+    small = DecoderConfig(**{
+        **_tiny_config().__dict__, "max_position": 64
+    })
+    gen_small = ContinuousGenerator(small, params, n_slots=2, seg_len=4)
+    got, stats_small = gen_small.generate_many(prompts, limits)
+    gen_big = ContinuousGenerator(_tiny_config(), params, n_slots=2, seg_len=4)
+    want, stats_big = gen_big.generate_many(prompts, limits)
+    assert stats_small["compactions"] >= 1
+    assert stats_big["compactions"] == 0
+    assert got == want
+
+
 def test_continuous_respects_eos(rng):
     """Streams that hit EOS free their slot early and later refills are
     unaffected by the previous tenant's cache."""
