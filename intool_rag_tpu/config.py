@@ -321,6 +321,13 @@ class Config:
     IVF_NPROBE: int = dataclasses.field(
         default_factory=lambda: _env_int("IVF_NPROBE", 64)
     )
+    # ivf_residual only: candidate-pool size for the host-DRAM int8
+    # refinement pass (0 = off). The int4 device pass retrieves this
+    # many rows; the host exactly rescores them from its int8 tier
+    # (index/ivf_residual.py — capacity in HBM, precision from host).
+    IVF_REFINE_K: int = dataclasses.field(
+        default_factory=lambda: _env_int("IVF_REFINE_K", 0)
+    )
     # BM25
     BM25_K1: float = dataclasses.field(
         default_factory=lambda: _env_float("BM25_K1", 1.5)

@@ -71,6 +71,7 @@ class DenseFlatIndex:
                 self._ivf = IVFResidualIndex.build(
                     self.store.embeddings[: self.store.valid_n],
                     nlist=cfg.IVF_NLIST,
+                    refine=cfg.IVF_REFINE_K > 0,
                 )
             else:
                 from .ivf_index import IVFFlatIndex
@@ -125,8 +126,14 @@ class DenseFlatIndex:
             and store.valid_n >= self._IVF_MIN_ROWS
             and self.metric in ("cosine", "ip")
         ):
-            vals, rows = self._ivf_index().search(
-                query_embeddings, k, nprobe=cfg.IVF_NPROBE
+            ivf = self._ivf_index()
+            kwargs = (
+                {"refine_k": cfg.IVF_REFINE_K}
+                if cfg.IVF_REFINE_K > 0 and getattr(ivf, "host_int8", None) is not None
+                else {}
+            )
+            vals, rows = ivf.search(
+                query_embeddings, k, nprobe=cfg.IVF_NPROBE, **kwargs
             )
             if self.metric == "cosine":
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)

@@ -103,6 +103,13 @@ class IVFResidualIndex:
         self.overflow_start = overflow_start
         self.overflow_len = overflow_len
         self.cap = cap
+        # optional host-DRAM int8 refinement tier (ROADMAP #7): HBM holds
+        # the int4 capacity codes; deployments with host memory to spare
+        # keep a per-row int8 copy THERE and exactly rescore the tiny
+        # top-k′ candidate pool on the host — recovering int8-grade
+        # intra-cluster ranking at zero extra HBM.
+        self.host_int8: "np.ndarray | None" = None
+        self.host_scale8: "np.ndarray | None" = None
 
     @property
     def nlist(self) -> int:
@@ -124,6 +131,7 @@ class IVFResidualIndex:
         iters: int = 10,
         cap_quantile: float = 0.98,
         seed: int = 0,
+        refine: bool = False,
     ) -> "IVFResidualIndex":
         n, d = embeddings.shape
         if d % 2:
@@ -177,7 +185,7 @@ class IVFResidualIndex:
         row_map[:m] = perm
         row_list = np.zeros(m_pad, np.int32)
         row_list[:m] = assign_np[perm]
-        return cls(
+        idx = cls(
             centroids=centroids,
             codes=codes,
             scales=scales,
@@ -189,22 +197,64 @@ class IVFResidualIndex:
             overflow_len=int(len(overflow)),
             cap=cap,
         )
+        if refine:
+            from ..ops.quant import quantize_int8
+
+            codes8, scales8 = jax.jit(quantize_int8)(embeddings)
+            idx.host_int8 = np.asarray(codes8)
+            idx.host_scale8 = np.asarray(scales8, dtype=np.float32)
+        return idx
+
+    @property
+    def bytes_host(self) -> int:
+        """Host-DRAM footprint of the optional int8 refinement tier."""
+        if self.host_int8 is None:
+            return 0
+        return int(self.host_int8.nbytes + self.host_scale8.nbytes)
 
     # ---------------- search ----------------
 
     def search(
-        self, queries: jax.Array, k: int, *, nprobe: int = 8, query_chunk: int = 32
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        nprobe: int = 8,
+        query_chunk: int = 32,
+        refine_k: int | None = None,
     ) -> tuple[jax.Array, jax.Array]:
-        """(scores [Q, k] f32, original rows [Q, k] i32), MIPS."""
+        """(scores [Q, k] f32, original rows [Q, k] i32), MIPS.
+
+        With ``refine_k`` and a host int8 tier (``build(refine=True)``),
+        the device pass retrieves ``max(k, refine_k)`` candidates by
+        int4-residual score and the host exactly rescores that pool
+        against the int8 rows — the returned top-k ranking then matches
+        the int8 index wherever the candidate pool covers it."""
         nprobe = min(nprobe, self.nlist)
-        return _ivf_residual_search(
+        do_refine = refine_k and self.host_int8 is not None
+        k_dev = max(k, refine_k) if do_refine else k
+        vals, rows = _ivf_residual_search(
             queries, self.centroids, self.codes, self.scales,
             self.row_list, self.row_map, self.list_start, self.list_len,
-            k=k, nprobe=nprobe, cap=self.cap,
+            k=k_dev, nprobe=nprobe, cap=self.cap,
             overflow_start=self.overflow_start,
             overflow_len=self.overflow_len,
             query_chunk=min(query_chunk, queries.shape[0]),
         )
+        if not do_refine:
+            return vals, rows
+        rows_np = np.asarray(rows)
+        q_np = np.asarray(queries, dtype=np.float32)
+        safe = np.maximum(rows_np, 0)
+        cand = self.host_int8[safe].astype(np.float32)  # [Q, k', D]
+        scale = self.host_scale8[safe]  # [Q, k']
+        exact = np.einsum("qkd,qd->qk", cand, q_np) * scale
+        exact = np.where(rows_np >= 0, exact, -np.inf)
+        order = np.argsort(-exact, axis=1)[:, :k]
+        out_vals = np.take_along_axis(exact, order, axis=1).astype(np.float32)
+        out_rows = np.take_along_axis(rows_np, order, axis=1)
+        out_rows = np.where(np.isfinite(out_vals), out_rows, -1)
+        return jnp.asarray(out_vals), jnp.asarray(out_rows)
 
 
 @functools.partial(
