@@ -202,8 +202,19 @@ def flat_topk_pallas(
     if not interpret:
         # the split-query second matmul's accumulator exceeds the 16 MB
         # default scoped-VMEM budget at block_n 2048 / D 1024 (measured
-        # 17.65 MB); v5e has 128 MB VMEM — raise the cap
-        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        # 17.65 MB); v5e has 128 MB VMEM — raise the cap, scaled to the
+        # block so block_n 8192 (double-buffered 16 MB corpus blocks +
+        # f32 scores) also compiles
+        need = (
+            2 * block_n * d * corpus.dtype.itemsize  # double-buffered block
+            + (2 if precise else 1) * q_pad * d * 2  # query (+lo) bf16
+            + q_pad * block_n * 4  # f32 score accumulator
+            + 2 * q_pad * (block_n // group_l) * 8  # out tiles (vals+idx)
+        )
+        cap = max(48, min(100, need // (1024 * 1024) + 16))
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(cap) * 1024 * 1024
+        )
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
