@@ -277,6 +277,27 @@ def init_decoder_params(config: DecoderConfig, seed: int = 0):
     return model.init(jax.random.PRNGKey(seed), ids, pos, cache)
 
 
+def cast_params_for_inference(config: DecoderConfig, params):
+    """Pre-cast f32 params to the bf16 compute dtype for serving.
+
+    Decode is param-read bound (every step streams all weights from
+    HBM); flax would cast the f32 master copy to bf16 inside EVERY step,
+    so keeping an f32 copy doubles the per-step HBM traffic for zero
+    numeric benefit — the compute already happens in bf16 either way.
+    No-op for f32-compute configs (training/tests keep full precision).
+    """
+    if jnp.dtype(config.dtype) != jnp.bfloat16:
+        return params
+    return jax.tree.map(
+        lambda x: (
+            x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x
+        ),
+        params,
+    )
+
+
 def load_torch_llama(config: DecoderConfig, state_dict: dict):
     """Map an HF ``LlamaForCausalLM`` state dict onto DecoderLM params."""
     import numpy as np

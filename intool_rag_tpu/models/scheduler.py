@@ -233,9 +233,18 @@ class ContinuousGenerator:
             "stream too long for the cache: raise max_position"
         )
 
+        # Host-side mirror of the shared write cursor: its evolution is
+        # fully deterministic (insert leaves it, decode adds seg_len,
+        # compaction/bump set it), so the scheduler NEVER fetches
+        # cache.length from the device — on the remote tunnel every
+        # scalar fetch is a ~40 ms RPC (round-3 finding: per-insert and
+        # per-segment sync fetches made continuous batching 0.79× the
+        # static baseline instead of beating it).
+        len_host = bucket0
+
         def refill(cache):
-            nonlocal key
-            changed = False
+            nonlocal key, len_host
+            pend = []  # (slot, idx, first_token device scalar)
             for b in range(self.n_slots):
                 if slots[b] is not None or not queue:
                     continue
@@ -246,7 +255,7 @@ class ContinuousGenerator:
                 mask = np.zeros((1, s_bucket), np.int32)
                 arr[0, s_bucket - len(ids):] = ids
                 mask[0, s_bucket - len(ids):] = 1
-                if int(cache.length) < s_bucket:
+                if len_host < s_bucket:
                     # prompt bucket past the cursor (fresh/compacted
                     # cache): bump the shared cursor — skipped rows just
                     # stay invalid for every slot
@@ -255,36 +264,44 @@ class ContinuousGenerator:
                     cache = cache._replace(
                         length=jnp.asarray(s_bucket, jnp.int32)
                     )
+                    len_host = s_bucket
                 key, sub = jax.random.split(key)
-                cache, first, n_real = self._insert_fn(s_bucket)(
+                cache, first, _ = self._insert_fn(s_bucket)(
                     self.params, cache, jnp.asarray(arr),
                     jnp.asarray(mask), jnp.asarray(b, jnp.int32), sub,
                 )
-                stream = _Stream(
-                    idx=idx, tokens=[int(first)],
-                    max_new=limits[idx], t_submit=time.perf_counter(),
+                slots[b] = _Stream(
+                    idx=idx, tokens=[], max_new=limits[idx],
+                    t_submit=time.perf_counter(),
                 )
+                pos[b] = len(ids)  # == the insert program's n_real
+                pend.append((b, idx, first))
+            # ONE host fetch for all inserted streams' first tokens (the
+            # inserts above were dispatched async and run back-to-back)
+            for (b, idx, first_d), first in zip(
+                pend, jax.device_get([f for _, _, f in pend])
+            ):
+                st = slots[b]
                 if int(first) == self.eos:
-                    stream.max_new = 0
-                    stream.tokens = []
-                slots[b] = stream
+                    st.max_new = 0
+                else:
+                    st.tokens.append(int(first))
                 tok[b] = int(first)
-                pos[b] = int(n_real)
                 active[b] = True
                 self._finish_if_done(b, slots, active, lat, results)
-                changed = True
-            return cache, changed
+            return cache, bool(pend)
 
         cache, _ = refill(cache)
         while any(s is not None for s in slots) or queue:
-            if int(cache.length) + self.seg_len > cfg.max_position:
+            if len_host + self.seg_len > cfg.max_position:
                 head = (
                     1 << max(3, (len(prompts[queue[0]]) - 1).bit_length())
                     if queue else 0
                 )
                 cache = self._compact(prompts, slots, head)
                 n_compact += 1
-                if int(cache.length) + self.seg_len > cfg.max_position:
+                len_host = int(cache.length)
+                if len_host + self.seg_len > cfg.max_position:
                     raise RuntimeError(budget_err)
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, self.seg_len)
@@ -293,10 +310,13 @@ class ContinuousGenerator:
                 jnp.asarray(tok), jnp.asarray(pos),
                 jnp.asarray(active), keys,
             )
-            toks = np.asarray(toks)
-            tok = np.asarray(tok_d).copy()
-            pos = np.asarray(pos_d).copy()
-            act_np = np.asarray(act_d)
+            len_host += self.seg_len
+            # one combined fetch per segment instead of four
+            toks, tok, pos, act_np = jax.device_get(
+                (toks, tok_d, pos_d, act_d)
+            )
+            tok = np.asarray(tok).copy()
+            pos = np.asarray(pos).copy()
             for b in range(self.n_slots):
                 st = slots[b]
                 if st is None:

@@ -81,6 +81,31 @@ def _norm_line(s: str) -> str:
     return " ".join(s.split())
 
 
+def _join_rows(lines) -> list[str]:
+    """Group OCR boxes into visual rows (y-center proximity, left-to-
+    right) and join with single spaces — the granularity the PDF text
+    layer's assembled lines use (a gt line often spans several detected
+    boxes across table columns)."""
+    items = [
+        (l.box.y0 + l.box.y1, l.box.x0, l.text) for l in lines if l.text
+    ]
+    if not items:
+        return []
+    heights = [l.box.y1 - l.box.y0 for l in lines if l.text]
+    med_h = float(np.median(heights)) or 16.0
+    rows: list[list[tuple[float, float, str]]] = []
+    for yc2, x0, text in sorted(items):
+        if rows and abs(yc2 - rows[-1][-1][0]) <= med_h:  # same row band
+            rows[-1].append((yc2, x0, text))
+        else:
+            rows.append([(yc2, x0, text)])
+    out = []
+    for row in rows:
+        row.sort(key=lambda t: t[1])
+        out.append(_norm_line(" ".join(t[2] for t in row)))
+    return out
+
+
 def evaluate_on_invoices(
     engine,
     *,
@@ -106,10 +131,21 @@ def evaluate_on_invoices(
         img, _ = rasterize_page(data, 0, scale=scale)
         gt = page_ground_truth_lines(data, 0, min_chars=min_chars)
         result = engine(img)
-        got = [_norm_line(ln.text) for ln in result.lines if ln.text]
+        # candidates at BOTH granularities: per-box text and row-joined
+        # (a gt line may be one detected box or several across columns)
+        per_box = [_norm_line(ln.text) for ln in result.lines if ln.text]
+        got = per_box + _join_rows(result.lines)
+        # score in the recognizer's CANONICAL alphabet: the charset folds
+        # near-homoglyph classes (I/l, O/0, s/S — synth.homoglyph_map),
+        # so the model cannot express the raw distinction; exact match
+        # compares canonical forms on both sides (same convention as the
+        # synthetic e2e eval, whose gt comes pre-canonicalized)
+        from .synth import canonicalize_text
+
+        got = [canonicalize_text(g) for g in got]
         d_exact = 0
         for want in gt:
-            want_n = _norm_line(want)
+            want_n = canonicalize_text(_norm_line(want))
             total += 1
             if want_n in got:
                 exact += 1

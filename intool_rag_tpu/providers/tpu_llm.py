@@ -101,6 +101,12 @@ class TPULLM(BaseLLM):
             )
             self.params = init_decoder_params(self.config)
             self.tokenizer = ByteTokenizer()
+        # serving is param-read bound: keep one bf16 copy, not an f32
+        # master that flax re-casts every step (models/decoder.py
+        # cast_params_for_inference; no-op for f32 configs)
+        from ..models.decoder import cast_params_for_inference
+
+        self.params = cast_params_for_inference(self.config, self.params)
         self._gen_fns: dict = {}
         self._lock = threading.Lock()
 
