@@ -153,23 +153,31 @@ class DecoderAttention(nn.Module):
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        # append this call's k/v into the cache at [length, length+s)
+        # append this call's k/v into the cache at [length, length+s) —
+        # updating the FULL [L, B, P, K, Dh] arrays in place (XLA keeps
+        # the buffer aliased through the scan carry; round-3 finding:
+        # per-layer slice-out + re-stack re-materialized the whole cache
+        # every decode step)
         li = self.layer_idx
-        k_all = jax.lax.dynamic_update_slice(
-            cache.k[li], k.astype(cache.k.dtype), (0, cache.length, 0, 0)
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, k.astype(cache.k.dtype)[None], (li, 0, cache.length, 0, 0)
         )
-        v_all = jax.lax.dynamic_update_slice(
-            cache.v[li], v.astype(cache.v.dtype), (0, cache.length, 0, 0)
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, v.astype(cache.v.dtype)[None], (li, 0, cache.length, 0, 0)
         )
+        k_all = new_k[li]  # [B, P, K, Dh]
+        v_all = new_v[li]
 
-        # GQA: repeat kv heads to match query heads
+        # GQA as a grouped einsum — NO head repeat, NO f32 cast of the
+        # cache: bf16 operands with f32 accumulation read K+V once at
+        # their stored width (the repeat+cast materialized 16× the
+        # bytes and made decode 23 ms/step at B=8, P=2048)
         rep = cfg.num_heads // cfg.num_kv_heads
-        k_r = jnp.repeat(k_all, rep, axis=2)  # [B, P, H, Dh]
-        v_r = jnp.repeat(v_all, rep, axis=2)
-
+        q5 = q.reshape(b, s, cfg.num_kv_heads, rep, dh)
         scores = jnp.einsum(
-            "bshd,bphd->bhsp", q.astype(jnp.float32), k_r.astype(jnp.float32)
-        ) / jnp.sqrt(jnp.float32(dh))
+            "bskrd,bpkd->bkrsp", q5, k_all,
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.float32(dh))  # [B, K, R, S, P]
         # causal + validity mask over cache positions
         p_idx = jnp.arange(cfg.max_position)
         q_pos = cache.length + jnp.arange(s)
@@ -182,15 +190,19 @@ class DecoderAttention(nn.Module):
         # matmuls (0 · NaN); their outputs are garbage-but-finite and
         # never read.
         self_slot = p_idx[None, :] == q_pos[:, None]  # [S, P]
-        mask = causal[None, None, :, :] & (
-            cache.valid[:, None, None, :] | self_slot[None, None, :, :]
+        mask = causal[None, None, None, :, :] & (
+            cache.valid[:, None, None, None, :]
+            | self_slot[None, None, None, :, :]
         )
         scores = jnp.where(mask, scores, -jnp.inf)
         attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhsp,bphd->bshd", attn, v_r.astype(jnp.float32))
+        out = jnp.einsum(
+            "bkrsp,bpkd->bskrd", attn.astype(dtype), v_all,
+            preferred_element_type=jnp.float32,
+        )
         out = out.astype(dtype).reshape(b, s, cfg.num_heads * dh)
         out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype, name="o_proj")(out)
-        return out, (k_all, v_all)
+        return out, cache._replace(k=new_k, v=new_v)
 
 
 class DecoderBlock(nn.Module):
@@ -202,7 +214,7 @@ class DecoderBlock(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         normed = RMSNorm(cfg.rms_norm_eps, name="input_ln")(hidden)
-        attn_out, kv = DecoderAttention(cfg, self.layer_idx, name="attn")(
+        attn_out, cache = DecoderAttention(cfg, self.layer_idx, name="attn")(
             normed, positions, cache
         )
         hidden = hidden + attn_out
@@ -213,7 +225,7 @@ class DecoderBlock(nn.Module):
                       name="up_proj")(normed)
         down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
                         name="down_proj")(nn.silu(gate) * up)
-        return hidden + down, kv
+        return hidden + down, cache
 
 
 class DecoderLM(nn.Module):
@@ -249,24 +261,20 @@ class DecoderLM(nn.Module):
         hidden = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="embed"
         )(input_ids)
-        ks, vs = [], []
         for i in range(cfg.num_layers):
-            hidden, (k_all, v_all) = DecoderBlock(cfg, i, name=f"layer_{i}")(
+            # each block writes its k/v slice into the threaded cache in
+            # place — no per-layer slice-out/re-stack (see
+            # DecoderAttention's round-3 note)
+            hidden, cache = DecoderBlock(cfg, i, name=f"layer_{i}")(
                 hidden, positions, cache
             )
-            ks.append(k_all)
-            vs.append(v_all)
         hidden = RMSNorm(cfg.rms_norm_eps, name="final_ln")(hidden)
         logits = nn.Dense(
             cfg.vocab_size, use_bias=False, dtype=dtype, name="lm_head"
         )(hidden)
-        new_cache = KVCache(
-            k=jnp.stack(ks),
-            v=jnp.stack(vs),
-            valid=cache.valid,
-            length=cache.length + s,
+        return logits.astype(jnp.float32), cache._replace(
+            length=cache.length + s
         )
-        return logits.astype(jnp.float32), new_cache
 
 
 def init_decoder_params(config: DecoderConfig, seed: int = 0):

@@ -91,45 +91,129 @@ class ContinuousGenerator:
             key, logits / self.temperature, axis=-1
         ).astype(jnp.int32)
 
+    def _insert_one(self, params, cache, ids, mask, slot, key, s_bucket):
+        """Prefill one stream into a slot (traced body).
+
+        Batch-1 view of the slot's cache rows, write cursor set so the
+        prompt lands at [L - S, L)."""
+        sub = KVCache(
+            k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
+            v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
+            valid=jnp.zeros((1, self.config.max_position), bool),
+            length=cache.length - s_bucket,
+        )
+        positions = jnp.maximum(
+            jnp.cumsum(mask, axis=1) - 1, 0
+        ).astype(jnp.int32)
+        logits, newsub = self.model.apply(
+            params, ids, positions, sub, mask.astype(bool)
+        )
+        k_new = jax.lax.dynamic_update_slice_in_dim(
+            cache.k, newsub.k, slot, axis=1
+        )
+        v_new = jax.lax.dynamic_update_slice_in_dim(
+            cache.v, newsub.v, slot, axis=1
+        )
+        valid_new = jax.lax.dynamic_update_slice(
+            cache.valid, newsub.valid, (slot, 0)
+        )
+        first = self._sample(logits[:, -1], key)[0]
+        n_real = positions[0, -1] + 1
+        return (
+            cache._replace(k=k_new, v=v_new, valid=valid_new),
+            first,
+            n_real,
+        )
+
     def _insert_fn(self, s_bucket: int):
         """Jitted per prompt-bucket: prefill one stream into a slot."""
         if s_bucket in self._insert_fns:
             return self._insert_fns[s_bucket]
 
-        def insert(params, cache, ids, mask, slot, key):
-            # batch-1 view of the slot's cache rows, write cursor set so
-            # the prompt lands at [L - S, L)
-            sub = KVCache(
-                k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
-                v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
-                valid=jnp.zeros((1, self.config.max_position), bool),
-                length=cache.length - s_bucket,
+        fn = jax.jit(
+            lambda params, cache, ids, mask, slot, key: self._insert_one(
+                params, cache, ids, mask, slot, key, s_bucket
             )
-            positions = jnp.maximum(
-                jnp.cumsum(mask, axis=1) - 1, 0
-            ).astype(jnp.int32)
-            logits, newsub = self.model.apply(
-                params, ids, positions, sub, mask.astype(bool)
+        )
+        self._insert_fns[s_bucket] = fn
+        return fn
+
+    def _insert_many_fn(self, s_bucket: int):
+        """Jitted per prompt-bucket: prefill UP TO ``n_slots`` streams in
+        ONE launch (a scan over insert slots, ``lax.cond``-gated by an
+        active flag so partial refills skip the inactive rows' compute).
+        On the remote tunnel each launch costs ~40 ms of RPC — round-3
+        measurement: per-stream insert launches alone cost more than the
+        entire decode compute of the workload."""
+        key2 = ("many", s_bucket)
+        if key2 in self._insert_fns:
+            return self._insert_fns[key2]
+
+        fn = jax.jit(
+            lambda params, cache, ids, mask, slots, act, keys: (
+                self._insert_many_body(
+                    params, cache, ids, mask, slots, act, keys, s_bucket
+                )
             )
-            k_new = jax.lax.dynamic_update_slice_in_dim(
-                cache.k, newsub.k, slot, axis=1
-            )
-            v_new = jax.lax.dynamic_update_slice_in_dim(
-                cache.v, newsub.v, slot, axis=1
-            )
-            valid_new = jax.lax.dynamic_update_slice(
-                cache.valid, newsub.valid, (slot, 0)
-            )
-            first = self._sample(logits[:, -1], key)[0]
-            n_real = positions[0, -1] + 1
-            return (
-                cache._replace(k=k_new, v=v_new, valid=valid_new),
-                first,
-                n_real,
+        )
+        self._insert_fns[key2] = fn
+        return fn
+
+    def _insert_many_body(
+        self, params, cache, ids, mask, slots, act, keys, s_bucket
+    ):
+        # ids/mask [M, S]; slots/act [M]; keys [M, 2]
+        def body(cache, xs):
+            ids_i, mask_i, slot_i, act_i, key_i = xs
+
+            def do(cache):
+                cache2, first, _ = self._insert_one(
+                    params, cache, ids_i[None], mask_i[None],
+                    slot_i, key_i, s_bucket,
+                )
+                return cache2, first
+
+            return jax.lax.cond(
+                act_i, do, lambda c: (c, jnp.asarray(0, jnp.int32)),
+                cache,
             )
 
-        fn = jax.jit(insert)
-        self._insert_fns[s_bucket] = fn
+        return jax.lax.scan(body, cache, (ids, mask, slots, act, keys))
+
+    def _cycle_fn(self, s_bucket: int):
+        """Jitted per prompt-bucket: ONE launch = batched refill prefill
+        + slot-state merge + a full decode segment. The scheduler's
+        steady state is one cycle per segment, so serving pays exactly
+        one launch RPC per ``seg_len`` tokens — with separate insert and
+        decode launches the tunnel RPC (~40 ms each) cost more than the
+        decode compute itself (round-3 measurement)."""
+        key2 = ("cycle", s_bucket)
+        if key2 in self._insert_fns:
+            return self._insert_fns[key2]
+
+        def cycle(
+            params, cache, ids, mask, slot_ids, act, ins_keys,
+            tok, pos, active, seg_keys,
+        ):
+            cache, firsts = self._insert_many_body(
+                params, cache, ids, mask, slot_ids, act, ins_keys,
+                s_bucket,
+            )
+            # merge inserted streams into the decode state: their first
+            # sampled token is fed next; EOS-on-first streams start dead.
+            # Inactive rows carry slot_id n_slots → dropped by the
+            # scatter (duplicate in-bounds ids would race the writes)
+            tok = tok.at[slot_ids].set(firsts, mode="drop")
+            active = active.at[slot_ids].set(
+                firsts != self.eos, mode="drop"
+            )
+            out = self._decode_segment(
+                params, cache, tok, pos, active, seg_keys
+            )
+            return out + (firsts,)
+
+        fn = jax.jit(cycle)
+        self._insert_fns[key2] = fn
         return fn
 
     def _decode_segment(self, params, cache, tok, pos, active, keys):
@@ -244,17 +328,17 @@ class ContinuousGenerator:
 
         def refill(cache):
             nonlocal key, len_host
-            pend = []  # (slot, idx, first_token device scalar)
+            # assign free slots to queued prompts, grouped by bucket so
+            # each group prefills in ONE batched launch
+            groups: dict[int, list[tuple[int, int]]] = {}
             for b in range(self.n_slots):
                 if slots[b] is not None or not queue:
                     continue
                 idx = queue.pop(0)
-                ids = prompts[idx]
-                s_bucket = 1 << max(3, (len(ids) - 1).bit_length())
-                arr = np.full((1, s_bucket), self.pad_id, np.int32)
-                mask = np.zeros((1, s_bucket), np.int32)
-                arr[0, s_bucket - len(ids):] = ids
-                mask[0, s_bucket - len(ids):] = 1
+                s_bucket = 1 << max(3, (len(prompts[idx]) - 1).bit_length())
+                groups.setdefault(s_bucket, []).append((b, idx))
+            pend = []  # (slot, first_tokens device array, row)
+            for s_bucket, members in sorted(groups.items()):
                 if len_host < s_bucket:
                     # prompt bucket past the cursor (fresh/compacted
                     # cache): bump the shared cursor — skipped rows just
@@ -265,30 +349,45 @@ class ContinuousGenerator:
                         length=jnp.asarray(s_bucket, jnp.int32)
                     )
                     len_host = s_bucket
+                m = self.n_slots  # fixed width: one compile per bucket
+                arr = np.full((m, s_bucket), self.pad_id, np.int32)
+                mask = np.zeros((m, s_bucket), np.int32)
+                slot_ids = np.zeros(m, np.int32)
+                act = np.zeros(m, bool)
+                for j, (b, idx) in enumerate(members):
+                    ids = prompts[idx]
+                    arr[j, s_bucket - len(ids):] = ids
+                    mask[j, s_bucket - len(ids):] = 1
+                    slot_ids[j] = b
+                    act[j] = True
+                    slots[b] = _Stream(
+                        idx=idx, tokens=[], max_new=limits[idx],
+                        t_submit=time.perf_counter(),
+                    )
+                    pos[b] = len(ids)  # == the insert program's n_real
                 key, sub = jax.random.split(key)
-                cache, first, _ = self._insert_fn(s_bucket)(
+                keys = jax.random.split(sub, m)
+                cache, firsts = self._insert_many_fn(s_bucket)(
                     self.params, cache, jnp.asarray(arr),
-                    jnp.asarray(mask), jnp.asarray(b, jnp.int32), sub,
+                    jnp.asarray(mask), jnp.asarray(slot_ids),
+                    jnp.asarray(act), keys,
                 )
-                slots[b] = _Stream(
-                    idx=idx, tokens=[], max_new=limits[idx],
-                    t_submit=time.perf_counter(),
-                )
-                pos[b] = len(ids)  # == the insert program's n_real
-                pend.append((b, idx, first))
-            # ONE host fetch for all inserted streams' first tokens (the
-            # inserts above were dispatched async and run back-to-back)
-            for (b, idx, first_d), first in zip(
-                pend, jax.device_get([f for _, _, f in pend])
+                pend.append((members, firsts))
+            # ONE host fetch for all groups' first tokens (the launches
+            # above were dispatched async and run back-to-back)
+            for (members, _), firsts in zip(
+                pend, jax.device_get([f for _, f in pend])
             ):
-                st = slots[b]
-                if int(first) == self.eos:
-                    st.max_new = 0
-                else:
-                    st.tokens.append(int(first))
-                tok[b] = int(first)
-                active[b] = True
-                self._finish_if_done(b, slots, active, lat, results)
+                for j, (b, idx) in enumerate(members):
+                    first = int(firsts[j])
+                    st = slots[b]
+                    if first == self.eos:
+                        st.max_new = 0
+                    else:
+                        st.tokens.append(first)
+                    tok[b] = first
+                    active[b] = True
+                    self._finish_if_done(b, slots, active, lat, results)
             return cache, bool(pend)
 
         cache, _ = refill(cache)
