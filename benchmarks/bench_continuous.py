@@ -93,7 +93,15 @@ def main() -> None:
     # step) ----
     n_slots = 16 if on_tpu else 8
     gen = ContinuousGenerator(config, params, n_slots=n_slots, seg_len=16)
-    gen.generate_many(prompts[:n_slots], [8] * n_slots)  # warm compiles
+    # warm EVERY compiled path the measured run will hit: the full-width
+    # initial refill cycle, the small-width refill cycle (staggered
+    # limits free a few slots per segment and the extra queued prompts
+    # refill them), and the no-refill decode cycle (limits > seg_len)
+    warm_n = n_slots + max(1, n_slots // 4)
+    warm_limits = [
+        gen.seg_len + 2 + 3 * (j % n_slots) for j in range(warm_n)
+    ]
+    gen.generate_many(prompts[:warm_n], warm_limits)
     results, stats = gen.generate_many(prompts, limits)
     assert all(len(r) == l for r, l in zip(results, limits))
 

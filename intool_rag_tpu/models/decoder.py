@@ -178,8 +178,12 @@ class DecoderAttention(nn.Module):
             "bskrd,bpkd->bkrsp", q5, k_all,
             preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.float32(dh))  # [B, K, R, S, P]
-        # causal + validity mask over cache positions
-        p_idx = jnp.arange(cfg.max_position)
+        # causal + validity mask over cache positions. Capacity comes
+        # from the cache ARRAYS, not cfg.max_position: the scheduler's
+        # batched refill prefills prompts through a trimmed
+        # prompt-window cache (P' = prompt bucket) and scatters the
+        # windows into the serving cache afterwards.
+        p_idx = jnp.arange(cache.valid.shape[-1])
         q_pos = cache.length + jnp.arange(s)
         causal = p_idx[None, :] <= q_pos[:, None]  # [S, P]
         # cache.valid already includes this call's fresh real slots

@@ -6,31 +6,43 @@ for free; round 2's in-process decoder served static batches only
 (round-2 verdict item 7). This scheduler closes that gap TPU-natively:
 
 - a fixed batch of ``n_slots`` streams decodes together in ``seg_len``
-  token segments (one jitted ``lax.scan`` launch per segment — the
-  ~40 ms tunnel RPC amortizes over the whole segment);
+  token segments (one jitted ``lax.scan`` launch per segment);
 - between segments, finished streams' slots are REFILLED from the
-  pending queue: the new prompt prefills into cache positions
-  ``[L - S, L)`` of its slot (L = the shared write cursor), its history
-  cleared via the validity map, so ragged multi-tenant streams coexist
-  in one static-shape cache (XLA never recompiles);
+  pending queue: the new prompts prefill through a TRIMMED
+  prompt-window cache in ONE batched model call (one param read per
+  refill group, not per stream) and their K/V windows scatter into
+  cache positions ``[L - S, L)`` of their slots (L = the shared write
+  cursor), history cleared via the validity map — ragged multi-tenant
+  streams coexist in one static-shape cache (XLA never recompiles);
 - RoPE positions stay stream-local (each stream's tokens are positions
   0..n-1) while cache causality uses the shared cursor — attention
-  masks keep every stream blind to its slot's previous tenant.
+  masks keep every stream blind to its slot's previous tenant;
+- ALL per-slot serving state (next token, position, active flag,
+  remaining-token budget) lives ON DEVICE and every cycle is ONE
+  chained launch (refill prefill + merge + decode segment fused). The
+  host runs a depth-2 PIPELINE: it dispatches cycle N before fetching
+  cycle N-1's results, so the ~30 ms tunnel round-trip overlaps device
+  compute instead of serializing with it (round-3 measurement: sync
+  fetches made continuous batching 1.0× the static baseline; the
+  pipelined loop is what buys the win). The only cost is refill lag:
+  a slot freed in cycle N is refilled at cycle N+2.
 
 Capacity note: the shared cursor advances 1 per decode step, so one
 cache of ``max_position`` P serves ~P total decode steps between
-COMPACTIONS. When the cursor would overrun, the scheduler re-prefills
-every live stream's full history (prompt + generated-so-far) into a
-fresh cache and resets the cursor to the longest live history's bucket
-— causal-transformer K/V for a token depends only on its prefix, so the
-re-prefilled state is math-identical to the incrementally built one
-(greedy outputs are bit-stable across compactions; regression-tested).
-Serving is therefore unbounded: steady-state cost is one prefill per
-live slot every ~(P − history) decode steps.
+COMPACTIONS. When the cursor would overrun, the scheduler drains the
+pipeline and re-prefills every live stream's full history (prompt +
+generated-so-far) into a fresh cache, resetting the cursor to the
+longest live history's bucket — causal-transformer K/V for a token
+depends only on its prefix, so the re-prefilled state is
+math-identical to the incrementally built one (greedy outputs are
+bit-stable across compactions; regression-tested). Serving is
+therefore unbounded: steady-state cost is one prefill per live slot
+every ~(P − history) decode steps.
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
 
@@ -76,7 +88,7 @@ class ContinuousGenerator:
         self.eos = -1 if eos_id is None else eos_id
         self.pad_id = pad_id
         self.model = DecoderLM(config)
-        self._insert_fns: dict[int, callable] = {}
+        self._fns: dict[tuple, callable] = {}
         self._decode_fn = jax.jit(self._decode_segment)
 
     # ---------------- device programs ----------------
@@ -91,150 +103,162 @@ class ContinuousGenerator:
             key, logits / self.temperature, axis=-1
         ).astype(jnp.int32)
 
-    def _insert_one(self, params, cache, ids, mask, slot, key, s_bucket):
-        """Prefill one stream into a slot (traced body).
+    def _group_width(self, k: int) -> int:
+        """Compiled insert-group width for k member streams: a small
+        variant (n_slots/4) for the common few-finishes-per-segment
+        refill, full width otherwise — filler rows burn real prefill
+        FLOPs, so half-empty full-width groups waste MXU time."""
+        small = max(1, self.n_slots // 4)
+        return small if k <= small else self.n_slots
 
-        Batch-1 view of the slot's cache rows, write cursor set so the
-        prompt lands at [L - S, L)."""
+    def _insert_merge_body(
+        self, params, cache, ids, mask, slot_ids, limits, key,
+        tok, pos, active, rem, s_bucket,
+    ):
+        """ONE batched prompt-window prefill for a refill group + merge
+        into the device serving state.
+
+        The model runs ONCE at batch M over a TRIMMED cache whose
+        capacity is the prompt bucket (one param read for the whole
+        group — M sequential batch-1 prefills each re-read all ~2 GB of
+        params), then each row's K/V window lands in its slot at
+        ``[L - S, L)`` via a dense slice→select→update (a gather/where
+        over rows, NOT a scatter — TPU lowers big multi-dim scatters
+        serially). Inactive filler rows carry slot_id ``n_slots`` and
+        drop out of every merge. The first sampled token is fed to the
+        next decode segment; EOS-on-first streams start dead; the
+        remaining-token budget is ``limit - 1`` (the first token counts)
+        so the LIMIT IS ENFORCED ON DEVICE — the host never needs to
+        write the active mask back, which is what makes the pipelined
+        (fetch-lagged) serve loop sound."""
+        cfg = self.config
+        m = ids.shape[0]
         sub = KVCache(
-            k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
-            v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
-            valid=jnp.zeros((1, self.config.max_position), bool),
-            length=cache.length - s_bucket,
+            k=jnp.zeros(
+                (cfg.num_layers, m, s_bucket, cfg.num_kv_heads,
+                 cfg.head_dim), cache.k.dtype,
+            ),
+            v=jnp.zeros(
+                (cfg.num_layers, m, s_bucket, cfg.num_kv_heads,
+                 cfg.head_dim), cache.v.dtype,
+            ),
+            valid=jnp.zeros((m, s_bucket), bool),
+            length=jnp.zeros((), jnp.int32),
         )
         positions = jnp.maximum(
             jnp.cumsum(mask, axis=1) - 1, 0
         ).astype(jnp.int32)
-        logits, newsub = self.model.apply(
+        logits, win = self.model.apply(
             params, ids, positions, sub, mask.astype(bool)
         )
-        k_new = jax.lax.dynamic_update_slice_in_dim(
-            cache.k, newsub.k, slot, axis=1
+        # dense window merge: rows of the [L-S, L) window either keep
+        # their current contents or take a prefilled row
+        nb = self.n_slots
+        mem = jnp.zeros(nb, bool).at[slot_ids].set(True, mode="drop")
+        gidx = jnp.zeros(nb, jnp.int32).at[slot_ids].set(
+            jnp.arange(m), mode="drop"
         )
-        v_new = jax.lax.dynamic_update_slice_in_dim(
-            cache.v, newsub.v, slot, axis=1
+        start = cache.length - s_bucket
+        dims = (cfg.num_layers, nb, s_bucket, cfg.num_kv_heads,
+                cfg.head_dim)
+        sel = mem[None, :, None, None, None]
+        cur_k = jax.lax.dynamic_slice(cache.k, (0, 0, start, 0, 0), dims)
+        k_new = jax.lax.dynamic_update_slice(
+            cache.k, jnp.where(sel, win.k[:, gidx], cur_k),
+            (0, 0, start, 0, 0),
         )
-        valid_new = jax.lax.dynamic_update_slice(
-            cache.valid, newsub.valid, (slot, 0)
+        cur_v = jax.lax.dynamic_slice(cache.v, (0, 0, start, 0, 0), dims)
+        v_new = jax.lax.dynamic_update_slice(
+            cache.v, jnp.where(sel, win.v[:, gidx], cur_v),
+            (0, 0, start, 0, 0),
         )
-        first = self._sample(logits[:, -1], key)[0]
-        n_real = positions[0, -1] + 1
-        return (
-            cache._replace(k=k_new, v=v_new, valid=valid_new),
-            first,
-            n_real,
+        # clear the slot's previous tenant, then mark the prompt window
+        valid = jnp.where(mem[:, None], False, cache.valid)
+        cur_valid = jax.lax.dynamic_slice(valid, (0, start), (nb, s_bucket))
+        valid = jax.lax.dynamic_update_slice(
+            valid,
+            jnp.where(mem[:, None], win.valid[gidx], cur_valid),
+            (0, start),
         )
+        cache = cache._replace(k=k_new, v=v_new, valid=valid)
+        firsts = self._sample(logits[:, -1], key)
+        n_real = positions[:, -1] + 1
+        new_rem = limits - 1
+        tok = tok.at[slot_ids].set(firsts, mode="drop")
+        pos = pos.at[slot_ids].set(n_real, mode="drop")
+        rem = rem.at[slot_ids].set(new_rem, mode="drop")
+        active = active.at[slot_ids].set(
+            (firsts != self.eos) & (new_rem > 0), mode="drop"
+        )
+        return cache, tok, pos, active, rem, firsts
 
-    def _insert_fn(self, s_bucket: int):
-        """Jitted per prompt-bucket: prefill one stream into a slot."""
-        if s_bucket in self._insert_fns:
-            return self._insert_fns[s_bucket]
+    def _insert_merge_fn(self, s_bucket: int, m: int):
+        """Jitted per (prompt-bucket, group-width): batched prefill +
+        serving-state merge (no decode segment) — used for all but the
+        last bucket group of a multi-bucket refill, chained device-side
+        with no host sync."""
+        key2 = ("merge", s_bucket, m)
+        if key2 in self._fns:
+            return self._fns[key2]
 
         fn = jax.jit(
-            lambda params, cache, ids, mask, slot, key: self._insert_one(
-                params, cache, ids, mask, slot, key, s_bucket
+            lambda params, cache, ids, mask, slots, limits, key, tok,
+            pos, active, rem: self._insert_merge_body(
+                params, cache, ids, mask, slots, limits, key, tok,
+                pos, active, rem, s_bucket,
             )
         )
-        self._insert_fns[s_bucket] = fn
+        self._fns[key2] = fn
         return fn
 
-    def _insert_many_fn(self, s_bucket: int):
-        """Jitted per prompt-bucket: prefill UP TO ``n_slots`` streams in
-        ONE launch (a scan over insert slots, ``lax.cond``-gated by an
-        active flag so partial refills skip the inactive rows' compute).
-        On the remote tunnel each launch costs ~40 ms of RPC — round-3
-        measurement: per-stream insert launches alone cost more than the
-        entire decode compute of the workload."""
-        key2 = ("many", s_bucket)
-        if key2 in self._insert_fns:
-            return self._insert_fns[key2]
-
-        fn = jax.jit(
-            lambda params, cache, ids, mask, slots, act, keys: (
-                self._insert_many_body(
-                    params, cache, ids, mask, slots, act, keys, s_bucket
-                )
-            )
-        )
-        self._insert_fns[key2] = fn
-        return fn
-
-    def _insert_many_body(
-        self, params, cache, ids, mask, slots, act, keys, s_bucket
-    ):
-        # ids/mask [M, S]; slots/act [M]; keys [M, 2]
-        def body(cache, xs):
-            ids_i, mask_i, slot_i, act_i, key_i = xs
-
-            def do(cache):
-                cache2, first, _ = self._insert_one(
-                    params, cache, ids_i[None], mask_i[None],
-                    slot_i, key_i, s_bucket,
-                )
-                return cache2, first
-
-            return jax.lax.cond(
-                act_i, do, lambda c: (c, jnp.asarray(0, jnp.int32)),
-                cache,
-            )
-
-        return jax.lax.scan(body, cache, (ids, mask, slots, act, keys))
-
-    def _cycle_fn(self, s_bucket: int):
-        """Jitted per prompt-bucket: ONE launch = batched refill prefill
-        + slot-state merge + a full decode segment. The scheduler's
-        steady state is one cycle per segment, so serving pays exactly
-        one launch RPC per ``seg_len`` tokens — with separate insert and
-        decode launches the tunnel RPC (~40 ms each) cost more than the
-        decode compute itself (round-3 measurement)."""
-        key2 = ("cycle", s_bucket)
-        if key2 in self._insert_fns:
-            return self._insert_fns[key2]
+    def _cycle_fn(self, s_bucket: int, m: int):
+        """Jitted per (prompt-bucket, group-width): ONE launch = batched
+        refill prefill + serving-state merge + a full decode segment.
+        The scheduler's steady state is one cycle per segment, so
+        serving pays exactly one launch per ``seg_len`` tokens."""
+        key2 = ("cycle", s_bucket, m)
+        if key2 in self._fns:
+            return self._fns[key2]
 
         def cycle(
-            params, cache, ids, mask, slot_ids, act, ins_keys,
-            tok, pos, active, seg_keys,
+            params, cache, ids, mask, slot_ids, limits, ins_key,
+            tok, pos, active, rem, seg_keys,
         ):
-            cache, firsts = self._insert_many_body(
-                params, cache, ids, mask, slot_ids, act, ins_keys,
-                s_bucket,
-            )
-            # merge inserted streams into the decode state: their first
-            # sampled token is fed next; EOS-on-first streams start dead.
-            # Inactive rows carry slot_id n_slots → dropped by the
-            # scatter (duplicate in-bounds ids would race the writes)
-            tok = tok.at[slot_ids].set(firsts, mode="drop")
-            active = active.at[slot_ids].set(
-                firsts != self.eos, mode="drop"
+            cache, tok, pos, active, rem, firsts = self._insert_merge_body(
+                params, cache, ids, mask, slot_ids, limits, ins_key,
+                tok, pos, active, rem, s_bucket,
             )
             out = self._decode_segment(
-                params, cache, tok, pos, active, seg_keys
+                params, cache, tok, pos, active, rem, seg_keys
             )
             return out + (firsts,)
 
         fn = jax.jit(cycle)
-        self._insert_fns[key2] = fn
+        self._fns[key2] = fn
         return fn
 
-    def _decode_segment(self, params, cache, tok, pos, active, keys):
+    def _decode_segment(self, params, cache, tok, pos, active, rem, keys):
         """``seg_len`` decode steps for all slots; inactive slots emit
-        pad and keep their cache rows untouched via the validity map."""
+        pad and keep their cache rows untouched via the validity map.
+        The per-slot budget ``rem`` decrements per emitted token and
+        retires streams on device."""
 
         def step(carry, key_t):
-            cache, tok, pos, active = carry
+            cache, tok, pos, active, rem = carry
             logits, cache = self.model.apply(
                 params, tok[:, None], pos[:, None], cache,
                 active[:, None],
             )
             nxt = self._sample(logits[:, 0], key_t)
             nxt = jnp.where(active, nxt, self.pad_id)
-            active = active & (nxt != self.eos)
-            return (cache, nxt, pos + 1, active), nxt
+            rem = jnp.where(active, rem - 1, rem)
+            active = active & (nxt != self.eos) & (rem > 0)
+            return (cache, nxt, pos + 1, active, rem), nxt
 
-        (cache, tok, pos, active), toks = jax.lax.scan(
-            step, (cache, tok, pos, active), keys
+        (cache, tok, pos, active, rem), toks = jax.lax.scan(
+            step, (cache, tok, pos, active, rem), keys
         )
-        return cache, toks.T, tok, pos, active  # toks [B, seg]
+        return cache, toks.T, tok, pos, active, rem  # toks [B, seg]
 
     # ---------------- cache compaction (ROADMAP #6) ----------------
 
@@ -245,37 +269,50 @@ class ContinuousGenerator:
         been fed yet — it stays in ``tok`` and is fed by the next decode
         segment, exactly as before compaction). The cursor resets to the
         largest live-history bucket (or the next queued prompt's bucket
-        if larger, so the following refill fits without a bump). The
-        sampling key inside the insert program is a dummy — its output
-        token is discarded, so the main RNG stream is untouched and
-        sampled sequences are identical with or without compaction."""
+        if larger, so the following refill fits without a bump). Live
+        histories re-prefill through the batched prompt-window path, one
+        launch per history bucket; the serving-state merge runs against
+        dummies — the caller re-uploads its host mirrors of
+        tok/pos/active/rem afterwards, so the sampled-token scatter is
+        discarded and the main RNG stream is untouched (sampled
+        sequences are identical with or without compaction).
+
+        Returns ``(fresh_cache, cursor)`` with the cursor computed
+        host-side (fetching ``cache.length`` would cost a tunnel
+        round-trip)."""
         cfg = self.config
-        hist: list[list[int] | None] = []
+        groups: dict[int, list[tuple[int, list[int]]]] = {}
+        lens = [queue_head_bucket, 8]
         for b in range(self.n_slots):
             st = slots[b]
-            hist.append(
-                None if st is None
-                else list(prompts[st.idx]) + st.tokens[:-1]
-            )
-        live = [h for h in hist if h]
-        s_max = max([len(h) for h in live] + [queue_head_bucket, 8])
-        bucket0 = 1 << max(3, (s_max - 1).bit_length())
+            if st is None:
+                continue
+            ids = list(prompts[st.idx]) + st.tokens[:-1]
+            lens.append(len(ids))
+            s_bucket = 1 << max(3, (len(ids) - 1).bit_length())
+            groups.setdefault(s_bucket, []).append((b, ids))
+        bucket0 = 1 << max(3, (max(lens) - 1).bit_length())
         fresh = init_cache(cfg, self.n_slots)
         fresh = fresh._replace(length=jnp.asarray(bucket0, jnp.int32))
-        dummy = jax.random.PRNGKey(0)
-        for b, ids in enumerate(hist):
-            if not ids:
-                continue
-            s_bucket = 1 << max(3, (len(ids) - 1).bit_length())
-            arr = np.full((1, s_bucket), self.pad_id, np.int32)
-            mask = np.zeros((1, s_bucket), np.int32)
-            arr[0, s_bucket - len(ids):] = ids
-            mask[0, s_bucket - len(ids):] = 1
-            fresh, _, _ = self._insert_fn(s_bucket)(
+        dummy_key = jax.random.PRNGKey(0)
+        dummy_vec = jnp.zeros(self.n_slots, jnp.int32)
+        dummy_act = jnp.zeros(self.n_slots, bool)
+        for s_bucket, members in sorted(groups.items()):
+            m = self._group_width(len(members))
+            arr = np.full((m, s_bucket), self.pad_id, np.int32)
+            mask = np.zeros((m, s_bucket), np.int32)
+            slot_ids = np.full(m, self.n_slots, np.int32)
+            lims = np.ones(m, np.int32)
+            for j, (b, ids) in enumerate(members):
+                arr[j, s_bucket - len(ids):] = ids
+                mask[j, s_bucket - len(ids):] = 1
+                slot_ids[j] = b
+            fresh, _, _, _, _, _ = self._insert_merge_fn(s_bucket, m)(
                 self.params, fresh, jnp.asarray(arr), jnp.asarray(mask),
-                jnp.asarray(b, jnp.int32), dummy,
+                jnp.asarray(slot_ids), jnp.asarray(lims), dummy_key,
+                dummy_vec, dummy_vec, dummy_act, dummy_vec,
             )
-        return fresh
+        return fresh, bucket0
 
     # ---------------- host scheduler ----------------
 
@@ -297,19 +334,16 @@ class ContinuousGenerator:
             if isinstance(max_new_tokens, int)
             else list(max_new_tokens)
         )
-        cache = init_cache(cfg, self.n_slots)
-        # shared cursor starts past the longest prompt bucket
-        s_max = max((len(p) for p in prompts), default=8)
-        bucket0 = 1 << max(3, (s_max - 1).bit_length())
-        cache = cache._replace(length=jnp.asarray(bucket0, jnp.int32))
-
         key = jax.random.PRNGKey(seed)
-        queue = list(range(n))
-        slots: list[_Stream | None] = [None] * self.n_slots
-        tok = np.full(self.n_slots, self.pad_id, np.int32)
-        pos = np.zeros(self.n_slots, np.int32)
-        active = np.zeros(self.n_slots, bool)
         results: list[list[int]] = [[] for _ in range(n)]
+        queue = [i for i in range(n) if limits[i] > 0]
+        slots: list[_Stream | None] = [None] * self.n_slots
+        # host MIRRORS of the device serving state — updated from cycle
+        # fetches, used for refill planning and compaction re-uploads
+        tok_h = np.full(self.n_slots, self.pad_id, np.int32)
+        pos_h = np.zeros(self.n_slots, np.int32)
+        act_h = np.zeros(self.n_slots, bool)
+        rem_h = np.zeros(self.n_slots, np.int32)
         t0 = time.perf_counter()
         lat: list[float] = []
         n_compact = 0
@@ -317,19 +351,22 @@ class ContinuousGenerator:
             "stream too long for the cache: raise max_position"
         )
 
+        s_max = max((len(p) for p in prompts), default=8)
+        bucket0 = 1 << max(3, (s_max - 1).bit_length())
+        cache = init_cache(cfg, self.n_slots)
+        cache = cache._replace(length=jnp.asarray(bucket0, jnp.int32))
         # Host-side mirror of the shared write cursor: its evolution is
-        # fully deterministic (insert leaves it, decode adds seg_len,
-        # compaction/bump set it), so the scheduler NEVER fetches
-        # cache.length from the device — on the remote tunnel every
-        # scalar fetch is a ~40 ms RPC (round-3 finding: per-insert and
-        # per-segment sync fetches made continuous batching 0.79× the
-        # static baseline instead of beating it).
+        # fully deterministic (decode adds seg_len, compaction/bump set
+        # it), so the scheduler NEVER fetches cache.length — on the
+        # remote tunnel every scalar fetch is a ~30 ms round-trip.
         len_host = bucket0
+        tok_d = jnp.asarray(tok_h)
+        pos_d = jnp.asarray(pos_h)
+        act_d = jnp.asarray(act_h)
+        rem_d = jnp.asarray(rem_h)
+        inflight: collections.deque = collections.deque()
 
-        def refill(cache):
-            nonlocal key, len_host
-            # assign free slots to queued prompts, grouped by bucket so
-            # each group prefills in ONE batched launch
+        def plan_refill():
             groups: dict[int, list[tuple[int, int]]] = {}
             for b in range(self.n_slots):
                 if slots[b] is not None or not queue:
@@ -337,88 +374,79 @@ class ContinuousGenerator:
                 idx = queue.pop(0)
                 s_bucket = 1 << max(3, (len(prompts[idx]) - 1).bit_length())
                 groups.setdefault(s_bucket, []).append((b, idx))
-            pend = []  # (slot, first_tokens device array, row)
-            for s_bucket, members in sorted(groups.items()):
-                if len_host < s_bucket:
-                    # prompt bucket past the cursor (fresh/compacted
-                    # cache): bump the shared cursor — skipped rows just
-                    # stay invalid for every slot
-                    if s_bucket + self.seg_len > cfg.max_position:
-                        raise RuntimeError(budget_err)
-                    cache = cache._replace(
-                        length=jnp.asarray(s_bucket, jnp.int32)
-                    )
-                    len_host = s_bucket
-                m = self.n_slots  # fixed width: one compile per bucket
-                arr = np.full((m, s_bucket), self.pad_id, np.int32)
-                mask = np.zeros((m, s_bucket), np.int32)
-                slot_ids = np.zeros(m, np.int32)
-                act = np.zeros(m, bool)
-                for j, (b, idx) in enumerate(members):
-                    ids = prompts[idx]
-                    arr[j, s_bucket - len(ids):] = ids
-                    mask[j, s_bucket - len(ids):] = 1
-                    slot_ids[j] = b
-                    act[j] = True
-                    slots[b] = _Stream(
-                        idx=idx, tokens=[], max_new=limits[idx],
-                        t_submit=time.perf_counter(),
-                    )
-                    pos[b] = len(ids)  # == the insert program's n_real
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, m)
-                cache, firsts = self._insert_many_fn(s_bucket)(
-                    self.params, cache, jnp.asarray(arr),
-                    jnp.asarray(mask), jnp.asarray(slot_ids),
-                    jnp.asarray(act), keys,
+            return sorted(groups.items())
+
+        def build_group(cache, s_bucket, members):
+            nonlocal key, len_host
+            if len_host < s_bucket:
+                # prompt bucket past the cursor (fresh/compacted cache):
+                # bump the shared cursor — skipped rows stay invalid
+                if s_bucket + self.seg_len > cfg.max_position:
+                    raise RuntimeError(budget_err)
+                cache = cache._replace(
+                    length=jnp.asarray(s_bucket, jnp.int32)
                 )
-                pend.append((members, firsts))
-            # ONE host fetch for all groups' first tokens (the launches
-            # above were dispatched async and run back-to-back)
-            for (members, _), firsts in zip(
-                pend, jax.device_get([f for _, f in pend])
-            ):
+                len_host = s_bucket
+            m = self._group_width(len(members))
+            arr = np.full((m, s_bucket), self.pad_id, np.int32)
+            mask = np.zeros((m, s_bucket), np.int32)
+            # inactive filler rows merge-drop via out-of-range slot id
+            slot_ids = np.full(m, self.n_slots, np.int32)
+            lims = np.ones(m, np.int32)
+            for j, (b, idx) in enumerate(members):
+                ids = prompts[idx]
+                arr[j, s_bucket - len(ids):] = ids
+                mask[j, s_bucket - len(ids):] = 1
+                slot_ids[j] = b
+                lims[j] = limits[idx]
+                slots[b] = _Stream(
+                    idx=idx, tokens=[], max_new=limits[idx],
+                    t_submit=time.perf_counter(),
+                )
+            key, sub = jax.random.split(key)
+            return cache, m, (
+                jnp.asarray(arr), jnp.asarray(mask),
+                jnp.asarray(slot_ids), jnp.asarray(lims), sub,
+            )
+
+        def finish_if_done(st, b):
+            if st.t_done is None and len(st.tokens) >= st.max_new:
+                st.t_done = time.perf_counter()
+                lat.append(st.t_done - st.t_submit)
+                results[st.idx] = st.tokens[: st.max_new]
+                if slots[b] is st:
+                    slots[b] = None
+
+        def process(entry):
+            nonlocal tok_h, pos_h, act_h, rem_h
+            # ``snap`` is the slot→stream binding AT DISPATCH TIME: by
+            # the time a cycle's results are fetched the live table may
+            # already hold the NEXT cycle's refills, so attribution must
+            # go through the snapshot
+            pend, snap, toks, tk, ps, ac, rm = entry
+            toks, tok_v, pos_v, act_v, rem_v, firsts_list = (
+                jax.device_get(
+                    (toks, tk, ps, ac, rm, [f for _, f in pend])
+                )
+            )
+            tok_h = np.asarray(tok_v).copy()
+            pos_h = np.asarray(pos_v).copy()
+            act_h = np.asarray(act_v).copy()
+            rem_h = np.asarray(rem_v).copy()
+            # first sampled token of each freshly inserted stream (fed
+            # to the decode segment on device; recorded here)
+            for (members, _), firsts in zip(pend, firsts_list):
                 for j, (b, idx) in enumerate(members):
                     first = int(firsts[j])
-                    st = slots[b]
+                    st = snap[b]
                     if first == self.eos:
                         st.max_new = 0
                     else:
                         st.tokens.append(first)
-                    tok[b] = first
-                    active[b] = True
-                    self._finish_if_done(b, slots, active, lat, results)
-            return cache, bool(pend)
-
-        cache, _ = refill(cache)
-        while any(s is not None for s in slots) or queue:
-            if len_host + self.seg_len > cfg.max_position:
-                head = (
-                    1 << max(3, (len(prompts[queue[0]]) - 1).bit_length())
-                    if queue else 0
-                )
-                cache = self._compact(prompts, slots, head)
-                n_compact += 1
-                len_host = int(cache.length)
-                if len_host + self.seg_len > cfg.max_position:
-                    raise RuntimeError(budget_err)
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, self.seg_len)
-            cache, toks, tok_d, pos_d, act_d = self._decode_fn(
-                self.params, cache,
-                jnp.asarray(tok), jnp.asarray(pos),
-                jnp.asarray(active), keys,
-            )
-            len_host += self.seg_len
-            # one combined fetch per segment instead of four
-            toks, tok, pos, act_np = jax.device_get(
-                (toks, tok_d, pos_d, act_d)
-            )
-            tok = np.asarray(tok).copy()
-            pos = np.asarray(pos).copy()
+                    finish_if_done(st, b)
             for b in range(self.n_slots):
-                st = slots[b]
-                if st is None:
+                st = snap[b]
+                if st is None or st.t_done is not None:
                     continue
                 for t in toks[b]:
                     if len(st.tokens) >= st.max_new:
@@ -427,11 +455,69 @@ class ContinuousGenerator:
                         st.max_new = len(st.tokens)  # finished early
                         break
                     st.tokens.append(int(t))
-                if not act_np[b]:
+                if not act_h[b]:
                     st.max_new = min(st.max_new, len(st.tokens))
-                active[b] = act_np[b]
-                self._finish_if_done(b, slots, active, lat, results)
-            cache, _ = refill(cache)
+                finish_if_done(st, b)
+
+        while any(s is not None for s in slots) or queue or inflight:
+            if not (any(s is not None for s in slots) or queue):
+                process(inflight.popleft())  # drain tail
+                continue
+            if len_host + self.seg_len > cfg.max_position:
+                # compaction needs ground-truth host state: drain first
+                while inflight:
+                    process(inflight.popleft())
+                if not (any(s is not None for s in slots) or queue):
+                    continue
+                head = (
+                    1 << max(3, (len(prompts[queue[0]]) - 1).bit_length())
+                    if queue else 0
+                )
+                cache, len_host = self._compact(prompts, slots, head)
+                n_compact += 1
+                if len_host + self.seg_len > cfg.max_position:
+                    raise RuntimeError(budget_err)
+                # re-upload the serving state the compaction merges
+                # clobbered (mirrors are exact: the pipeline is drained)
+                tok_d = jnp.asarray(tok_h)
+                pos_d = jnp.asarray(pos_h)
+                act_d = jnp.asarray(act_h)
+                rem_d = jnp.asarray(rem_h)
+            groups = plan_refill()
+            key, sub = jax.random.split(key)
+            seg_keys = jax.random.split(sub, self.seg_len)
+            pend = []
+            for s_bucket, members in groups[:-1]:
+                cache, m, args = build_group(cache, s_bucket, members)
+                cache, tok_d, pos_d, act_d, rem_d, firsts = (
+                    self._insert_merge_fn(s_bucket, m)(
+                        self.params, cache, *args,
+                        tok_d, pos_d, act_d, rem_d,
+                    )
+                )
+                pend.append((members, firsts))
+            if groups:
+                s_bucket, members = groups[-1]
+                cache, m, args = build_group(cache, s_bucket, members)
+                cache, toks, tok_d, pos_d, act_d, rem_d, firsts = (
+                    self._cycle_fn(s_bucket, m)(
+                        self.params, cache, *args,
+                        tok_d, pos_d, act_d, rem_d, seg_keys,
+                    )
+                )
+                pend.append((members, firsts))
+            else:
+                cache, toks, tok_d, pos_d, act_d, rem_d = self._decode_fn(
+                    self.params, cache, tok_d, pos_d, act_d, rem_d,
+                    seg_keys,
+                )
+            len_host += self.seg_len
+            inflight.append(
+                (pend, list(slots), toks, tok_d, pos_d, act_d, rem_d)
+            )
+            # depth-2 pipeline: fetch cycle N-1 while cycle N runs
+            if len(inflight) >= 2:
+                process(inflight.popleft())
         wall = time.perf_counter() - t0
         total_tokens = sum(len(r) for r in results)
         stats = {
@@ -443,13 +529,3 @@ class ContinuousGenerator:
             "compactions": n_compact,
         }
         return results, stats
-
-    @staticmethod
-    def _finish_if_done(b, slots, active, lat, results):
-        st = slots[b]
-        if st is not None and len(st.tokens) >= st.max_new:
-            st.t_done = time.perf_counter()
-            lat.append(st.t_done - st.t_submit)
-            results[st.idx] = st.tokens[: st.max_new]
-            slots[b] = None
-            active[b] = False
