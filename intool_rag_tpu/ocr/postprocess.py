@@ -215,6 +215,89 @@ def crop_quad(
     return top * (1 - wy) + bot * wy
 
 
+def split_quad_lines(
+    image: np.ndarray,
+    quad: QuadBox,
+    *,
+    min_band_h: int = 5,
+    max_bands: int = 8,
+) -> list[QuadBox]:
+    """Split a detector quad that covers SEVERAL stacked text lines into
+    per-line sub-quads via a horizontal ink-projection profile.
+
+    DB-style probability maps merge vertically adjacent lines whenever
+    the inter-line gap shrinks below the map's blur radius (dense
+    invoice/table layouts do this constantly; the reference inherits the
+    same failure from DBPostProcess connected components,
+    ch_ppocr_det/utils.py:117-202). A merged quad is fatal downstream:
+    ``crop_quad`` squashes N lines into one 32-px strip and the
+    recognizer reads overlapping glyph soup. Rectifying the quad at its
+    NATIVE vertical resolution and cutting at blank rows recovers the
+    individual lines with no retraining.
+
+    The profile runs in AXIS-ALIGNED image space (a merged 2-line
+    component's PCA axis is spuriously diagonal — cutting along it
+    samples glyphs across both lines), and each resulting band gets its
+    own PCA oriented rectangle from its own ink, exactly as detection
+    would have produced had the lines not merged. Near-vertical quads
+    (|reading angle| ≥ 30°) pass through: a row profile of 90° text
+    would cut between GLYPHS, not lines. Single-band quads return
+    ``[quad]`` unchanged (preserving the DB unclip margin); bands
+    shorter than ``min_band_h`` rows merge into their neighbor (dot
+    rows of i/j, underline artifacts)."""
+    ang = quad.angle % 180.0
+    if min(ang, 180.0 - ang) >= 30.0:
+        return [quad]
+    if quad.height < 2.0 * min_band_h:
+        return [quad]
+    bb = quad.aabb()
+    h_img, w_img = image.shape[:2]
+    y0, y1 = max(0, bb.y0), min(h_img, bb.y1)
+    x0, x1 = max(0, bb.x0), min(w_img, bb.x1)
+    if y1 - y0 < 2 * min_band_h or x1 - x0 < 2:
+        return [quad]
+    region = image[y0:y1, x0:x1]
+    gray = region.mean(axis=2) if region.ndim == 3 else region.astype(float)
+    if gray.max() > 1.5:
+        gray = gray / 255.0
+    lo, hi = np.percentile(gray, (2, 98))
+    if hi - lo < 0.15:  # blank region — nothing to split
+        return [quad]
+    ink = gray < (lo + hi) / 2.0
+    prof = ink.mean(axis=1)
+    # a row belongs to a text band if it carries a sliver of ink — the
+    # threshold must stay LOW: a short label in a wide merged box (the
+    # 'Terms:' over 'Order ID …' case) puts <1.5% row ink into its
+    # crossbar rows, and clipping them beheads the glyphs
+    on = prof > max(0.005, 0.04 * float(prof.max()))
+    if not on.any():
+        return [quad]
+    # runs of consecutive ink rows
+    edges = np.flatnonzero(np.diff(np.concatenate(([0], on.astype(np.int8), [0]))))
+    bands = list(zip(edges[0::2], edges[1::2]))  # [r0, r1) pairs
+    # merge tiny bands (diacritics/underlines) into the nearest band
+    merged: list[list[int]] = []
+    for r0, r1 in bands:
+        if merged and (r1 - r0 < min_band_h or r0 - merged[-1][1] <= 1):
+            merged[-1][1] = int(r1)
+        else:
+            merged.append([int(r0), int(r1)])
+    if len(merged) > 1 and merged[0][1] - merged[0][0] < min_band_h:
+        merged[1][0] = merged[0][0]
+        merged.pop(0)
+    if len(merged) <= 1 or len(merged) > max_bands:
+        return [quad]
+    out = []
+    for r0, r1 in merged:
+        band = np.zeros_like(ink)
+        band[r0:r1] = ink[r0:r1]
+        if int(band.sum()) < 8:
+            continue
+        sub = _quad_from_mask(band, y0, x0, quad.score)
+        out.append(sub.expanded(0.12))
+    return out or [quad]
+
+
 def word_quads_from_ctc(
     quad: QuadBox, logits: np.ndarray, charset: str
 ) -> list[tuple[QuadBox, str]]:
