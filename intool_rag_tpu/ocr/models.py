@@ -94,19 +94,30 @@ class OrientationClassifier(nn.Module):
 class CTCRecognizer(nn.Module):
     """Sequence recognizer with CTC output (reference rec:
     ch_ppocr_rec CTC head — §2.7 #42). Input height fixed (e.g. 32);
-    width maps to sequence columns at 1/4 downsampling."""
+    width maps to sequence columns at 1/(2·col_stride) downsampling.
+
+    ``col_stride=1`` halves the column stride (W/2 frames instead of
+    W/4): at 32-px crops a narrow glyph (i, l, :) spans ~6-9 px — one
+    or two W/4 frames — and CTC collapses it into its neighbor
+    ('Quantity'→'Quantty', measured on clean crops). W/2 gives every
+    glyph ≥3 frames. The attention mixer has no positional encoding,
+    so longer inference sequences extrapolate freely."""
 
     vocab_size: int  # excluding blank; blank id = vocab_size
     width: int = 32
+    col_stride: int = 2
 
     @nn.compact
     def __call__(self, crops: jax.Array) -> jax.Array:
-        """crops [B, H, W, C] → logits [B, W/4, vocab_size+1]."""
+        """crops [B, H, W, C] → logits [B, W/(2·col_stride), vocab+1]."""
         x = _conv_bn_act(crops, self.width)
         x = _conv_bn_act(x, self.width, stride=2)  # H/2, W/2
         x = _conv_bn_act(x, self.width * 2)
-        x = nn.Conv(self.width * 2, (3, 3), strides=(2, 2), padding="SAME")(x)
-        x = nn.relu(x)  # H/4, W/4
+        x = nn.Conv(
+            self.width * 2, (3, 3), strides=(2, self.col_stride),
+            padding="SAME",
+        )(x)
+        x = nn.relu(x)  # H/4, W/(2·col_stride)
         # collapse height into channels → column sequence
         b, h, w, c = x.shape
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, w, h * c)
@@ -135,14 +146,17 @@ class OCRModelBundle:
     @classmethod
     def create(
         cls, charset: str, seed: int = 0, width: int = 16,
-        rec_width: int | None = None,
+        rec_width: int | None = None, rec_col_stride: int = 2,
     ) -> "OCRModelBundle":
         rng = jax.random.PRNGKey(seed)
         det = DBDetector(width)
         det_params = det.init(rng, jnp.zeros((1, 64, 64, 3)))
         cls_model = OrientationClassifier(width)
         cls_params = cls_model.init(rng, jnp.zeros((1, 32, 64, 3)))
-        rec = CTCRecognizer(vocab_size=len(charset), width=rec_width or width * 2)
+        rec = CTCRecognizer(
+            vocab_size=len(charset), width=rec_width or width * 2,
+            col_stride=rec_col_stride,
+        )
         rec_params = rec.init(rng, jnp.zeros((1, 32, 64, 3)))
         return cls(det, det_params, cls_model, cls_params, rec, rec_params, charset)
 
@@ -162,6 +176,7 @@ class OCRModelBundle:
             "charset": self.charset,
             "width": self._width(),
             "rec_width": self.rec.width,
+            "rec_stride": self.rec.col_stride,
         })
         np.savez_compressed(
             Path(path),
@@ -186,6 +201,7 @@ class OCRModelBundle:
             bundle = cls.create(
                 meta["charset"], width=meta["width"],
                 rec_width=meta.get("rec_width", meta["width"] * 2),
+                rec_col_stride=meta.get("rec_stride", 2),
             )
             det_p = ser.from_bytes(bundle.det_params, z["det"].tobytes())
             cls_p = ser.from_bytes(bundle.cls_params, z["cls"].tobytes())

@@ -369,6 +369,9 @@ def train_recognizer_cached(
     lr: float = 1.5e-3,
     init_params=None,
     steps_per_launch: int = 100,
+    col_stride: int = 2,
+    text_sampler=None,
+    font_probs=None,
 ):
     """TPU-first recognizer training: render an augmented crop pool ONCE
     (host PIL rendering is the wall-clock bottleneck of the per-step
@@ -382,7 +385,9 @@ def train_recognizer_cached(
     from .synth import DEFAULT_FONTS, random_text, render_line
 
     rng = np.random.default_rng(seed)
-    model = CTCRecognizer(vocab_size=len(charset), width=width)
+    model = CTCRecognizer(
+        vocab_size=len(charset), width=width, col_stride=col_stride
+    )
     params = init_params or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3))
     )
@@ -392,9 +397,11 @@ def train_recognizer_cached(
     # serif is upweighted: its hairline strokes at 32-px height are the
     # measured weak spot of a uniformly-sampled pool (reads 'Invoice'
     # as 'voce' while sans/mono read clean)
-    font_probs = np.array([0.15, 0.13, 0.25, 0.13, 0.21, 0.13])[
-        : len(DEFAULT_FONTS)
-    ]
+    if font_probs is None:
+        font_probs = np.array([0.15, 0.13, 0.25, 0.13, 0.21, 0.13])[
+            : len(DEFAULT_FONTS)
+        ]
+    font_probs = np.asarray(font_probs, np.float64)
     font_probs = font_probs / font_probs.sum()
     pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
     labels = np.zeros((pool_size, max_len), np.int32)
@@ -417,6 +424,11 @@ def train_recognizer_cached(
     def gen_texts(n):
         out = []
         for _ in range(n):
+            if text_sampler is not None:
+                t = text_sampler(rng)
+                if t is not None:
+                    out.append(str(t)[:max_len])
+                    continue
             if rng.random() < 0.5:
                 out.append(wordlike_text(rng, charset, max_len))
             else:

@@ -4,9 +4,14 @@ text distribution (comma amounts, month dates, label colons), longer
 crops (448 px / 20 chars). Rebuilds det + cls + rec and ships the
 bundle at ocr/weights/default.npz.
 
+Each phase checkpoints its params to /tmp/retrain_r3_{phase}.ckpt as
+soon as it finishes; a rerun after a crash/timeout skips completed
+phases (delete the files to force a full retrain).
+
 Run on the TPU host: PYTHONPATH=. python scripts/retrain_r3.py
 """
 
+import pickle
 import sys
 import time
 from pathlib import Path
@@ -27,28 +32,57 @@ from intool_rag_tpu.ocr.train import (  # noqa: E402
 logger = get_logger(__name__)
 t0 = time.time()
 
+CKPT = Path("/tmp")
+
+
+def _ckpt(phase: str) -> Path:
+    return CKPT / f"retrain_r3_{phase}.ckpt"
+
+
+def _run_phase(phase: str, fn):
+    p = _ckpt(phase)
+    if p.exists():
+        with p.open("rb") as f:
+            out = pickle.load(f)
+        logger.info("%s: loaded checkpoint %s", phase, p)
+        return out
+    out = fn()
+    with p.open("wb") as f:
+        pickle.dump(out, f)
+    logger.info("%s done (%.0fs), checkpointed", phase, time.time() - t0)
+    return out
+
+
 charset = build_charset()
 logger.info("charset %d classes", len(charset))
 
-det, det_p, det_losses = train_synthetic_detector(
-    charset, steps=700, batch=4, seed=31,
+det_p = _run_phase(
+    "det",
+    lambda: train_synthetic_detector(charset, steps=700, batch=4, seed=31)[1],
 )
-logger.info("det done (%.0fs) loss %.4f", time.time() - t0, det_losses[-1])
 
-cls_m, cls_p, cls_losses = train_classifier_cached(
-    charset, pool_size=16384, steps=12_000, seed=32,
+cls_p = _run_phase(
+    "cls",
+    lambda: train_classifier_cached(
+        charset, pool_size=16384, steps=12_000, seed=32
+    )[1],
 )
-logger.info("cls done (%.0fs) loss %.4f", time.time() - t0,
-            float(np.mean(cls_losses[-50:])))
 
-rec, rec_p, _, rec_losses = train_recognizer_cached(
-    charset, pool_size=16384, steps=60_000, width=64, seed=33,
-    crop_w=448, max_len=20, lr=1.2e-3,
+rec_out = _run_phase(
+    "rec",
+    lambda: (lambda m, p, _, losses: (p, float(np.mean(losses[-500:]))))(
+        *train_recognizer_cached(
+            charset, pool_size=16384, steps=60_000, width=64, seed=33,
+            crop_w=448, max_len=20, lr=1.2e-3,
+        )
+    ),
 )
-tail = float(np.mean(rec_losses[-500:]))
-logger.info("rec done (%.0fs) tail-500 loss %.4f", time.time() - t0, tail)
+rec_p, tail = rec_out
 
-out = OCRModelBundle(det, det_p, cls_m, cls_p, rec, rec_p, charset)
+out = OCRModelBundle.create(charset, width=16, rec_width=64)
+out = OCRModelBundle(
+    out.det, det_p, out.cls, cls_p, out.rec, rec_p, charset
+)
 path = Path(__file__).resolve().parents[1] / "intool_rag_tpu/ocr/weights/default.npz"
 out.save(path)
 print(f"saved {path} ({len(charset)} classes, rec tail {tail:.4f}, "
