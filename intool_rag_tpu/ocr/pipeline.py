@@ -189,6 +189,14 @@ class OCREngine:
                 out.append(crop)
         return out
 
+    def _decode_batch(self, batch: np.ndarray, n: int) -> list[tuple[str, float]]:
+        logits = np.asarray(self._rec_fn(self.bundle.rec_params, batch))
+        if self.lm_rescore:
+            from .rescore import ctc_beam_decode
+
+            return ctc_beam_decode(logits[:n], self.bundle.charset)
+        return ctc_greedy_decode(logits[:n], self.bundle.charset)
+
     def recognize(self, crops: list[np.ndarray]) -> list[tuple[str, float]]:
         if not crops:
             return []
@@ -198,18 +206,9 @@ class OCREngine:
         bs = 8
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
-            batch = self._batch_crops([crops[i] for i in idx])
-            logits = np.asarray(self._rec_fn(self.bundle.rec_params, batch))
-            if self.lm_rescore:
-                from .rescore import ctc_beam_decode
-
-                decoded = ctc_beam_decode(
-                    logits[: len(idx)], self.bundle.charset
-                )
-            else:
-                decoded = ctc_greedy_decode(
-                    logits[: len(idx)], self.bundle.charset
-                )
+            decoded = self._decode_batch(
+                self._batch_crops([crops[i] for i in idx]), len(idx)
+            )
             for i, d in zip(idx, decoded):
                 results[i] = d
         return results

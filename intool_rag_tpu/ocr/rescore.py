@@ -30,16 +30,23 @@ _NEG = -1e30
 def bigram_lm(charset: str, *, samples: int = 30_000, seed: int = 7,
               add_k: float = 0.5) -> np.ndarray:
     """[V+1, V+1] log P(next | prev) with row V = line start. Built from
-    the wordlike synthetic distribution; cached per charset."""
-    from .synth import wordlike_text
+    the same mix recognizer training samples (60% wordlike pseudo-word
+    statistics, 40% business-English lexicon lines) so the decode prior
+    matches the serving distribution; cached per charset."""
+    from .synth import business_text, wordlike_text
 
     rng = np.random.default_rng(seed)
     v = len(charset)
     pos = {c: i for i, c in enumerate(charset)}
     counts = np.full((v + 1, v + 1), add_k, np.float64)
     for _ in range(samples):
+        text = (
+            business_text(rng, charset, 26)
+            if rng.random() < 0.4
+            else wordlike_text(rng, charset, max_len=14)
+        )
         prev = v
-        for ch in wordlike_text(rng, charset, max_len=14):
+        for ch in text:
             i = pos.get(ch)
             if i is None:
                 prev = v
@@ -65,10 +72,19 @@ def ctc_beam_decode(
     beam: int = 8,
     top_c: int = 6,
     alpha: float = 0.5,
+    beta: float = 1.2,
     lm: np.ndarray | None = None,
 ) -> list[tuple[str, float]]:
     """LM-rescored CTC decode; same return contract as
-    ``ctc_greedy_decode``: [(text, mean char prob)] per item."""
+    ``ctc_greedy_decode``: [(text, mean char prob)] per item.
+
+    ``beta`` is the standard per-character insertion bonus: the LM term
+    ``alpha * log P`` is ≤ 0 on every non-blank extension while blank
+    transitions pay nothing, so without a compensating bonus the beam
+    systematically prefers DELETIONS ('with'→'ith', '$226.63'→'$22663'
+    — both measured). beta ≈ alpha * E[-log P_lm] keeps length
+    decisions with the acoustic model while the LM picks between
+    near-homoglyph alternatives."""
     blank = len(charset)
     if lm is None:
         lm = bigram_lm(charset)
@@ -97,7 +113,7 @@ def ctc_beam_decode(
                         e[0] = _logsumexp2(e[0], total + lp)
                         continue
                     prev_for_lm = last if last >= 0 else blank
-                    lm_term = alpha * float(lm[prev_for_lm, c])
+                    lm_term = alpha * float(lm[prev_for_lm, c]) + beta
                     if c == last:
                         # repeat char: extends only from p_blank
                         e = nxt[prefix]

@@ -445,3 +445,80 @@ def wordlike_text(rng: np.random.Generator, charset: str, max_len: int = 12) -> 
         s = "".join(rng.choice(chars, size=int(rng.integers(4, 9))))
     s = "".join(c for c in s if c in charset) or "0"
     return s[:max_len]
+
+
+# generic business-document lexicon (common invoice/receipt English any
+# production OCR trains against — the reference's vocab ships the same
+# kind of coverage inside its 18k-char dict file)
+BUSINESS_LABELS = [
+    "Subtotal", "Total", "Grand Total", "Amount Due", "Balance Due",
+    "Balance", "Tax", "VAT", "Sales Tax", "Shipping", "Handling",
+    "Discount", "Quantity", "Rate", "Price", "Unit Price", "Amount",
+    "Description", "Item", "Items", "Date", "Due Date", "Invoice Date",
+    "Invoice Number", "Order ID", "Order Number", "Customer", "Account",
+    "Bill To", "Ship To", "Ship Mode", "Payment", "Payment Terms",
+    "Terms", "Notes", "Reference", "Contact", "Phone", "Email",
+    "Address", "City", "Country", "Status", "Currency", "Page",
+]
+BUSINESS_WORDS = [
+    "invoice", "receipt", "statement", "payment", "business", "company",
+    "service", "services", "product", "products", "thanks", "thank",
+    "you", "your", "for", "please", "remit", "within", "days", "net",
+    "first", "second", "standard", "express", "class", "mobile",
+    "office", "furniture", "supplies", "library", "storage", "doors",
+    "with", "and", "per", "unit", "new", "paid", "due", "overdue",
+    "approved", "pending", "shipped", "delivered", "ordered",
+]
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+           "Sep", "Oct", "Nov", "Dec"]
+
+
+def business_text(
+    rng: np.random.Generator, charset: str, max_len: int = 26
+) -> str:
+    """A business-English line: label (with colon), label: value, real-
+    word phrase, month date, or order-id code — the English-vocabulary
+    complement of :func:`wordlike_text`'s pseudo-word statistics. Used
+    by recognizer training AND the bigram-LM rescorer so the decode
+    prior matches the serving distribution."""
+    r = rng.random()
+    if r < 0.30:  # label, often with colon
+        s = str(rng.choice(BUSINESS_LABELS))
+        if rng.random() < 0.75:
+            s += ":"
+        if rng.random() < 0.25:
+            s = s.upper()
+    elif r < 0.50:  # label: value
+        lab = str(rng.choice(BUSINESS_LABELS))
+        amt = int(rng.integers(10, 99999))
+        val = rng.choice([
+            f"${amt:,}.{int(rng.integers(0, 99)):02d}",
+            f"{int(rng.integers(1, 99))}%",
+            f"{amt:,}",
+        ])
+        s = f"{lab}: {val}"
+    elif r < 0.75:  # real-word phrase
+        k = int(rng.integers(2, 5))
+        ws = [str(w) for w in rng.choice(BUSINESS_WORDS, size=k)]
+        if rng.random() < 0.5:
+            ws[0] = ws[0].capitalize()
+        s = " ".join(ws)
+        if rng.random() < 0.2:
+            s += "!"
+    elif r < 0.83:  # month-name date
+        s = (f"{rng.choice(_MONTHS)} {int(rng.integers(1, 28)):02d} "
+             f"{int(rng.integers(2000, 2030))}")
+    elif r < 0.90:  # symbol-adjacent spacing variants ('# 4820', 'ID : X')
+        n = int(rng.integers(100, 99999))
+        s = rng.choice([
+            f"# {n}", f"#{n}", f"No. {n}",
+            f"Order ID : {n}", f"ID: {n}",
+        ])
+    else:  # order-id style code
+        cc = "".join(rng.choice(list("ABCDEFGHJKLMNPRSTUVWXYZ"), 2))
+        s = (f"{cc}-{int(rng.integers(2000, 2030))}-"
+             f"{cc}{int(rng.integers(10**6, 10**7))}-"
+             f"{int(rng.integers(10**4, 10**5))}")
+    s = canonicalize_text(s)
+    s = "".join(c for c in s if c in charset)
+    return s[:max_len] or "0"

@@ -36,84 +36,37 @@ t0 = time.time()
 BUNDLE = Path(__file__).resolve().parents[1] / "intool_rag_tpu/ocr/weights/default.npz"
 CKPT = Path("/tmp/retrain_rec_r3.ckpt")
 
-# generic business-document lexicon (NOT the eval PDFs' text: common
-# invoice/receipt English any production OCR trains against)
-LABELS = [
-    "Subtotal", "Total", "Grand Total", "Amount Due", "Balance Due",
-    "Balance", "Tax", "VAT", "Sales Tax", "Shipping", "Handling",
-    "Discount", "Quantity", "Rate", "Price", "Unit Price", "Amount",
-    "Description", "Item", "Items", "Date", "Due Date", "Invoice Date",
-    "Invoice Number", "Order ID", "Order Number", "Customer", "Account",
-    "Bill To", "Ship To", "Ship Mode", "Payment", "Payment Terms",
-    "Terms", "Notes", "Reference", "Contact", "Phone", "Email",
-    "Address", "City", "Country", "Status", "Currency", "Page",
-]
-WORDS = [
-    "invoice", "receipt", "statement", "payment", "business", "company",
-    "service", "services", "product", "products", "thanks", "thank",
-    "you", "your", "for", "please", "remit", "within", "days", "net",
-    "first", "second", "standard", "express", "class", "mobile",
-    "office", "furniture", "supplies", "library", "storage", "doors",
-    "with", "and", "per", "unit", "new", "paid", "due", "overdue",
-    "approved", "pending", "shipped", "delivered", "ordered",
-]
-MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
-          "Sep", "Oct", "Nov", "Dec"]
-
-
 def make_sampler(charset: str, max_len: int):
-    from intool_rag_tpu.ocr.synth import canonicalize_text
-
-    def clean(s: str) -> str:
-        s = canonicalize_text(s)
-        s = "".join(c for c in s if c in charset)
-        return s[:max_len]
+    """40% business-English lexicon lines (synth.business_text — shared
+    with the bigram-LM rescorer so the decode prior matches), 60% the
+    trainer's default wordlike/multiscript mix."""
+    from intool_rag_tpu.ocr.synth import business_text
 
     def sampler(rng: np.random.Generator):
-        r = rng.random()
-        if r >= 0.40:  # 60%: default wordlike/multiscript mix
+        if rng.random() >= 0.40:
             return None
-        if r < 0.12:  # label, often with colon
-            s = str(rng.choice(LABELS))
-            if rng.random() < 0.75:
-                s += ":"
-            if rng.random() < 0.25:
-                s = s.upper()
-        elif r < 0.20:  # label: value
-            lab = str(rng.choice(LABELS))
-            amt = int(rng.integers(10, 99999))
-            val = rng.choice([
-                f"${amt:,}.{int(rng.integers(0, 99)):02d}",
-                f"{int(rng.integers(1, 99))}%",
-                f"{amt:,}",
-            ])
-            s = f"{lab}: {val}"
-        elif r < 0.30:  # real-word phrase
-            k = int(rng.integers(2, 5))
-            ws = [str(w) for w in rng.choice(WORDS, size=k)]
-            if rng.random() < 0.5:
-                ws[0] = ws[0].capitalize()
-            s = " ".join(ws)
-            if rng.random() < 0.2:
-                s += "!"
-        elif r < 0.35:  # month-name date
-            s = (f"{rng.choice(MONTHS)} {int(rng.integers(1, 28)):02d} "
-                 f"{int(rng.integers(2000, 2030))}")
-        else:  # order-id style code
-            cc = "".join(rng.choice(list("ABCDEFGHJKLMNPRSTUVWXYZ"), 2))
-            s = (f"{cc}-{int(rng.integers(2000, 2030))}-"
-                 f"{cc}{int(rng.integers(10**6, 10**7))}-"
-                 f"{int(rng.integers(10**4, 10**5))}")
-        return clean(s)
+        return business_text(rng, charset, max_len)
 
     return sampler
 
 
 def main() -> None:
+    import os
+
     bundle = OCRModelBundle.load(BUNDLE)
     charset = bundle.charset
-    logger.info("charset %d classes; rec-only retrain", len(charset))
     max_len = 16
+    # continuation: when the shipped bundle is already the col_stride=1
+    # model, keep training it on a FRESH pool (new seed → new rendered
+    # crops) — pool diversity, not step count, is the binding constraint
+    # of the cached trainer
+    cont = bundle.rec.col_stride == 1 and os.environ.get("RETRAIN_FRESH") != "1"
+    seed = int(os.environ.get("RETRAIN_SEED", 44 if cont else 43))
+    steps = int(os.environ.get("RETRAIN_STEPS", 60_000))
+    logger.info(
+        "charset %d classes; rec-only retrain (continue=%s seed=%d)",
+        len(charset), cont, seed,
+    )
 
     if CKPT.exists():
         with CKPT.open("rb") as f:
@@ -127,16 +80,17 @@ def main() -> None:
         model, rec_p, _, losses = train_recognizer_cached(
             charset,
             pool_size=12288,
-            steps=60_000,
+            steps=steps,
             batch=64,
             width=64,
-            seed=43,
+            seed=seed,
             crop_w=320,
             max_len=max_len,
-            lr=1.2e-3,
+            lr=6e-4 if cont else 1.2e-3,
             col_stride=1,
             text_sampler=make_sampler(charset, max_len),
             font_probs=font_probs,
+            init_params=bundle.rec_params if cont else None,
         )
         tail = float(np.mean(losses[-500:]))
         with CKPT.open("wb") as f:
