@@ -126,6 +126,13 @@ class Config:
     LLM_TOP_P: float = dataclasses.field(
         default_factory=lambda: _env_float("LLM_TOP_P", 1.0)
     )
+    # continuous batching for the in-process decoder: >0 = serve
+    # concurrent generate() calls through a shared slot scheduler with
+    # that many slots (models/scheduler.py); 0 = one static-batch
+    # compiled program per call
+    LLM_CONTINUOUS_SLOTS: int = dataclasses.field(
+        default_factory=lambda: _env_int("LLM_CONTINUOUS_SLOTS", 0)
+    )
 
     # --- Reranker (implemented for real here; declared-only in the
     # reference — rag/config.py:24-27, SURVEY.md §0) ---

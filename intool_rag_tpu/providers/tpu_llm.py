@@ -20,7 +20,9 @@ Weights resolution:
 
 from __future__ import annotations
 
+import queue
 import threading
+import time
 from typing import Iterator
 
 import numpy as np
@@ -30,6 +32,58 @@ from ..llm.base import BaseLLM
 from ..logging import get_logger
 
 logger = get_logger(__name__)
+
+
+class _WaveServer:
+    """Multi-tenant serving loop over the slot scheduler.
+
+    Concurrent ``generate()`` calls (HTTP handler threads) enqueue
+    (token ids, budget) and block; one worker thread drains the queue in
+    WAVES into :class:`~intool_rag_tpu.models.scheduler.
+    ContinuousGenerator.generate_many` — within a wave the scheduler
+    refills freed slots continuously, so N concurrent requests cost one
+    shared decode stream instead of N serialized static batches. A
+    short gather window (10 ms) lets near-simultaneous requests join
+    the same wave; requests arriving mid-wave start with the next one.
+    Greedy outputs are identical to the per-call static path (scheduler
+    parity is regression-tested)."""
+
+    def __init__(self, gen) -> None:
+        self.gen = gen
+        self.q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, ids: list[int], max_new: int) -> list[int]:
+        done = threading.Event()
+        box: dict = {}
+        self.q.put((ids, max_new, done, box))
+        done.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["toks"]
+
+    def _loop(self) -> None:
+        while True:
+            wave = [self.q.get()]
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < 0.010:
+                try:
+                    wave.append(self.q.get_nowait())
+                except queue.Empty:
+                    time.sleep(0.002)
+            try:
+                results, _ = self.gen.generate_many(
+                    [w[0] for w in wave], [w[1] for w in wave]
+                )
+            except Exception as exc:  # surface to every waiter
+                for _, _, done, box in wave:
+                    box["error"] = exc
+                    done.set()
+                continue
+            for (_, _, done, box), toks in zip(wave, results):
+                box["toks"] = toks
+                done.set()
 
 
 class ByteTokenizer:
@@ -109,6 +163,26 @@ class TPULLM(BaseLLM):
         self.params = cast_params_for_inference(self.config, self.params)
         self._gen_fns: dict = {}
         self._lock = threading.Lock()
+        self._waves: _WaveServer | None = None
+        n_slots = get_config().LLM_CONTINUOUS_SLOTS
+        if n_slots > 0:
+            from ..models.scheduler import ContinuousGenerator
+
+            eos = getattr(self.tokenizer, "eos_id", None)
+            if eos is None:
+                eos = getattr(self.tokenizer, "eos_token_id", None)
+            self._waves = _WaveServer(
+                ContinuousGenerator(
+                    self.config,
+                    self.params,
+                    n_slots=n_slots,
+                    temperature=self.temperature,
+                    eos_id=eos,
+                    pad_id=getattr(self.tokenizer, "pad_id", 0),
+                    top_k=get_config().LLM_TOP_K,
+                    top_p=get_config().LLM_TOP_P,
+                )
+            )
 
     @staticmethod
     def _load_hf(path: str):
@@ -200,6 +274,18 @@ class TPULLM(BaseLLM):
         import jax
 
         ids, mask = self._encode_prompt(prompt)
+        if self._waves is not None:
+            # continuous-batching path: concurrent calls share one slot
+            # scheduler (the scheduler strips EOS and enforces budgets
+            # on device). The prompt must fit a power-of-2 cache bucket
+            # with one decode segment of headroom — keep the TAIL (RAG
+            # prompts end with the question).
+            raw = [int(t) for t, m in zip(ids[0], mask[0]) if m]
+            cap = 8
+            while cap * 2 + self._waves.gen.seg_len <= self.config.max_position:
+                cap *= 2
+            toks = self._waves.submit(raw[-cap:], self.max_new_tokens)
+            return self.tokenizer.decode(toks)
         fn = self._generate_fn(ids.shape[1])
         seed = abs(hash(prompt)) % (2**31)
         toks = np.asarray(fn(self.params, ids, mask, jax.random.PRNGKey(seed)))[0]
