@@ -248,22 +248,48 @@ class OCREngine:
         # DB maps merge vertically adjacent lines in dense layouts; cut
         # merged quads back into per-line sub-quads before cropping
         # (postprocess.split_quad_lines — projection profile at native
-        # vertical resolution)
-        from .postprocess import split_quad_lines
+        # vertical resolution). Quads still tall after the axis-aligned
+        # split retry with the page's dominant text angle
+        # (split_quad_fragments) — rotated pages put merged fragments
+        # in overlapping axis-aligned rows.
+        from .postprocess import split_quad_fragments, split_quad_lines
 
-        quads = [s for q in quads for s in split_quad_lines(image, q)]
+        med_h = float(np.median([q.height for q in quads])) if quads else 0.0
+        angs = [
+            ((q.angle + 90.0) % 180.0) - 90.0
+            for q in quads
+            if q.width >= q.height
+        ]
+        med_a = float(np.median(angs)) if angs else 0.0
+        out_quads = []
+        for q in quads:
+            parts = split_quad_lines(image, q)
+            if len(parts) == 1 and abs(med_a) > 3.0 and med_h > 0:
+                dev = abs(((q.angle - med_a) + 90.0) % 180.0 - 90.0)
+                if q.height > 1.6 * med_h or dev > 4.0:
+                    parts = split_quad_fragments(image, q, med_a, med_h)
+            out_quads.extend(parts)
+        quads = out_quads
 
         # rotated crop: each quad is resampled to an upright strip
-        # (reference: get_rotate_crop_image, ocr/main.py:229-237), then
-        # tightened to the ink bounding box so cls/rec see the training
-        # crop distribution (the quad carries DB unclip margin)
-        crops = [
-            tighten_crop(crop_quad(image, q, target_h=32, max_w=1024))
-            for q in quads
-        ]
-        keep = [i for i, c in enumerate(crops) if c.size > 0]
-        quads = [quads[i] for i in keep]
-        crops = [crops[i] for i in keep]
+        # (reference: get_rotate_crop_image, ocr/main.py:229-237), cut
+        # at wide interior column gaps (horizontally merged fragments —
+        # postprocess.split_strip_columns), then tightened to the ink
+        # bounding box so cls/rec see the training crop distribution
+        # (the quad carries DB unclip margin)
+        from .postprocess import split_strip_columns
+
+        split_pairs: list = []
+        for q in quads:
+            strip = crop_quad(image, q, target_h=32, max_w=1024)
+            if strip.size == 0:
+                continue
+            for part, sq in split_strip_columns(strip, q):
+                tight = tighten_crop(part)
+                if tight.size > 0:
+                    split_pairs.append((sq, tight))
+        quads = [p[0] for p in split_pairs]
+        crops = [p[1] for p in split_pairs]
 
         if self.use_cls and crops:
             t0 = time.perf_counter()

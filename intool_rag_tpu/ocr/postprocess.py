@@ -298,6 +298,224 @@ def split_quad_lines(
     return out or [quad]
 
 
+def _quad_from_points(pts: np.ndarray, score: float) -> QuadBox:
+    """PCA oriented rectangle of a pixel-coordinate cloud [N, 2] (x, y)
+    — the point-cloud core of :func:`_quad_from_mask`."""
+    center = pts.mean(axis=0)
+    d = pts - center
+    if len(pts) < 2:
+        major = np.array([1.0, 0.0], np.float32)
+    else:
+        cov = d.T @ d / len(pts)
+        evals, evecs = np.linalg.eigh(cov)
+        major = evecs[:, np.argmax(evals)].astype(np.float32)
+    if abs(major[0]) < 1e-3:
+        if major[1] < 0:
+            major = -major
+    elif major[0] < 0:
+        major = -major
+    minor = np.array([-major[1], major[0]], np.float32)
+    pm = d @ major
+    pn = d @ minor
+    a0, a1 = pm.min() - 0.5, pm.max() + 0.5
+    b0, b1 = pn.min() - 0.5, pn.max() + 0.5
+    corners = np.stack(
+        [
+            center + a0 * major + b0 * minor,
+            center + a1 * major + b0 * minor,
+            center + a1 * major + b1 * minor,
+            center + a0 * major + b1 * minor,
+        ]
+    ).astype(np.float32)
+    return QuadBox(corners, score)
+
+
+def split_quad_fragments(
+    image: np.ndarray,
+    quad: QuadBox,
+    angle_deg: float,
+    line_h: float,
+    *,
+    min_band_h: int = 5,
+    max_parts: int = 8,
+) -> list[QuadBox]:
+    """Angle-aware splitter for merged components the axis-aligned
+    row profile cannot separate.
+
+    Two jittered fragments on a ROTATED page merge into one DB
+    component whose PCA axis is skewed between them; their rows overlap
+    in both the axis-aligned frame and the (wrong) PCA frame, so
+    :func:`split_quad_lines` passes them through and the skewed crop
+    reads garbage. Here the component's ink pixel COORDINATES rotate by
+    the page's dominant text angle (``angle_deg``, estimated from the
+    other detected quads); banding runs on the rotated row coordinate,
+    and when that still yields one band, on rotated-column gaps wider
+    than ``line_h`` (word spaces are ~0.3–0.5·h; fragment gaps are
+    line-scale). Each cluster gets its own PCA oriented rectangle from
+    its own ink — no image resampling anywhere."""
+    bb = quad.aabb()
+    h_img, w_img = image.shape[:2]
+    y0, y1 = max(0, bb.y0), min(h_img, bb.y1)
+    x0, x1 = max(0, bb.x0), min(w_img, bb.x1)
+    if y1 - y0 < 2 * min_band_h or x1 - x0 < 2:
+        return [quad]
+    region = image[y0:y1, x0:x1]
+    gray = region.mean(axis=2) if region.ndim == 3 else region.astype(float)
+    if gray.max() > 1.5:
+        gray = gray / 255.0
+    lo, hi = np.percentile(gray, (2, 98))
+    if hi - lo < 0.15:
+        return [quad]
+    ink = gray < (lo + hi) / 2.0
+    ys, xs = np.nonzero(ink)
+    if ys.size < 16:
+        return [quad]
+    # rotate by -angle so the reading direction (cos a, sin a) maps to
+    # the x axis: points along a text line share y_rot
+    a = np.radians(angle_deg)
+    y_rot = -xs * np.sin(a) + ys * np.cos(a)
+    x_rot = xs * np.cos(a) + ys * np.sin(a)
+    pts = np.stack([xs + x0, ys + y0], axis=1).astype(np.float32)
+
+    def clusters_1d(coord: np.ndarray, gap: float) -> list[np.ndarray]:
+        order = np.argsort(coord)
+        c = coord[order]
+        breaks = np.flatnonzero(np.diff(c) > gap)
+        groups = np.split(order, breaks + 1)
+        return [g for g in groups if g.size >= 12]
+
+    # rows first (stacked lines), then columns. Column gaps at fragment
+    # scale are indistinguishable from word spaces, so cluster at WORD
+    # scale and re-merge neighbors whose vertical placement/extent
+    # agree — only genuinely inconsistent fragments (different
+    # baselines or font sizes) stay split.
+    groups = clusters_1d(y_rot, float(min_band_h))
+    if len(groups) <= 1:
+        words = clusters_1d(x_rot, max(4.0, 0.35 * float(line_h)))
+        if len(words) > 1:
+            merged: list[tuple[np.ndarray, float, float]] = []
+            for g in words:
+                m, p = float(y_rot[g].mean()), float(np.ptp(y_rot[g]))
+                if merged:
+                    g0, m0, p0 = merged[-1]
+                    scale = max(p, p0, 1.0)
+                    same_line = (
+                        abs(m - m0) < 0.30 * scale
+                        and max(p, p0) / max(1.0, min(p, p0)) < 1.5
+                    )
+                    if same_line:
+                        n0, n = g0.size, g.size
+                        merged[-1] = (
+                            np.concatenate([g0, g]),
+                            (m0 * n0 + m * n) / (n0 + n),
+                            max(p0, p),
+                        )
+                        continue
+                merged.append((g, m, p))
+            if len(merged) > 1:
+                groups = [t[0] for t in merged]
+    def quad_at_angle(p: np.ndarray) -> QuadBox:
+        """Oriented box with the axis FIXED to the page's dominant text
+        angle — a merged component's own PCA axis is skewed between its
+        fragments, and resampling along it tilts every glyph."""
+        major = np.array([np.cos(a), np.sin(a)], np.float32)
+        minor = np.array([-major[1], major[0]], np.float32)
+        center = p.mean(axis=0)
+        d = p - center
+        pm = d @ major
+        pn = d @ minor
+        a0, a1 = pm.min() - 0.5, pm.max() + 0.5
+        b0, b1 = pn.min() - 0.5, pn.max() + 0.5
+        corners = np.stack([
+            center + a0 * major + b0 * minor,
+            center + a1 * major + b0 * minor,
+            center + a1 * major + b1 * minor,
+            center + a0 * major + b1 * minor,
+        ]).astype(np.float32)
+        return QuadBox(corners, quad.score).expanded(0.12)
+
+    if len(groups) <= 1 or len(groups) > max_parts:
+        # no split — but if this component's PCA axis disagrees with the
+        # page, re-fit the box at the dominant angle so the crop samples
+        # along the true baseline
+        da = abs(((quad.angle - angle_deg) + 90.0) % 180.0 - 90.0)
+        if da > 4.0:
+            return [quad_at_angle(pts)]
+        return [quad]
+    # each split fragment is a clean single line — its own PCA is
+    # reliable (and reads measurably better than the fixed-angle box)
+    return [_quad_from_points(pts[g], quad.score).expanded(0.12) for g in groups]
+
+
+def split_strip_columns(
+    crop: np.ndarray,
+    quad: QuadBox,
+    *,
+    extend_frac: float = 0.35,
+    gap_frac: float = 1.2,
+) -> list[tuple[np.ndarray, QuadBox]]:
+    """Split a rectified strip at WIDE interior column gaps.
+
+    Two text fragments rendered side by side (table cells, label/value
+    columns) merge into one DB component whose PCA axis is skewed by
+    their vertical offset; the rectified strip then carries both
+    fragments separated by a blank run much wider than a word space.
+    Reading such a strip whole fails twice over: ``tighten_crop`` keeps
+    only the span connected to the center (discarding the other
+    fragment), and the skewed axis tilts every glyph. Cutting at blank
+    runs ≥ ``gap_frac``·height yields per-fragment crops and maps each
+    back to its own sub-quad along the reading axis (the same fractional
+    interpolation ``word_quads_from_ctc`` uses).
+
+    Returns ``[(crop, quad)]`` unchanged when no wide gap exists."""
+    h, w = crop.shape[:2]
+    if w < 3 * h:
+        return [(crop, quad)]
+    gray = crop.mean(axis=2) if crop.ndim == 3 else crop
+    lo, hi = np.percentile(gray, (2, 98))
+    if hi - lo < 0.15:
+        return [(crop, quad)]
+    ink = gray < (lo + hi) / 2.0
+    has_ink = ink.any(axis=0)
+    cols = np.flatnonzero(has_ink)
+    if cols.size == 0:
+        return [(crop, quad)]
+    gap_w = max(8, int(gap_frac * h))
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([0], has_ink.astype(np.int8), [0])))
+    )
+    spans = list(zip(edges[0::2], edges[1::2]))  # ink spans [c0, c1)
+    merged_spans: list[list[int]] = []
+    for c0, c1 in spans:
+        if merged_spans and c0 - merged_spans[-1][1] < gap_w:
+            merged_spans[-1][1] = int(c1)
+        else:
+            merged_spans.append([int(c0), int(c1)])
+    if len(merged_spans) <= 1:
+        return [(crop, quad)]
+    # reconstruct the extended reading-axis span crop_quad sampled
+    qh = max(quad.height, 1.0)
+    qw = max(quad.width, 1.0)
+    u = (quad.points[1] - quad.points[0]) / qw
+    v = quad.points[3] - quad.points[0]
+    ext = extend_frac * qh
+    origin = quad.points[0] - ext * u
+    full_w = qw + 2.0 * ext
+    out = []
+    pad = max(2, h // 8)
+    for c0, c1 in merged_spans:
+        a = max(0, c0 - pad)
+        b = min(w, c1 + pad)
+        part = crop[:, a:b]
+        f0 = a / w * full_w
+        f1 = b / w * full_w
+        p0 = origin + f0 * u
+        p1 = origin + f1 * u
+        pts = np.stack([p0, p1, p1 + v, p0 + v]).astype(np.float32)
+        out.append((part, QuadBox(pts, quad.score)))
+    return out
+
+
 def word_quads_from_ctc(
     quad: QuadBox, logits: np.ndarray, charset: str
 ) -> list[tuple[QuadBox, str]]:

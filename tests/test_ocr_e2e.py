@@ -38,8 +38,10 @@ def test_engine_reads_upright_pages(engine):
     stats = evaluate_engine(engine, pages=3, rotation=0.0, seed=7)
     assert stats["lines"] >= 10
     assert stats["detected"] >= 0.9 * stats["lines"], stats
-    assert stats["exact_rate"] >= 0.45, stats
-    assert stats["fuzzy_rate"] >= 0.82, stats
+    # round-3 measured level 0.64/0.93 (col_stride-1 recognizer +
+    # LM beam with insertion bonus); bars carry a variance margin
+    assert stats["exact_rate"] >= 0.55, stats
+    assert stats["fuzzy_rate"] >= 0.88, stats
 
 
 @pytest.mark.slow
@@ -47,9 +49,11 @@ def test_engine_reads_upright_pages(engine):
 def test_engine_reads_rotated_pages(engine, rotation):
     stats = evaluate_engine(engine, pages=2, rotation=rotation, seed=11)
     assert stats["lines"] >= 6
-    # rotated scans go through quad detection + rotated crops; fuzzy
-    # recovery is the reference-parity bar (VERDICT #3: ±15°/90°)
-    assert stats["fuzzy_rate"] >= 0.70, (rotation, stats)
+    # rotated scans go through quad detection + rotated crops (±15°)
+    # or the page-orientation pre-pass (90°); round-3 measured levels
+    # 0.89–0.96 fuzzy (fragment splitting + angle re-fit + retrained
+    # recognizer), bars carry a variance margin
+    assert stats["fuzzy_rate"] >= 0.80, (rotation, stats)
 
 
 def test_pdf_ocr_bridge_reads_scanned_pdf(engine, tmp_path):

@@ -1,0 +1,29 @@
+"""Out-of-distribution OCR e2e (round-2 verdict item 5): rasterize the
+reference invoice PDFs with the in-repo renderer and recover the text
+layer. Content, layout, line density and font sizes come from real
+documents the synth generator never produces."""
+
+import numpy as np
+import pytest
+
+from intool_rag_tpu.ocr.eval import evaluate_on_invoices
+from intool_rag_tpu.ocr.pipeline import DEFAULT_WEIGHTS, OCREngine
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not DEFAULT_WEIGHTS.exists(), reason="no shipped OCR weights"
+    ),
+]
+
+
+def test_invoice_text_layer_recovery():
+    engine = OCREngine(det_limit=1280)
+    result = evaluate_on_invoices(engine, scale=2.0)
+    assert result["lines"] >= 40  # both invoices contribute
+    # measured round-3 level: exact 0.293 / fuzzy 0.909 (scale-2
+    # rasters ≈ 150 dpi scans; exact-match on full multi-column rows is
+    # bounded by single-glyph confusions the 32-px recognizer can't
+    # split). Bars sit under the measured level by a variance margin.
+    assert result["exact_rate"] >= 0.22, result
+    assert result["fuzzy_rate"] >= 0.85, result
