@@ -14,6 +14,7 @@ Usage: PYTHONPATH=. python benchmarks/bench_continuous.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -50,7 +51,9 @@ def main() -> None:
     # applied to BOTH sides so the comparison stays fair
     params = cast_params_for_inference(config, init_decoder_params(config))
     rng = np.random.default_rng(0)
-    n_requests = 32 if on_tpu else 12
+    n_requests = int(
+        os.environ.get("BENCH_REQUESTS", 48 if on_tpu else 12)
+    )
     prompt_len = 96
     prompts = [
         rng.integers(5, config.vocab_size - 1, size=prompt_len).tolist()
@@ -91,7 +94,7 @@ def main() -> None:
     # longest, while slot refill keeps utilization high at any width
     # (decode is param-read bound, so a 16-wide step costs ≈ an 8-wide
     # step) ----
-    n_slots = 16 if on_tpu else 8
+    n_slots = int(os.environ.get("BENCH_SLOTS", 32 if on_tpu else 8))
     gen = ContinuousGenerator(config, params, n_slots=n_slots, seg_len=16)
     # warm EVERY compiled path the measured run will hit: the full-width
     # initial refill cycle, the small-width refill cycle (staggered
