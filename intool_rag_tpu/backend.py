@@ -29,6 +29,18 @@ def ensure_backend(retries: int = 2, delay_s: float = 5.0) -> str:
     import jax
 
     if not _checked:
+        if not _accelerator_probe_ok():
+            # a dead tunnel relay makes the PJRT C-API client BLOCK
+            # FOREVER inside make_c_api_client — no Python exception
+            # ever fires, so the retry loop below can't save us and an
+            # in-process watchdog can't either (the hung init holds the
+            # backend lock). Probe in a SUBPROCESS with a timeout and
+            # force CPU before this process touches the backend.
+            logger.warning(
+                "accelerator probe timed out/failed — forcing CPU "
+                "(tunnel relay down?)"
+            )
+            jax.config.update("jax_platforms", "cpu")
         for attempt in range(retries + 1):
             try:
                 jax.devices()
@@ -51,6 +63,41 @@ def ensure_backend(retries: int = 2, delay_s: float = 5.0) -> str:
         _warmup()
         _checked = True
     return jax.default_backend()
+
+
+def _accelerator_probe_ok(timeout_s: float | None = None) -> bool:
+    """True when ``jax.devices()`` completes in a fresh subprocess
+    within ``timeout_s`` (env ``BACKEND_PROBE_TIMEOUT``, default 90 s).
+
+    Skipped (returns True) when no accelerator plugin is in play or the
+    process already forces CPU — the probe costs one interpreter start,
+    only worth it when a hang is possible."""
+    import os
+    import subprocess
+    import sys
+
+    import jax
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    try:
+        if jax.config.jax_platforms == "cpu":
+            return True
+    except Exception:
+        pass
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BACKEND_PROBE_TIMEOUT", "90"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
 
 
 def _warmup() -> None:

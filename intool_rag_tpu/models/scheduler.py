@@ -192,6 +192,24 @@ class ContinuousGenerator:
         )
         return cache, tok, pos, active, rem, firsts
 
+    def _pack_group(self, s_bucket: int, m: int, entries):
+        """Pack ``entries = [(slot, token_ids, limit)]`` into the
+        batched-insert arrays: right-aligned ids/mask, filler rows
+        carrying the out-of-range slot id ``n_slots`` (they drop out of
+        every merge). ONE packer for refill and compaction — the two
+        callers must agree bit-for-bit or compaction re-prefill would
+        silently diverge from the original prefill layout."""
+        arr = np.full((m, s_bucket), self.pad_id, np.int32)
+        mask = np.zeros((m, s_bucket), np.int32)
+        slot_ids = np.full(m, self.n_slots, np.int32)
+        lims = np.ones(m, np.int32)
+        for j, (b, ids, limit) in enumerate(entries):
+            arr[j, s_bucket - len(ids):] = ids
+            mask[j, s_bucket - len(ids):] = 1
+            slot_ids[j] = b
+            lims[j] = limit
+        return arr, mask, slot_ids, lims
+
     def _insert_merge_fn(self, s_bucket: int, m: int):
         """Jitted per (prompt-bucket, group-width): batched prefill +
         serving-state merge (no decode segment) — used for all but the
@@ -299,14 +317,9 @@ class ContinuousGenerator:
         dummy_act = jnp.zeros(self.n_slots, bool)
         for s_bucket, members in sorted(groups.items()):
             m = self._group_width(len(members))
-            arr = np.full((m, s_bucket), self.pad_id, np.int32)
-            mask = np.zeros((m, s_bucket), np.int32)
-            slot_ids = np.full(m, self.n_slots, np.int32)
-            lims = np.ones(m, np.int32)
-            for j, (b, ids) in enumerate(members):
-                arr[j, s_bucket - len(ids):] = ids
-                mask[j, s_bucket - len(ids):] = 1
-                slot_ids[j] = b
+            arr, mask, slot_ids, lims = self._pack_group(
+                s_bucket, m, [(b, ids, 1) for b, ids in members]
+            )
             fresh, _, _, _, _, _ = self._insert_merge_fn(s_bucket, m)(
                 self.params, fresh, jnp.asarray(arr), jnp.asarray(mask),
                 jnp.asarray(slot_ids), jnp.asarray(lims), dummy_key,
@@ -388,17 +401,11 @@ class ContinuousGenerator:
                 )
                 len_host = s_bucket
             m = self._group_width(len(members))
-            arr = np.full((m, s_bucket), self.pad_id, np.int32)
-            mask = np.zeros((m, s_bucket), np.int32)
-            # inactive filler rows merge-drop via out-of-range slot id
-            slot_ids = np.full(m, self.n_slots, np.int32)
-            lims = np.ones(m, np.int32)
-            for j, (b, idx) in enumerate(members):
-                ids = prompts[idx]
-                arr[j, s_bucket - len(ids):] = ids
-                mask[j, s_bucket - len(ids):] = 1
-                slot_ids[j] = b
-                lims[j] = limits[idx]
+            arr, mask, slot_ids, lims = self._pack_group(
+                s_bucket, m,
+                [(b, prompts[idx], limits[idx]) for b, idx in members],
+            )
+            for b, idx in members:
                 slots[b] = _Stream(
                     idx=idx, tokens=[], max_new=limits[idx],
                     t_submit=time.perf_counter(),

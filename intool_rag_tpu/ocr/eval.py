@@ -142,6 +142,7 @@ def evaluate_on_invoices(
     from ..ingest.rasterize import page_ground_truth_lines, rasterize_page
 
     total = exact = 0
+    emitted_total = spurious = 0
     fuzzy_sum = 0.0
     per_doc = {}
     for path in sorted(glob.glob(f"{pdf_dir}/*.pdf")):
@@ -162,13 +163,21 @@ def evaluate_on_invoices(
 
         got = [canonicalize_text(g) for g in got]
         d_exact = 0
-        for want in gt:
-            want_n = canonicalize_text(_norm_line(want))
+        gt_norm = [canonicalize_text(_norm_line(w)) for w in gt]
+        for want_n in gt_norm:
             total += 1
             if want_n in got:
                 exact += 1
                 d_exact += 1
             fuzzy_sum += _best_ratio(want_n, got)
+        # the span-candidate scheme above is one-directional (it cannot
+        # punish hallucinated/concatenated output); spurious_rate covers
+        # that axis: emitted boxes that resemble NO gt line
+        for t in (canonicalize_text(t) for t in per_box):
+            emitted_total += 1
+            contained = any(t and t in g for g in gt_norm)
+            if not contained and _best_ratio(t, gt_norm) < 0.5:
+                spurious += 1
         per_doc[path.rsplit("/", 1)[-1]] = {
             "gt_lines": len(gt), "exact": d_exact,
         }
@@ -176,5 +185,6 @@ def evaluate_on_invoices(
         "lines": total,
         "exact_rate": exact / max(total, 1),
         "fuzzy_rate": fuzzy_sum / max(total, 1),
+        "spurious_rate": spurious / max(emitted_total, 1),
         "per_doc": per_doc,
     }

@@ -101,34 +101,21 @@ def _quad_from_mask(
     is later corrected by the orientation classifier."""
     ys, xs = np.nonzero(region_mask)
     pts = np.stack([xs + x_off, ys + y_off], axis=1).astype(np.float32)
-    center = pts.mean(axis=0)
-    d = pts - center
-    if len(pts) < 2:
-        major = np.array([1.0, 0.0], np.float32)
-    else:
-        cov = d.T @ d / len(pts)
-        evals, evecs = np.linalg.eigh(cov)
-        major = evecs[:, np.argmax(evals)].astype(np.float32)
-    if abs(major[0]) < 1e-3:
-        if major[1] < 0:  # near-vertical: read downward
-            major = -major
-    elif major[0] < 0:  # otherwise read rightward
-        major = -major
-    minor = np.array([-major[1], major[0]], np.float32)
-    pm = d @ major
-    pn = d @ minor
-    # +0.5px half-pixel margin so single-pixel extents stay non-degenerate
-    a0, a1 = pm.min() - 0.5, pm.max() + 0.5
-    b0, b1 = pn.min() - 0.5, pn.max() + 0.5
-    corners = np.stack(
-        [
-            center + a0 * major + b0 * minor,
-            center + a1 * major + b0 * minor,
-            center + a1 * major + b1 * minor,
-            center + a0 * major + b1 * minor,
-        ]
-    ).astype(np.float32)
-    return QuadBox(corners, score)
+    return _quad_from_points(pts, score)
+
+
+def _region_ink(region: np.ndarray) -> np.ndarray | None:
+    """Binary ink mask of an image region via the adaptive midpoint of
+    its 2nd/98th luminance percentiles; ``None`` for blank (low-
+    contrast) regions. Shared by the splitters and crop tightening so
+    their notion of 'ink' can never diverge."""
+    gray = region.mean(axis=2) if region.ndim == 3 else region.astype(float)
+    if gray.max() > 1.5:
+        gray = gray / 255.0
+    lo, hi = np.percentile(gray, (2, 98))
+    if hi - lo < 0.15:
+        return None
+    return gray < (lo + hi) / 2.0
 
 
 def db_quads_from_prob_map(
@@ -169,9 +156,14 @@ def db_quads_from_prob_map(
     return quads
 
 
+# reading-axis over-crop shared by crop_quad and the strip splitter's
+# inverse mapping — tuning it in one place keeps sub-quad geometry exact
+CROP_EXTEND_FRAC = 0.35
+
+
 def crop_quad(
     image: np.ndarray, quad: QuadBox, *, target_h: int = 32, max_w: int = 640,
-    extend_frac: float = 0.35,
+    extend_frac: float = CROP_EXTEND_FRAC,
 ) -> np.ndarray:
     """Rotated crop: bilinear-sample the quad onto an axis-aligned
     ``[target_h, W, 3]`` float image (reference: get_rotate_crop_image,
@@ -256,14 +248,9 @@ def split_quad_lines(
     x0, x1 = max(0, bb.x0), min(w_img, bb.x1)
     if y1 - y0 < 2 * min_band_h or x1 - x0 < 2:
         return [quad]
-    region = image[y0:y1, x0:x1]
-    gray = region.mean(axis=2) if region.ndim == 3 else region.astype(float)
-    if gray.max() > 1.5:
-        gray = gray / 255.0
-    lo, hi = np.percentile(gray, (2, 98))
-    if hi - lo < 0.15:  # blank region — nothing to split
+    ink = _region_ink(image[y0:y1, x0:x1])
+    if ink is None:  # blank region — nothing to split
         return [quad]
-    ink = gray < (lo + hi) / 2.0
     prof = ink.mean(axis=1)
     # a row belongs to a text band if it carries a sliver of ink — the
     # threshold must stay LOW: a short label in a wide merged box (the
@@ -359,14 +346,9 @@ def split_quad_fragments(
     x0, x1 = max(0, bb.x0), min(w_img, bb.x1)
     if y1 - y0 < 2 * min_band_h or x1 - x0 < 2:
         return [quad]
-    region = image[y0:y1, x0:x1]
-    gray = region.mean(axis=2) if region.ndim == 3 else region.astype(float)
-    if gray.max() > 1.5:
-        gray = gray / 255.0
-    lo, hi = np.percentile(gray, (2, 98))
-    if hi - lo < 0.15:
+    ink = _region_ink(image[y0:y1, x0:x1])
+    if ink is None:
         return [quad]
-    ink = gray < (lo + hi) / 2.0
     ys, xs = np.nonzero(ink)
     if ys.size < 16:
         return [quad]
@@ -451,7 +433,7 @@ def split_strip_columns(
     crop: np.ndarray,
     quad: QuadBox,
     *,
-    extend_frac: float = 0.35,
+    extend_frac: float = CROP_EXTEND_FRAC,
     gap_frac: float = 1.2,
 ) -> list[tuple[np.ndarray, QuadBox]]:
     """Split a rectified strip at WIDE interior column gaps.
@@ -471,11 +453,9 @@ def split_strip_columns(
     h, w = crop.shape[:2]
     if w < 3 * h:
         return [(crop, quad)]
-    gray = crop.mean(axis=2) if crop.ndim == 3 else crop
-    lo, hi = np.percentile(gray, (2, 98))
-    if hi - lo < 0.15:
+    ink = _region_ink(crop)
+    if ink is None:
         return [(crop, quad)]
-    ink = gray < (lo + hi) / 2.0
     has_ink = ink.any(axis=0)
     cols = np.flatnonzero(has_ink)
     if cols.size == 0:

@@ -51,39 +51,51 @@ class _WaveServer:
     def __init__(self, gen) -> None:
         self.gen = gen
         self.q: queue.Queue = queue.Queue()
+        self._dead: BaseException | None = None
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     def submit(self, ids: list[int], max_new: int) -> list[int]:
+        if self._dead is not None:
+            raise RuntimeError("LLM wave server is dead") from self._dead
         done = threading.Event()
         box: dict = {}
         self.q.put((ids, max_new, done, box))
-        done.wait()
+        # liveness watchdog, not a latency bound: wakes periodically to
+        # fail fast if the worker thread died (a bare wait() would hang
+        # this handler thread forever)
+        while not done.wait(timeout=5.0):
+            if self._dead is not None:
+                raise RuntimeError("LLM wave server died") from self._dead
         if "error" in box:
             raise box["error"]
         return box["toks"]
 
     def _loop(self) -> None:
-        while True:
-            wave = [self.q.get()]
-            t0 = time.perf_counter()
-            while time.perf_counter() - t0 < 0.010:
+        try:
+            while True:
+                wave = [self.q.get()]
+                t0 = time.perf_counter()
+                while time.perf_counter() - t0 < 0.010:
+                    try:
+                        wave.append(self.q.get_nowait())
+                    except queue.Empty:
+                        time.sleep(0.002)
                 try:
-                    wave.append(self.q.get_nowait())
-                except queue.Empty:
-                    time.sleep(0.002)
-            try:
-                results, _ = self.gen.generate_many(
-                    [w[0] for w in wave], [w[1] for w in wave]
-                )
-            except Exception as exc:  # surface to every waiter
-                for _, _, done, box in wave:
-                    box["error"] = exc
+                    results, _ = self.gen.generate_many(
+                        [w[0] for w in wave], [w[1] for w in wave]
+                    )
+                except Exception as exc:  # surface to every waiter
+                    for _, _, done, box in wave:
+                        box["error"] = exc
+                        done.set()
+                    continue
+                for (_, _, done, box), toks in zip(wave, results):
+                    box["toks"] = toks
                     done.set()
-                continue
-            for (_, _, done, box), toks in zip(wave, results):
-                box["toks"] = toks
-                done.set()
+        except BaseException as exc:  # worker death: fail fast everywhere
+            self._dead = exc
+            raise
 
 
 class ByteTokenizer:
@@ -277,14 +289,24 @@ class TPULLM(BaseLLM):
         if self._waves is not None:
             # continuous-batching path: concurrent calls share one slot
             # scheduler (the scheduler strips EOS and enforces budgets
-            # on device). The prompt must fit a power-of-2 cache bucket
-            # with one decode segment of headroom — keep the TAIL (RAG
+            # on device). The prompt must leave room for the FULL
+            # generation: compaction re-prefills prompt+generated into a
+            # power-of-2 bucket, so the cap bounds
+            # bucket(prompt + max_new) + seg_len ≤ max_position — a cap
+            # on the prompt alone crashes mid-serving once the cursor
+            # overruns (takes the whole wave down). Keep the TAIL (RAG
             # prompts end with the question).
             raw = [int(t) for t, m in zip(ids[0], mask[0]) if m]
+            seg = self._waves.gen.seg_len
+            budget = self.config.max_position - seg
+            # largest power-of-2 history bucket that fits (buckets round
+            # up to powers of 2, so prompt+generated must stay ≤ this)
+            p2f = 1 << (max(budget, 8).bit_length() - 1)
+            new_eff = max(1, min(self.max_new_tokens, p2f - 8))
             cap = 8
-            while cap * 2 + self._waves.gen.seg_len <= self.config.max_position:
+            while 2 * cap + new_eff <= p2f:
                 cap *= 2
-            toks = self._waves.submit(raw[-cap:], self.max_new_tokens)
+            toks = self._waves.submit(raw[-cap:], new_eff)
             return self.tokenizer.decode(toks)
         fn = self._generate_fn(ids.shape[1])
         seed = abs(hash(prompt)) % (2**31)

@@ -97,12 +97,16 @@ def main() -> None:
             pickle.dump((rec_p, tail), f)
         logger.info("rec done (%.0fs) tail-500 loss %.4f", time.time() - t0, tail)
 
-    out = OCRModelBundle.create(
-        charset, width=16, rec_width=64, rec_col_stride=1
-    )
+    # reuse the loaded bundle's det/cls MODULES (their widths travel
+    # with the artifact — a hardcoded width here would desync if the
+    # shipped bundle is ever retrained at another size); only the
+    # recognizer is rebuilt at the new architecture
+    from intool_rag_tpu.ocr.models import CTCRecognizer
+
+    rec = CTCRecognizer(vocab_size=len(charset), width=64, col_stride=1)
     out = OCRModelBundle(
-        out.det, bundle.det_params, out.cls, bundle.cls_params,
-        out.rec, rec_p, charset,
+        bundle.det, bundle.det_params, bundle.cls, bundle.cls_params,
+        rec, rec_p, charset,
     )
     out.save(BUNDLE)
     print(f"saved {BUNDLE} (rec col_stride=1, tail loss {tail:.4f}, "

@@ -236,13 +236,22 @@ def test_tpu_llm_continuous_serving(monkeypatch):
         for t in threads:
             t.join(timeout=120)
         assert all(g is not None for g in got)
-        # same scheduler config, driven directly → identical greedy tokens
+        # same scheduler config, driven directly → identical greedy
+        # tokens. The provider caps the prompt tail so prompt+generation
+        # fits a compaction bucket (tiny model: max_position 64, seg 16
+        # → p2f 32, cap 16) — mirror that cap here.
         direct = ContinuousGenerator(
             CFG, cont.params, n_slots=4, temperature=0.0,
             eos_id=tok.eos_id, pad_id=tok.pad_id,
         )
+        p2f = 1 << ((CFG.max_position - direct.seg_len).bit_length() - 1)
+        new_eff = max(1, min(8, p2f - 8))
+        cap = 8
+        while 2 * cap + new_eff <= p2f:
+            cap *= 2
         results, _ = direct.generate_many(
-            [tok.encode(p) for p in prompts], [8] * len(prompts)
+            [tok.encode(p)[-cap:] for p in prompts],
+            [new_eff] * len(prompts),
         )
         want = [tok.decode(r) for r in results]
         assert got == want

@@ -3,16 +3,23 @@ reference invoice PDFs with the in-repo renderer and recover the text
 layer. Content, layout, line density and font sizes come from real
 documents the synth generator never produces."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
 from intool_rag_tpu.ocr.eval import evaluate_on_invoices
 from intool_rag_tpu.ocr.pipeline import DEFAULT_WEIGHTS, OCREngine
 
+INVOICES = Path("/root/reference/invoices")
+
 pytestmark = [
     pytest.mark.slow,
     pytest.mark.skipif(
         not DEFAULT_WEIGHTS.exists(), reason="no shipped OCR weights"
+    ),
+    pytest.mark.skipif(
+        not INVOICES.exists(), reason="reference invoices not mounted"
     ),
 ]
 
