@@ -81,15 +81,23 @@ class _WaveServer:
                         wave.append(self.q.get_nowait())
                     except queue.Empty:
                         time.sleep(0.002)
+                from ..observability import get_metrics
+
+                m = get_metrics()
+                m.inc("llm_waves")
+                m.inc("llm_wave_requests", len(wave))
+                t_wave = time.perf_counter()
                 try:
                     results, _ = self.gen.generate_many(
                         [w[0] for w in wave], [w[1] for w in wave]
                     )
                 except Exception as exc:  # surface to every waiter
+                    m.inc("llm_wave_errors")
                     for _, _, done, box in wave:
                         box["error"] = exc
                         done.set()
                     continue
+                m.observe("llm.wave", time.perf_counter() - t_wave)
                 for (_, _, done, box), toks in zip(wave, results):
                     box["toks"] = toks
                     done.set()

@@ -254,6 +254,13 @@ class RAGService:
                 "batches_run": self.batcher.batches_run,
                 "requests_served": self.batcher.requests_served,
             }
+        # process-global counters (LLM wave serving, trainer phases)
+        # surface under their own key so per-service numbers stay clean
+        from ..observability import get_metrics
+
+        g = get_metrics().snapshot()
+        if g["counters"] or g["latency_s"]:
+            snap["process"] = g
         return snap
 
     def query(self, body: bytes) -> dict:
