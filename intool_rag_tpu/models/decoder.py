@@ -431,3 +431,111 @@ def make_generate_fn(
         return all_toks
 
     return jax.jit(fn)
+
+
+def make_lookup_speculative_fn(
+    config: DecoderConfig,
+    *,
+    max_new_tokens: int,
+    gamma: int = 4,
+    eos_id: int | None = None,
+    pad_id: int = 0,
+):
+    """Greedy generation with PROMPT-LOOKUP speculative decoding.
+
+    RAG answers quote the retrieved context heavily, and single-token
+    decode is param-read bound — verifying ``gamma`` tokens in one
+    forward costs about the same HBM traffic as verifying one. Each
+    step drafts ``gamma-1`` tokens by matching the last emitted bigram
+    against the prompt ON DEVICE (one vectorized comparison + slice —
+    no host round-trips, the whole loop is one compiled program) and
+    verifies them in a single model call; the accepted prefix plus the
+    model's own next token all emit at once. Exact greedy parity with
+    :func:`make_generate_fn` is guaranteed by construction: every
+    emitted token is the model's argmax given the same prefix
+    (regression-tested), so speculation changes latency, never output.
+
+    Single stream only (``B == 1``): acceptance lengths diverge per row
+    and the KV write cursor is shared. The counterpart of what the
+    reference's Ollama backend gets from llama.cpp's prompt-lookup
+    speculation; batched serving uses models/scheduler.py instead.
+    Cache capacity must cover ``prompt + max_new_tokens + gamma``.
+    Returns ``(params, prompt_ids [1, S], prompt_mask) -> tokens
+    [max_new_tokens]`` (host truncates at EOS, as with the scan path).
+    """
+    model = DecoderLM(config)
+    eos = -1 if eos_id is None else eos_id
+
+    def fn(params, prompt_ids, prompt_mask):
+        b, s = prompt_ids.shape
+        assert b == 1, "prompt-lookup speculation is single-stream"
+        cache = init_cache(config, 1)
+        positions = jnp.maximum(
+            jnp.cumsum(prompt_mask, axis=1) - 1, 0
+        ).astype(jnp.int32)
+        logits, cache = model.apply(
+            params, prompt_ids, positions, cache, prompt_mask.astype(bool)
+        )
+        tok0 = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        n_real = positions[0, -1] + 1
+
+        pi = prompt_ids[0]
+        pm = prompt_mask[0].astype(bool)
+        pi_ext = jnp.concatenate([pi, jnp.full((gamma,), pad_id, jnp.int32)])
+        pm_ext = jnp.concatenate([pm, jnp.zeros((gamma,), bool)])
+        out0 = jnp.full((max_new_tokens + gamma,), pad_id, jnp.int32)
+        out0 = out0.at[0].set(tok0)
+
+        def draft_for(prev, last):
+            hit = (pi[:-1] == prev) & (pi[1:] == last) & pm[:-1] & pm[1:]
+            idx = jnp.arange(s - 1)
+            match = jnp.max(jnp.where(hit, idx, -1))
+            start = jnp.clip(match + 2, 0, s)
+            dr = jax.lax.dynamic_slice(pi_ext, (start,), (gamma - 1,))
+            drm = jax.lax.dynamic_slice(pm_ext, (start,), (gamma - 1,))
+            # -1 marks no-draft slots: never equals a sampled id, so
+            # they auto-reject and the step degrades to plain greedy
+            return jnp.where(drm & (match >= 0), dr, -1)
+
+        def cond(carry):
+            _, _, _, n_emitted, _, done = carry
+            return (n_emitted < max_new_tokens) & ~done
+
+        def body(carry):
+            cache, prev, last, n_emitted, out, done = carry
+            dr = draft_for(prev, last)
+            feed = jnp.concatenate([last[None], jnp.maximum(dr, 0)])
+            base = cache.length
+            pos = n_real - 1 + n_emitted + jnp.arange(gamma)
+            lgts, cache = model.apply(
+                params, feed[None], pos[None], cache
+            )
+            o = jnp.argmax(lgts[0], axis=-1).astype(jnp.int32)
+            # token j+1 of the feed (= draft j) is valid iff the model
+            # agreed with every earlier draft token
+            acc = jnp.cumprod((o[:-1] == dr).astype(jnp.int32))
+            m = jnp.sum(acc)
+            emitted = m + 1
+            out = jax.lax.dynamic_update_slice(out, o, (n_emitted,))
+            # rewind the shared cursor past the rejected suffix; the
+            # stale K/V there is masked by `valid` and overwritten by
+            # the next feed
+            col = jnp.arange(cache.valid.shape[-1])
+            cache = cache._replace(
+                valid=cache.valid & (col < base + emitted)[None, :],
+                length=base + emitted,
+            )
+            in_prefix = jnp.arange(gamma) <= m
+            done = done | jnp.any(in_prefix & (o == eos))
+            last_new = jnp.take(o, m)
+            prev_new = jnp.where(m > 0, jnp.take(o, jnp.maximum(m - 1, 0)), last)
+            return cache, prev_new, last_new, n_emitted + emitted, out, done
+
+        prev0 = pi[-1]
+        done0 = tok0 == eos
+        _, _, _, _, out, _ = jax.lax.while_loop(
+            cond, body, (cache, prev0, tok0, jnp.asarray(1, jnp.int32), out0, done0)
+        )
+        return out[:max_new_tokens]
+
+    return jax.jit(fn)

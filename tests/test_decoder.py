@@ -260,3 +260,72 @@ def test_tpu_llm_continuous_serving(monkeypatch):
     finally:
         monkeypatch.delenv("LLM_CONTINUOUS_SLOTS")
         config_mod.reset_config()
+
+
+def test_lookup_speculative_greedy_parity():
+    """Prompt-lookup speculation must emit EXACTLY the scan path's
+    greedy tokens — speculation changes latency, never output."""
+    import jax
+
+    from intool_rag_tpu.models.decoder import (
+        init_decoder_params,
+        make_generate_fn,
+        make_lookup_speculative_fn,
+    )
+
+    params = init_decoder_params(CFG, seed=3)
+    max_new = 12
+    ref_fn = make_generate_fn(CFG, max_new_tokens=max_new, temperature=0.0)
+    spec_fn = make_lookup_speculative_fn(
+        CFG, max_new_tokens=max_new, gamma=4, eos_id=2
+    )
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        n = int(rng.integers(6, 20))
+        ids = rng.integers(3, CFG.vocab_size, size=n)
+        # repeat a span so the bigram lookup actually fires
+        prompt = np.concatenate([ids, ids[: n // 2]]).astype(np.int32)
+        s = len(prompt)
+        arr = np.zeros((1, s), np.int32)
+        mask = np.ones((1, s), np.int32)
+        arr[0] = prompt
+        ref = np.asarray(
+            ref_fn(params, arr, mask, jax.random.PRNGKey(0))
+        )[0]
+        got = np.asarray(spec_fn(params, arr, mask))
+
+        def upto_eos(t):
+            t = list(int(x) for x in t)
+            return t[: t.index(2) + 1] if 2 in t else t
+
+        assert upto_eos(got) == upto_eos(ref), (trial, got, ref)
+
+
+def test_lookup_speculative_no_match_path():
+    """A prompt with no repeated bigram degrades to plain greedy."""
+    from intool_rag_tpu.models.decoder import (
+        init_decoder_params,
+        make_generate_fn,
+        make_lookup_speculative_fn,
+    )
+    import jax
+
+    params = init_decoder_params(CFG, seed=5)
+    arr = np.array([[3, 4, 5, 6, 7]], np.int32)
+    mask = np.ones_like(arr)
+    ref = np.asarray(
+        make_generate_fn(CFG, max_new_tokens=6, temperature=0.0)(
+            params, arr, mask, jax.random.PRNGKey(0)
+        )
+    )[0]
+    got = np.asarray(
+        make_lookup_speculative_fn(CFG, max_new_tokens=6, gamma=4, eos_id=2)(
+            params, arr, mask
+        )
+    )
+
+    def upto_eos(t):
+        t = list(int(x) for x in t)
+        return t[: t.index(2) + 1] if 2 in t else t
+
+    assert upto_eos(got) == upto_eos(ref)
