@@ -133,6 +133,12 @@ class Config:
     LLM_CONTINUOUS_SLOTS: int = dataclasses.field(
         default_factory=lambda: _env_int("LLM_CONTINUOUS_SLOTS", 0)
     )
+    # prompt-lookup speculative decoding for single-stream greedy
+    # generation: >0 = draft window gamma (tokens verified per forward,
+    # models/decoder.py make_lookup_speculative_fn); 0 = off
+    LLM_SPECULATIVE_GAMMA: int = dataclasses.field(
+        default_factory=lambda: _env_int("LLM_SPECULATIVE_GAMMA", 0)
+    )
 
     # --- Reranker (implemented for real here; declared-only in the
     # reference — rag/config.py:24-27, SURVEY.md §0) ---

@@ -268,6 +268,26 @@ class TPULLM(BaseLLM):
                 )
             return self._gen_fns[key]
 
+    def _speculative_fn(self, prompt_bucket: int, gamma: int):
+        from ..models.decoder import make_lookup_speculative_fn
+
+        key = ("spec", prompt_bucket, gamma)
+        with self._lock:
+            if key not in self._gen_fns:
+                eos = getattr(self.tokenizer, "eos_id", None)
+                if eos is None:
+                    eos = getattr(self.tokenizer, "eos_token_id", None)
+                # cache must hold prompt + generation + draft overhang
+                budget = self.config.max_position - prompt_bucket - gamma
+                self._gen_fns[key] = make_lookup_speculative_fn(
+                    self.config,
+                    max_new_tokens=max(1, min(self.max_new_tokens, budget)),
+                    gamma=gamma,
+                    eos_id=eos,
+                    pad_id=getattr(self.tokenizer, "pad_id", 0),
+                )
+            return self._gen_fns[key]
+
     def _encode_prompt(self, prompt: str) -> tuple[np.ndarray, np.ndarray]:
         if hasattr(self.tokenizer, "encode") and not hasattr(
             self.tokenizer, "eos_token_id"
@@ -316,6 +336,21 @@ class TPULLM(BaseLLM):
                 cap *= 2
             toks = self._waves.submit(raw[-cap:], new_eff)
             return self.tokenizer.decode(toks)
+        gamma = get_config().LLM_SPECULATIVE_GAMMA
+        if gamma > 0 and self.temperature <= 0.0:
+            # single-stream greedy: prompt-lookup speculation (exact
+            # greedy parity; RAG answers quote context, so drafts hit)
+            fn = self._speculative_fn(ids.shape[1], gamma)
+            toks = np.asarray(fn(self.params, ids, mask))
+            eos = getattr(self.tokenizer, "eos_id", None) or getattr(
+                self.tokenizer, "eos_token_id", None
+            )
+            out = []
+            for t in toks:
+                if eos is not None and int(t) == int(eos):
+                    break
+                out.append(int(t))
+            return self.tokenizer.decode(out)
         fn = self._generate_fn(ids.shape[1])
         seed = abs(hash(prompt)) % (2**31)
         toks = np.asarray(fn(self.params, ids, mask, jax.random.PRNGKey(seed)))[0]

@@ -329,3 +329,25 @@ def test_lookup_speculative_no_match_path():
         return t[: t.index(2) + 1] if 2 in t else t
 
     assert upto_eos(got) == upto_eos(ref)
+
+
+def test_tpu_llm_speculative_path(monkeypatch):
+    """LLM_SPECULATIVE_GAMMA routes greedy single-stream generation
+    through prompt-lookup speculation; output is deterministic and
+    non-empty."""
+    from intool_rag_tpu import config as config_mod
+    from intool_rag_tpu.providers.tpu_llm import ByteTokenizer, TPULLM
+
+    monkeypatch.setenv("LLM_SPECULATIVE_GAMMA", "4")
+    config_mod.reset_config()
+    try:
+        llm = TPULLM(
+            config=CFG, tokenizer=ByteTokenizer(), max_new_tokens=8,
+            temperature=0.0,
+        )
+        a = llm.generate("total due total due")
+        b = llm.generate("total due total due")
+        assert isinstance(a, str) and a == b
+    finally:
+        monkeypatch.delenv("LLM_SPECULATIVE_GAMMA")
+        config_mod.reset_config()
