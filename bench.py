@@ -85,7 +85,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     import jax.numpy as jnp
 
     from intool_rag_tpu.ops.bm25 import (
-        bm25_topk_rows,
+        bm25_topk_rows_packed,
         bm25_topk_sorted,
         build_padded_layout_device,
     )
@@ -112,10 +112,16 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     )
     jax.block_until_ready(hd)
     _progress("postings layout built on device")
+    # global per-term max weight = first posting (impact order); pins the
+    # packed kernel's quantization grid (same as BM25Index._row_layout)
+    wmax = jnp.where(
+        dev[1] > 0, dev[3][jnp.clip(dev[0], 0, dev[3].shape[0] - 1)], 0.0
+    ).astype(jnp.float32)
     rows_dev = {
         "term_row": jnp.asarray(term_row),
         "term_hot": jnp.asarray(hot),
         "hot_docs": hd, "hot_w": hw, "cold_docs": cd, "cold_w": cw,
+        "term_wmax": wmax,
     }
     qtf_d = jnp.asarray(qtf)
     vocab = len(starts)
@@ -155,6 +161,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         rows_dev["term_row"], rows_dev["term_hot"],
         rows_dev["hot_docs"], rows_dev["hot_w"],
         rows_dev["cold_docs"], rows_dev["cold_w"],
+        rows_dev["term_wmax"],
     )
 
     def hybrid(q_dense, qt, corpus, rows, idf_d):
@@ -162,8 +169,12 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         if on_tpu:
             # cosine score-space clamp (the kernel returns raw ip)
             d_vals = jnp.clip(d_vals, 0.0, 1.0)
-        s_vals, s_rows = bm25_topk_rows(
-            qt, qtf_d, *rows, idf_d, CANDIDATES, n_docs=n,
+        # rows gather + packed single-i32-key sort (half the sort bytes
+        # of the f32-payload variant; 1M docs fits qbits=11 packing)
+        *row_arrs, wmax_d = rows
+        s_vals, s_rows = bm25_topk_rows_packed(
+            qt, qtf_d, *row_arrs, idf_d, CANDIDATES, n_docs=n,
+            term_wmax=wmax_d,
         )
         d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
         s_rows = jnp.where(s_vals > 0.0, s_rows, -1)

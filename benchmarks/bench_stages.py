@@ -56,17 +56,23 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from intool_rag_tpu.ops.bm25 import bm25_topk_sorted
+    from intool_rag_tpu.ops.bm25 import (
+        bm25_topk_rows_packed,
+        build_padded_layout_device,
+    )
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas
     from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
     from intool_rag_tpu.ops.topk import flat_topk, rescore_candidates
 
     n, vocab, p_max_full = effective_sizes(backend)
     rng = np.random.default_rng(0)
     on_tpu = backend == "tpu"
+    # pad N to the Pallas kernel's 2048-row block (valid_n masks the tail)
+    n_pad = -(-n // 2048) * 2048 if on_tpu else n
 
     @jax.jit
     def gen_corpus():
-        c = jax.random.normal(jax.random.PRNGKey(7), (n, DIM), jnp.float32)
+        c = jax.random.normal(jax.random.PRNGKey(7), (n_pad, DIM), jnp.float32)
         return (c / jnp.linalg.norm(c, axis=1, keepdims=True)).astype(jnp.bfloat16)
 
     corpus = gen_corpus()
@@ -77,11 +83,16 @@ def main() -> None:
 
     out: dict = {"backend": backend, "n": n, "q_batch": N_QUERIES}
 
-    # ---- dense stage ----
+    # ---- dense stage (the production path: split-query precise
+    # Pallas kernel on TPU — in-kernel scores are exact, no rescore) ----
     def dense(q, corpus):
+        if on_tpu:
+            return flat_topk_pallas(
+                q, corpus, CANDIDATES, group_l=16, valid_n=n, precise=True,
+            )
         d_vals, d_rows = flat_topk(
             q, corpus, CANDIDATES, metric="cosine",
-            block_n=min(500_000, n), use_approx=on_tpu,
+            block_n=min(500_000, n),
         )
         d_vals = rescore_candidates(q, corpus, d_rows, metric="cosine")
         return d_vals, d_rows
@@ -103,16 +114,41 @@ def main() -> None:
             jnp.asarray((qterms[None].repeat(G, 0) + 31 * i) % vocab)
             for i in range(4)
         ]
+        # two-tier row layout + packed single-key sort (the production
+        # BM25Index.topk path), built on device like bench.py
+        cold_width = 64
+        lens_c = np.minimum(lens, p_max)
+        hot = lens_c > cold_width
+        term_row_np = np.zeros(len(lens_c), np.int32)
+        term_row_np[hot] = np.arange(int(hot.sum()), dtype=np.int32)
+        term_row_np[~hot] = np.arange(
+            len(lens_c) - int(hot.sum()), dtype=np.int32
+        )
+        hd, hw, cd, cw = build_padded_layout_device(
+            dev[0], dev[1], dev[2], dev[3],
+            jnp.asarray(np.flatnonzero(hot).astype(np.int32)),
+            jnp.asarray(np.flatnonzero(~hot).astype(np.int32)),
+            n_docs=n, p_max=p_max, cold_width=cold_width,
+        )
+        wmax = jnp.where(
+            dev[1] > 0, dev[3][jnp.clip(dev[0], 0, dev[3].shape[0] - 1)], 0.0
+        ).astype(jnp.float32)
+        rows_consts = (
+            jnp.asarray(term_row_np), jnp.asarray(hot), hd, hw, cd, cw,
+        )
 
-        def bm25(qt, qtf_d, *dev):
-            return bm25_topk_sorted(
-                qt, qtf_d, *dev, CANDIDATES, n_docs=n, p_max=p_max
+        def bm25(qt, qtf_d, tr, th, hd, hw, cd, cw, idf_d, wmax_d):
+            return bm25_topk_rows_packed(
+                qt, qtf_d, tr, th, hd, hw, cd, cw, idf_d, CANDIDATES,
+                n_docs=n, term_wmax=wmax_d,
             )
 
-        t = _stream_time(bm25, [(s,) for s in sqs], qtf_d, *dev)
+        t = _stream_time(
+            bm25, [(s,) for s in sqs], qtf_d, *rows_consts, dev[4], wmax
+        )
         # recall of pruned BM25 vs exact scipy on a query subsample
         s_vals, s_rows = jax.jit(
-            lambda qt: bm25(qt, qtf_d, *dev)
+            lambda qt: bm25(qt, qtf_d, *rows_consts, dev[4], wmax)
         )(jnp.asarray(qterms))
         import scipy.sparse as sp
 

@@ -91,11 +91,24 @@ class BM25Index:
                 n_docs=self.n_docs, p_max=self.params.p_max,
                 cold_width=cold_width,
             )
+            # per-term global max posting weight — free from impact
+            # ordering (first posting of each term is its max); drives
+            # the packed kernel's shard-independent quantization grid.
+            # Device-side [V] gather: post_w can be hundreds of MB and
+            # never needs to visit the host.
+            wmax = jnp.where(
+                self.term_len > 0,
+                self.post_w[
+                    jnp.clip(self.term_start, 0, self.post_w.shape[0] - 1)
+                ],
+                0.0,
+            ).astype(jnp.float32)
             self._rows = {
                 "term_row": jnp.asarray(term_row),
                 "term_hot": jnp.asarray(hot),
                 "hot_docs": hd, "hot_w": hw,
                 "cold_docs": cd, "cold_w": cw,
+                "term_wmax": jnp.asarray(wmax),
             }
         return self._rows
 
@@ -278,19 +291,25 @@ class BM25Index:
         )
 
     def topk(self, queries: list[str], k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Row-layout kernel (two aligned row gathers + sorted
-        aggregation — the fast TPU path; identical results to the 1-D
-        kernels up to f32 summation order)."""
-        from ..ops.bm25 import bm25_topk_rows
+        """Row-layout kernel (two aligned row gathers), packed-key
+        aggregation when n_docs fits the i32 key (half the sort bytes —
+        the fast TPU path; ~1e-3 relative quantization, top-10 overlap
+        ≥0.999 vs exact), exact f32 aggregation otherwise."""
+        from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
 
         qterms, qtf = self.encode_queries(queries)
         rows = self._row_layout()
-        return bm25_topk_rows(
+        args = (
             qterms, qtf, rows["term_row"], rows["term_hot"],
             rows["hot_docs"], rows["hot_w"],
             rows["cold_docs"], rows["cold_w"],
-            self.idf, k, n_docs=self.n_docs,
+            self.idf, k,
         )
+        if self.n_docs < 1 << 20:  # 31 − qbits(11)
+            return bm25_topk_rows_packed(
+                *args, n_docs=self.n_docs, term_wmax=rows["term_wmax"]
+            )
+        return bm25_topk_rows(*args, n_docs=self.n_docs)
 
     # ---------------- persistence ----------------
 

@@ -283,6 +283,64 @@ def build_padded_layout_device(
     return hot_docs, hot_w, cold_docs, cold_w
 
 
+def _aggregate_topk_packed(
+    docs: jax.Array,  # [Q, M] i32, sentinel n_docs for padding
+    contrib: jax.Array,  # [Q, M] f32, ≥ 0
+    k: int,
+    n_docs: int,
+    qbits: int,
+    scale: jax.Array | None = None,  # [Q, 1] f32 quantization step · levels⁻¹
+):
+    """Packed-key candidate aggregation: quantize each contribution to
+    ``qbits`` levels, pack ``doc_id·2^qbits + level`` into ONE i32, sort
+    the single key array (half the bytes of ``sort_key_val`` with an f32
+    payload), then run the segmented sum in exact int32 arithmetic. Same
+    contract as :func:`_aggregate_topk`; scores carry ≤ T·cmax/2^(qbits+1)
+    absolute quantization error (see :func:`bm25_topk_packed` docstring).
+
+    ``scale``, when given, must upper-bound every contribution divided by
+    ``levels`` — callers derive it from corpus-global per-term statistics
+    so the quantization grid is DETERMINISTIC (independent of which
+    shard's postings were gathered): identical contributions quantize to
+    identical levels on every shard, making sharded and single-device
+    packed scores bit-equal. Defaults to the per-query gathered max."""
+    levels = (1 << qbits) - 1
+    q = docs.shape[0]
+
+    if scale is None:
+        cmax = jnp.max(contrib, axis=1, keepdims=True)  # ≥ 0 by caller clamp
+        scale = jnp.maximum(cmax, 1e-30) / levels
+    lev = jnp.clip(jnp.round(contrib / scale), 0, levels).astype(jnp.int32)
+    key = docs * (levels + 1) + lev
+    key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+    doc_s = key_s >> qbits
+    lev_s = key_s & levels
+
+    cs = jnp.cumsum(lev_s, axis=1)  # exact: ≤ M · levels < 2^31
+    excl = cs - lev_s
+    prev = jnp.concatenate(
+        [jnp.full((q, 1), -1, doc_s.dtype), doc_s[:, :-1]], axis=1
+    )
+    nxt = jnp.concatenate(
+        [doc_s[:, 1:], jnp.full((q, 1), jnp.iinfo(jnp.int32).max, doc_s.dtype)],
+        axis=1,
+    )
+    is_start = doc_s != prev
+    is_end = doc_s != nxt
+    base = jax.lax.cummax(jnp.where(is_start, excl, -1), axis=1)
+    totals = cs - base  # per-doc int totals ≤ T·levels: f32-exact below
+    valid = is_end & (doc_s < n_docs)
+    slot_scores = jnp.where(valid, totals, -1).astype(jnp.float32)
+
+    from .topk import blocked_topk
+
+    k_eff = min(k, slot_scores.shape[1])
+    vals, pos = blocked_topk(slot_scores, k_eff, block=1024)
+    ids = jnp.take_along_axis(doc_s, pos, axis=1)
+    good = vals > 0
+    return jnp.where(good, vals * scale, 0.0), jnp.where(good, ids, 0)
+
+
 def _aggregate_topk(docs: jax.Array, contrib: jax.Array, k: int, n_docs: int):
     """Shared candidate aggregation: sort by doc id, exact segmented sum
     (cumsum − cummax base; valid because contributions ≥ 0), blocked
@@ -313,24 +371,13 @@ def _aggregate_topk(docs: jax.Array, contrib: jax.Array, k: int, n_docs: int):
     return jnp.where(finite, vals, 0.0), jnp.where(finite, ids, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_docs"))
-def bm25_topk_rows(
-    qterms: jax.Array,  # [Q, T] i32, -1 padding
-    qtf: jax.Array,  # [Q, T] f32
-    term_row: jax.Array,  # [V] i32
-    term_hot: jax.Array,  # [V] bool
-    hot_docs: jax.Array,  # [H, p_max]
-    hot_w: jax.Array,
-    cold_docs: jax.Array,  # [C, cold_width]
-    cold_w: jax.Array,
-    idf: jax.Array,  # [V] f32
-    k: int,
-    *,
-    n_docs: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Row-layout BM25 top-k (the fast TPU path): two aligned row
-    gathers (hot/cold tier), mask by tier membership, aggregate. Exact
-    (identical contributions to the 1-D kernels up to f32 sum order)."""
+def _gather_rows(
+    qterms, qtf, term_row, term_hot, hot_docs, hot_w, cold_docs, cold_w,
+    idf, n_docs,
+):
+    """Two-tier row gather shared by the rows kernels: returns flat
+    ``(docs [Q, M], contrib [Q, M])`` with contributions clamped ≥ 0 and
+    padding slots set to the ``n_docs`` sentinel."""
     q, t = qterms.shape
     p_max = hot_docs.shape[1]
     cold_width = cold_docs.shape[1]
@@ -362,7 +409,87 @@ def bm25_topk_rows(
     contrib = jnp.concatenate(
         [h_contrib.reshape(q, -1), c_contrib.reshape(q, -1)], axis=1
     )
+    return docs, contrib
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_docs"))
+def bm25_topk_rows(
+    qterms: jax.Array,  # [Q, T] i32, -1 padding
+    qtf: jax.Array,  # [Q, T] f32
+    term_row: jax.Array,  # [V] i32
+    term_hot: jax.Array,  # [V] bool
+    hot_docs: jax.Array,  # [H, p_max]
+    hot_w: jax.Array,
+    cold_docs: jax.Array,  # [C, cold_width]
+    cold_w: jax.Array,
+    idf: jax.Array,  # [V] f32
+    k: int,
+    *,
+    n_docs: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-layout BM25 top-k: two aligned row gathers (hot/cold tier),
+    mask by tier membership, aggregate. Exact (identical contributions
+    to the 1-D kernels up to f32 sum order)."""
+    docs, contrib = _gather_rows(
+        qterms, qtf, term_row, term_hot, hot_docs, hot_w,
+        cold_docs, cold_w, idf, n_docs,
+    )
     return _aggregate_topk(docs, contrib, k, n_docs)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_docs", "qbits"))
+def bm25_topk_rows_packed(
+    qterms: jax.Array,  # [Q, T] i32, -1 padding
+    qtf: jax.Array,  # [Q, T] f32
+    term_row: jax.Array,  # [V] i32
+    term_hot: jax.Array,  # [V] bool
+    hot_docs: jax.Array,  # [H, p_max]
+    hot_w: jax.Array,
+    cold_docs: jax.Array,  # [C, cold_width]
+    cold_w: jax.Array,
+    idf: jax.Array,  # [V] f32
+    k: int,
+    *,
+    n_docs: int,
+    qbits: int = 11,
+    term_wmax: jax.Array | None = None,  # [V] f32 global max posting weight
+) -> tuple[jax.Array, jax.Array]:
+    """Row-layout gather + packed single-key aggregation — the fastest
+    TPU path: the 3.6×-faster aligned row gather of
+    :func:`bm25_topk_rows` feeding the half-the-sort-bytes packed
+    reduction of :func:`bm25_topk_packed` (the dominant stage cost is
+    the [Q, M] sort; a single i32 key array moves half the bytes of an
+    (i32 key, f32 payload) pair and the segmented sum becomes exact
+    int32 work). Same ``n_docs < 2^(31-qbits)`` bound and ≤ cmax/2^(qbits+1)
+    per-contribution quantization error as the packed kernel; callers
+    above the bound fall back to :func:`bm25_topk_rows`.
+
+    ``term_wmax`` (per-term corpus-global max posting weight — free from
+    impact ordering: the first posting of each term is its max) makes the
+    quantization grid shard-independent: the scale becomes
+    ``max_t q_tf·idf_t·wmax_t / levels``, a bound on every contribution
+    that depends only on the query and corpus-global statistics, so a
+    sharded engine quantizing its local postings produces bit-identical
+    totals to the single-device kernel. Without it the scale is the
+    per-query gathered max (tighter by ~2× but layout-dependent)."""
+    if n_docs >= 1 << (31 - qbits):
+        raise ValueError(
+            f"n_docs={n_docs} overflows packed keys with qbits={qbits}"
+        )
+    docs, contrib = _gather_rows(
+        qterms, qtf, term_row, term_hot, hot_docs, hot_w,
+        cold_docs, cold_w, idf, n_docs,
+    )
+    scale = None
+    if term_wmax is not None:
+        valid = qterms >= 0
+        t_safe = jnp.maximum(qterms, 0)
+        cbound = jnp.max(
+            jnp.where(valid, qtf * idf[t_safe] * term_wmax[t_safe], 0.0),
+            axis=1, keepdims=True,
+        )
+        scale = jnp.maximum(cbound, 1e-30) / ((1 << qbits) - 1)
+    return _aggregate_topk_packed(docs, contrib, k, n_docs, qbits, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_docs", "p_max", "qbits"))
@@ -398,7 +525,6 @@ def bm25_topk_packed(
         raise ValueError(
             f"n_docs={n_docs} overflows packed keys with qbits={qbits}"
         )
-    levels = (1 << qbits) - 1
 
     def gather_one(terms_row, qtf_row):
         def per_term(term, q_tf):
@@ -420,44 +546,7 @@ def bm25_topk_packed(
         return docs.reshape(-1), contrib.reshape(-1)
 
     docs, contrib = jax.vmap(gather_one)(qterms, qtf)  # [Q, M]
-
-    cmax = jnp.max(contrib, axis=1, keepdims=True)  # ≥ 0 by clamp above
-    scale = jnp.maximum(cmax, 1e-30) / levels
-    lev = jnp.clip(
-        jnp.round(contrib / scale), 0, levels
-    ).astype(jnp.int32)
-    key = docs * (levels + 1) + lev
-    key_s = jax.lax.sort(key, dimension=1, is_stable=False)
-    doc_s = key_s >> qbits
-    lev_s = key_s & levels
-
-    q = qterms.shape[0]
-    cs = jnp.cumsum(lev_s, axis=1)  # exact: ≤ M · levels < 2^31
-    excl = cs - lev_s
-    prev = jnp.concatenate(
-        [jnp.full((q, 1), -1, doc_s.dtype), doc_s[:, :-1]], axis=1
-    )
-    nxt = jnp.concatenate(
-        [doc_s[:, 1:], jnp.full((q, 1), jnp.iinfo(jnp.int32).max, doc_s.dtype)],
-        axis=1,
-    )
-    is_start = doc_s != prev
-    is_end = doc_s != nxt
-    base = jax.lax.cummax(jnp.where(is_start, excl, -1), axis=1)
-    totals = cs - base  # per-doc int totals ≤ T·levels: f32-exact below
-    valid = is_end & (doc_s < n_docs)
-    slot_scores = jnp.where(valid, totals, -1).astype(jnp.float32)
-
-    from .topk import blocked_topk
-
-    k_eff = min(k, slot_scores.shape[1])
-    vals, pos = blocked_topk(slot_scores, k_eff, block=1024)
-    ids = jnp.take_along_axis(doc_s, pos, axis=1)
-    good = vals > 0
-    return (
-        jnp.where(good, vals * scale, 0.0),
-        jnp.where(good, ids, 0),
-    )
+    return _aggregate_topk_packed(docs, contrib, k, n_docs, qbits)
 
 
 def bm25_score_upper_bound(qtf: jax.Array, qterms: jax.Array, idf: jax.Array,

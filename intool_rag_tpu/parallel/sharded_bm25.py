@@ -43,7 +43,7 @@ except ImportError:  # pragma: no cover - older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.bm25_index import BM25Params
-from ..ops.bm25 import bm25_topk_rows, build_padded_layout
+from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed, build_padded_layout
 
 
 @dataclasses.dataclass
@@ -190,6 +190,7 @@ class ShardedBM25:
         p_max = self.params.p_max
         avgdl = self.avgdl
         per_shard = []
+        wmax = np.zeros(v, np.float32)  # corpus-global per-term max weight
         for sc in self.shards:
             nnz = len(sc.terms)
             doc_of_pair = np.repeat(
@@ -222,6 +223,14 @@ class ShardedBM25:
                 term_start, term_len, sorted_slots[keep], sorted_w[keep],
                 n_docs=self._cap, p_max=p_max,
             ))
+            # per-shard max weight per term sits at each term's first
+            # posting (impact order); fold into the corpus-global max that
+            # drives the packed kernel's shard-independent quantization
+            nz = counts_per_term > 0
+            shard_wmax = np.zeros(v, np.float32)
+            if nnz:
+                shard_wmax[nz] = sorted_w[starts_full[nz]]
+            np.maximum(wmax, shard_wmax, out=wmax)
         s = self.n_shards
         h_max = max(p["hot_docs"].shape[0] for p in per_shard)
         c_max = max(p["cold_docs"].shape[0] for p in per_shard)
@@ -252,6 +261,7 @@ class ShardedBM25:
             jax.device_put(jnp.asarray(cold_docs), row3),
             jax.device_put(jnp.asarray(cold_w), row3),
             jax.device_put(jnp.asarray(idf), rep),
+            jax.device_put(jnp.asarray(wmax), rep),
         )
         return self._device
 
@@ -286,9 +296,9 @@ class ShardedBM25:
         No-match slots come back as ``(0.0, -1)`` — the same contract the
         HybridEngine applies to the single-device kernel's output."""
         qterms, qtf = self.encode_queries(queries)
-        tr, th, hd, hw, cd, cw, idf = self.device_arrays()
+        tr, th, hd, hw, cd, cw, idf, wmax = self.device_arrays()
         return _sharded_bm25_topk(
-            qterms, qtf, tr, th, hd, hw, cd, cw, idf, self.mesh,
+            qterms, qtf, tr, th, hd, hw, cd, cw, idf, wmax, self.mesh,
             k=k, cap=self._cap, n_shards=self.n_shards,
         )
 
@@ -299,7 +309,7 @@ class ShardedBM25:
 )
 def _sharded_bm25_topk(
     qterms, qtf, term_row, term_hot, hot_docs, hot_w, cold_docs, cold_w,
-    idf, mesh, *, k: int, cap: int, n_shards: int,
+    idf, term_wmax, mesh, *, k: int, cap: int, n_shards: int,
 ):
     @functools.partial(
         shard_map,
@@ -309,17 +319,29 @@ def _sharded_bm25_topk(
             P("data", None), P("data", None),
             P("data", None, None), P("data", None, None),
             P("data", None, None), P("data", None, None),
-            P(None),
+            P(None), P(None),
         ),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    def search(qt, qf, tr, th, hd, hw, cd, cw, idf_r):
+    def search(qt, qf, tr, th, hd, hw, cd, cw, idf_r, wmax_r):
         shard = jax.lax.axis_index("data")
-        vals, slots = bm25_topk_rows(
-            qt, qf, tr[0], th[0], hd[0], hw[0], cd[0], cw[0], idf_r, k,
-            n_docs=cap,
-        )
+        # packed single-key aggregation when the per-shard capacity fits
+        # the i32 key (always true for realistic shard sizes). The
+        # corpus-GLOBAL term_wmax pins the quantization grid, so every
+        # shard quantizes identical contributions to identical levels —
+        # sharded scores are bit-equal to the single-device packed kernel
+        # over the same corpus (test_sharded_hybrid parity).
+        if cap < 1 << 20:
+            vals, slots = bm25_topk_rows_packed(
+                qt, qf, tr[0], th[0], hd[0], hw[0], cd[0], cw[0], idf_r,
+                k, n_docs=cap, term_wmax=wmax_r,
+            )
+        else:
+            vals, slots = bm25_topk_rows(
+                qt, qf, tr[0], th[0], hd[0], hw[0], cd[0], cw[0], idf_r,
+                k, n_docs=cap,
+            )
         # zero-score slots are no-matches (kernel normalizes them to
         # (0.0, id 0)) — mask to -inf/-1 so the merge prefers real hits
         invalid = vals <= 0.0
@@ -337,5 +359,5 @@ def _sharded_bm25_topk(
 
     return search(
         qterms, qtf, term_row, term_hot, hot_docs, hot_w, cold_docs,
-        cold_w, idf,
+        cold_w, idf, term_wmax,
     )

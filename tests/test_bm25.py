@@ -205,3 +205,102 @@ def test_bm25_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(idx.scores(q)), np.asarray(idx2.scores(q)), rtol=1e-6
     )
+
+
+def test_bm25_rows_kernel_matches_sorted():
+    """The two-tier row-layout kernel must agree exactly (up to f32 sum
+    order) with the 1-D sorted kernel — same contributions, different
+    gather layout."""
+    from intool_rag_tpu.ops.bm25 import bm25_topk_rows, bm25_topk_sorted
+
+    idx = BM25Index.build(DOCS * 3, BM25Params(p_max=16))
+    queries = ["fox canine", "发票金额", "training data", "zzz"]
+    qt, qf = idx.encode_queries(queries)
+    v1, i1 = bm25_topk_sorted(
+        qt, qf, idx.term_start, idx.term_len, idx.post_docs, idx.post_w,
+        idx.idf, 8, n_docs=idx.n_docs, p_max=16,
+    )
+    rows = idx._row_layout()
+    v2, i2 = bm25_topk_rows(
+        qt, qf, rows["term_row"], rows["term_hot"],
+        rows["hot_docs"], rows["hot_w"], rows["cold_docs"], rows["cold_w"],
+        idx.idf, 8, n_docs=idx.n_docs,
+    )
+    for r in range(len(queries)):
+        got1 = {int(i): float(v) for i, v in zip(np.asarray(i1)[r], np.asarray(v1)[r]) if v > 0}
+        got2 = {int(i): float(v) for i, v in zip(np.asarray(i2)[r], np.asarray(v2)[r]) if v > 0}
+        assert got1.keys() == got2.keys()
+        for doc in got1:
+            assert got1[doc] == pytest.approx(got2[doc], rel=1e-4)
+
+
+def test_bm25_rows_packed_matches_rows():
+    """rows_packed (single-i32-key sort) must rank like the exact rows
+    kernel; scores agree within the documented ≤ T·cmax/2^12 quantization
+    bound (~1e-3 relative)."""
+    from intool_rag_tpu.ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
+
+    idx = BM25Index.build(DOCS * 5, BM25Params(p_max=16))
+    queries = ["fox canine dog", "发票金额", "invoice total amount", "zzz"]
+    qt, qf = idx.encode_queries(queries)
+    rows = idx._row_layout()
+    args = (
+        qt, qf, rows["term_row"], rows["term_hot"],
+        rows["hot_docs"], rows["hot_w"], rows["cold_docs"], rows["cold_w"],
+        idx.idf, 10,
+    )
+    v1, i1 = bm25_topk_rows(*args, n_docs=idx.n_docs)
+    v2, i2 = bm25_topk_rows_packed(*args, n_docs=idx.n_docs)
+    # and with the shard-independent term_wmax quantization grid (the
+    # production BM25Index.topk path; bound is ~2x looser than cmax)
+    v3, i3 = bm25_topk_rows_packed(
+        *args, n_docs=idx.n_docs, term_wmax=rows["term_wmax"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(v3), np.asarray(v1), rtol=4e-3, atol=2e-3
+    )
+    for r in range(len(queries)):
+        got1 = {int(i): float(v) for i, v in zip(np.asarray(i1)[r], np.asarray(v1)[r]) if v > 0}
+        got2 = {int(i): float(v) for i, v in zip(np.asarray(i2)[r], np.asarray(v2)[r]) if v > 0}
+        # same candidate set (quantization can only flip near-ties, and
+        # this corpus has none within 1e-3 relative)
+        assert got1.keys() == got2.keys()
+        for doc in got1:
+            assert got2[doc] == pytest.approx(got1[doc], rel=2e-3, abs=1e-3)
+
+
+def test_bm25_rows_packed_overflow_guard():
+    """n_docs beyond the packed-key range must raise, and BM25Index.topk
+    must keep working via the exact rows fallback (simulated by calling
+    the kernel contract directly)."""
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ops.bm25 import bm25_topk_rows_packed
+
+    with pytest.raises(ValueError, match="overflows"):
+        bm25_topk_rows_packed(
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), bool),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.float32),
+            jnp.zeros((1,), jnp.float32), 1, n_docs=1 << 20,
+        )
+
+
+def test_bm25_index_topk_matches_scores_oracle():
+    """BM25Index.topk (rows_packed fast path) must return the same top
+    docs as argsort over the exact dense score matrix."""
+    idx = BM25Index.build(DOCS * 4, BM25Params(p_max=16))
+    queries = ["fox canine", "invoice amount due", "quantum qubits"]
+    dense = np.asarray(idx.scores(queries))
+    vals, ids = idx.topk(queries, 5)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    for r in range(len(queries)):
+        want = {d for d in np.argsort(-dense[r])[:5] if dense[r][d] > 0}
+        got = {int(i) for i, v in zip(ids[r], vals[r]) if v > 0}
+        # ties at the cut can differ; require the positive-score sets to
+        # agree on the clearly-ranked prefix
+        assert len(got & want) >= min(len(want), 4)
+        for i, v in zip(ids[r], vals[r]):
+            if v > 0:
+                assert dense[r][int(i)] == pytest.approx(float(v), rel=2e-3, abs=1e-3)
