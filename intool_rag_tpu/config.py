@@ -341,6 +341,12 @@ class Config:
     IVF_REFINE_K: int = dataclasses.field(
         default_factory=lambda: _env_int("IVF_REFINE_K", 0)
     )
+    # ivf_residual code width: 4 (int4, 0.5 byte/dim — the 10-20M/chip
+    # capacity point) or 1 (binary sign codes, 0.125 byte/dim — the
+    # 50M+/chip point; pair with IVF_REFINE_K to recover ranking).
+    IVF_RESIDUAL_BITS: int = dataclasses.field(
+        default_factory=lambda: _env_int("IVF_RESIDUAL_BITS", 4)
+    )
     # BM25
     BM25_K1: float = dataclasses.field(
         default_factory=lambda: _env_float("BM25_K1", 1.5)

@@ -72,6 +72,7 @@ class DenseFlatIndex:
                     self.store.embeddings[: self.store.valid_n],
                     nlist=cfg.IVF_NLIST,
                     refine=cfg.IVF_REFINE_K > 0,
+                    bits=cfg.IVF_RESIDUAL_BITS,
                 )
             else:
                 from .ivf_index import IVFFlatIndex

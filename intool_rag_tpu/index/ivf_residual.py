@@ -77,6 +77,49 @@ def dequantize_int4(packed: jax.Array, scales: jax.Array) -> jax.Array:
     return (codes.reshape(n, g, -1) * scales[:, :, None]).reshape(n, d)
 
 
+def encode_int1_residuals(residuals: jax.Array):
+    """Binary (sign) residual codes, 8 per byte — the TPU answer to PQ.
+
+    Classic product quantization reaches 0.125-0.06 byte/dim with
+    256-entry codebook LUT lookups — a gather workload TPUs run ~100×
+    below HBM speed. Sign quantization reaches the same 0.125 byte/dim
+    with shift/mask decode (pure VPU) and one matmul to score, and the
+    per-group scale ``mean(|r|)`` is the MSE-optimal reconstruction
+    level for a sign code (argmin_s E[(r − s·sign r)²] = E|r|).
+    Intra-list ranking degrades more than int4 (1 bit of magnitude is
+    gone); deployments recover it with the host-DRAM int8 refine tier
+    (``build(refine=True)`` + ``refine_k``) exactly as PQ deployments
+    re-rank with stored full vectors.
+
+    Returns (packed [N, D/8] uint8 — bit j of byte b = sign of dim
+    8b+j, 1 = non-negative; scales [N, D/GROUP] f32)."""
+    n, d = residuals.shape
+    g = max(d // GROUP, 1)
+    r = residuals.astype(jnp.float32).reshape(n, g, -1)
+    scale = jnp.maximum(jnp.mean(jnp.abs(r), axis=2), 1e-9)  # [N, G]
+    bits = (residuals.reshape(n, d // 8, 8) >= 0).astype(jnp.uint8)
+    weights = (1 << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    packed = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
+    return packed, scale
+
+
+def decode_int1(packed: jax.Array) -> jax.Array:
+    """[..., D/8] uint8 → [..., D] f32 codes in {−1, +1}."""
+    p = packed.astype(jnp.int32)[..., None]  # [..., D/8, 1]
+    j = jnp.arange(8, dtype=jnp.int32)
+    bits = (p >> j) & 1  # [..., D/8, 8]
+    return (bits * 2 - 1).reshape(*packed.shape[:-1], -1).astype(jnp.float32)
+
+
+def dequantize_int1(packed: jax.Array, scales: jax.Array) -> jax.Array:
+    """(packed [N, D/8], scales [N, G]) → reconstructed residuals
+    ``scale · sign(r)`` [N, D] f32."""
+    codes = decode_int1(packed)
+    n, d = codes.shape
+    g = scales.shape[1]
+    return (codes.reshape(n, g, -1) * scales[:, :, None]).reshape(n, d)
+
+
 class IVFResidualIndex:
     """IVF + packed int4 residual codes (capacity-oriented index)."""
 
@@ -92,6 +135,7 @@ class IVFResidualIndex:
         overflow_start: int,
         overflow_len: int,
         cap: int,
+        bits: int = 4,
     ) -> None:
         self.centroids = centroids
         self.codes = codes
@@ -103,6 +147,7 @@ class IVFResidualIndex:
         self.overflow_start = overflow_start
         self.overflow_len = overflow_len
         self.cap = cap
+        self.bits = bits  # 4 (int4 codes) or 1 (sign codes, D/8 bytes/row)
         # optional host-DRAM int8 refinement tier (ROADMAP #7): HBM holds
         # the int4 capacity codes; deployments with host memory to spare
         # keep a per-row int8 copy THERE and exactly rescore the tiny
@@ -132,10 +177,15 @@ class IVFResidualIndex:
         cap_quantile: float = 0.98,
         seed: int = 0,
         refine: bool = False,
+        bits: int = 4,
     ) -> "IVFResidualIndex":
         n, d = embeddings.shape
-        if d % 2:
+        if bits not in (4, 1):
+            raise ValueError(f"bits must be 4 or 1, got {bits}")
+        if bits == 4 and d % 2:
             raise ValueError("int4 packing needs even D")
+        if bits == 1 and d % 8:
+            raise ValueError("binary packing needs D divisible by 8")
         nlist = min(nlist, max(1, n // 4))
         centroids, assign = kmeans(embeddings, nlist, iters=iters, seed=seed)
         assign_np = np.asarray(assign)
@@ -168,13 +218,16 @@ class IVFResidualIndex:
         perm_dev = jnp.asarray(perm.astype(np.int32))
         assign_dev = jnp.asarray(assign_np.astype(np.int32))
 
+        encode = encode_int4_residuals if bits == 4 else encode_int1_residuals
+        code_width = d // 2 if bits == 4 else d // 8
+
         @jax.jit
         def place(emb, cents):
             gathered = emb[perm_dev].astype(jnp.float32)
             lists = assign_dev[perm_dev]
             resid = gathered - cents[lists]
-            packed, scale = encode_int4_residuals(resid)
-            codes = jnp.zeros((m_pad, d // 2), jnp.uint8).at[:m].set(packed)
+            packed, scale = encode(resid)
+            codes = jnp.zeros((m_pad, code_width), jnp.uint8).at[:m].set(packed)
             scales = jnp.zeros(
                 (m_pad, scale.shape[1]), jnp.float32
             ).at[:m].set(scale)
@@ -196,6 +249,7 @@ class IVFResidualIndex:
             overflow_start=overflow_start,
             overflow_len=int(len(overflow)),
             cap=cap,
+            bits=bits,
         )
         if refine:
             from ..ops.quant import quantize_int8
@@ -240,6 +294,7 @@ class IVFResidualIndex:
             overflow_start=self.overflow_start,
             overflow_len=self.overflow_len,
             query_chunk=min(query_chunk, queries.shape[0]),
+            bits=self.bits,
         )
         if not do_refine:
             return vals, rows
@@ -260,13 +315,15 @@ class IVFResidualIndex:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "cap", "overflow_start", "overflow_len", "query_chunk"
+        "k", "nprobe", "cap", "overflow_start", "overflow_len",
+        "query_chunk", "bits",
     ),
 )
 def _ivf_residual_search(
     queries, centroids, codes, scales, row_list, row_map,
     list_start, list_len,
     *, k, nprobe, cap, overflow_start, overflow_len, query_chunk,
+    bits=4,
 ):
     from ..ops.topk import blocked_topk
 
@@ -285,8 +342,9 @@ def _ivf_residual_search(
     def score_rows(chunk_q, chunk_cs, offs, valid):
         """Score permuted rows ``offs [Qc, R]``: q·c_list + q·r̂."""
         qc = chunk_q.shape[0]
-        code_rows = codes[offs.reshape(-1)]  # [Qc·R, D/2] row gather
-        r = dequantize_int4(code_rows, scales[offs.reshape(-1)])
+        code_rows = codes[offs.reshape(-1)]  # [Qc·R, D/bits-width] row gather
+        dequant = dequantize_int4 if bits == 4 else dequantize_int1
+        r = dequant(code_rows, scales[offs.reshape(-1)])
         r = r.reshape(qc, -1, d)
         res_scores = jnp.einsum(
             "qnd,qd->qn", r, chunk_q, preferred_element_type=jnp.float32

@@ -123,3 +123,86 @@ def test_ivf_residual_int8_refine(rng):
         len(set(got4[i]) & set(want[i])) / k for i in range(len(queries))
     ])
     assert recall >= recall4, (recall, recall4)
+
+
+def test_int1_roundtrip(rng):
+    from intool_rag_tpu.index.ivf_residual import (
+        decode_int1,
+        dequantize_int1,
+        encode_int1_residuals,
+    )
+
+    x = rng.standard_normal((32, 256)).astype(np.float32)
+    packed, scale = encode_int1_residuals(jnp.asarray(x))
+    assert packed.shape == (32, 32) and packed.dtype == jnp.uint8
+    assert scale.shape == (32, 2)
+    codes = np.asarray(decode_int1(packed))
+    # signs must be exact (>= 0 → +1)
+    np.testing.assert_array_equal(codes, np.where(x >= 0, 1.0, -1.0))
+    # reconstruction = per-group mean|x| · sign(x): check one group
+    recon = np.asarray(dequantize_int1(packed, scale))
+    g0 = np.abs(x[:, :128]).mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        recon[:, :128], np.sign(x[:, :128] + 1e-30) * g0, rtol=1e-5
+    )
+
+
+def test_ivf_binary_residual_recall_with_refine(rng):
+    """bits=1 (0.125 byte/dim — the PQ capacity point done TPU-style):
+    candidate recall from binary scores, final ranking from the host
+    int8 refine tier."""
+    n_clusters, per, d = 32, 128, 64
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 5
+    pts = np.concatenate(
+        [c + rng.standard_normal((per, d)).astype(np.float32)
+         for c in centers]
+    )
+    n = len(pts)
+    queries = pts[rng.integers(0, n, 24)] + 0.2 * rng.standard_normal(
+        (24, d)
+    ).astype(np.float32)
+
+    index = IVFResidualIndex.build(
+        jnp.asarray(pts), nlist=32, iters=8, bits=1, refine=True
+    )
+    assert index.bits == 1
+    # 8× smaller codes than int8, 2× smaller than int4
+    assert index.codes.shape[1] == d // 8
+
+    # binary-only: the coarse (centroid + sign-residual) score must
+    # already find most true neighbors in the candidate pool
+    vals, rows = index.search(jnp.asarray(queries), 10, nprobe=8)
+    exact = queries @ pts.T
+    want = np.argsort(-exact, axis=1)[:, :10]
+    got = np.asarray(rows)
+    recall_raw = np.mean([
+        len(set(got[i]) & set(want[i])) / 10 for i in range(len(queries))
+    ])
+    # d=64 is a worst case for sign codes (few dims → noisy sign dot);
+    # candidate recall is what matters — final ranking comes from refine
+    assert recall_raw >= 0.45, f"binary-only recall@10 {recall_raw}"
+
+    # with the host int8 refinement of a 50-candidate pool the ranking
+    # recovers to int8 grade
+    vals_r, rows_r = index.search(
+        jnp.asarray(queries), 10, nprobe=8, refine_k=50
+    )
+    got_r = np.asarray(rows_r)
+    recall_ref = np.mean([
+        len(set(got_r[i]) & set(want[i])) / 10 for i in range(len(queries))
+    ])
+    assert recall_ref >= 0.9, f"refined recall@10 {recall_ref}"
+    assert recall_ref >= recall_raw
+
+
+def test_ivf_residual_bits_validation(rng):
+    with pytest.raises(ValueError, match="bits"):
+        IVFResidualIndex.build(
+            jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32)),
+            nlist=4, bits=3,
+        )
+    with pytest.raises(ValueError, match="divisible by 8"):
+        IVFResidualIndex.build(
+            jnp.asarray(rng.standard_normal((64, 36)).astype(np.float32)),
+            nlist=4, bits=1,
+        )
