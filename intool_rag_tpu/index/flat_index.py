@@ -39,6 +39,7 @@ class DenseFlatIndex:
         self._ivf_built_at = -1
         self._sharded = None  # (mesh, sharded corpus) cache
         self._sharded_built_at = -1
+        self._seg_store_id = -1  # store identity for incremental segments
 
     def _use_sharded(self, cfg) -> bool:
         if cfg.SHARDED_SEARCH == "off" or self.metric not in ("cosine", "ip"):
@@ -60,9 +61,45 @@ class DenseFlatIndex:
             self._sharded_built_at = self.store.mutation_count
         return self._sharded
 
+    def _segmented_index(self):
+        """Streaming capacity index (INDEX_KIND=segmented): appends only
+        the NEW rows on each store mutation instead of rebuilding —
+        deletes swap the store object (copy-on-write), which triggers a
+        full rebuild here (gids are append-order row ids)."""
+        from .segmented_residual import SegmentedResidualIndex
+
+        cfg = get_config()
+        store = self.store
+        fresh = (
+            self._ivf is None
+            or not isinstance(self._ivf, SegmentedResidualIndex)
+            or self._seg_store_id != id(store)
+            or self._ivf.total_rows > store.valid_n
+        )
+        if fresh:
+            seg_rows = max(4096, cfg.IVF_NLIST * 4)
+            sample = store.embeddings[: min(store.valid_n, 8 * seg_rows)]
+            self._ivf = SegmentedResidualIndex.train(
+                sample, nlist=cfg.IVF_NLIST,
+                seg_rows=seg_rows,
+                bits=cfg.IVF_RESIDUAL_BITS,
+                refine=cfg.IVF_REFINE_K > 0,
+            )
+            self._seg_store_id = id(store)
+        idx = self._ivf
+        done = idx.total_rows
+        while done < store.valid_n:
+            stop = min(done + idx.seg_rows, store.valid_n)
+            idx.append(store.embeddings[done:stop])
+            done = stop
+        self._ivf_built_at = store.mutation_count
+        return idx
+
     def _ivf_index(self):
         if self._ivf is None or self._ivf_built_at != self.store.mutation_count:
             cfg = get_config()
+            if cfg.INDEX_KIND == "segmented":
+                return self._segmented_index()
             if cfg.INDEX_KIND == "ivf_residual":
                 # capacity index: int4 residual codes, ~8× smaller than
                 # f32 / 2× smaller than int8 (index/ivf_residual.py)
@@ -122,7 +159,7 @@ class DenseFlatIndex:
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
             return vals, rows
         if (
-            cfg.INDEX_KIND in ("ivf", "ivf_residual")
+            cfg.INDEX_KIND in ("ivf", "ivf_residual", "segmented")
             and exact is not True
             and store.valid_n >= self._IVF_MIN_ROWS
             and self.metric in ("cosine", "ip")
