@@ -223,7 +223,11 @@ class SegmentedResidualIndex:
         k_dev = max(k, refine_k) if do_refine else k
         # scan length = pow2 capacity ≥ n_segments: one compiled program
         # per doubling, masked segments contribute -inf
-        n_scan = _pow2_at_least(self.n_segments)
+        # pow2 keeps recompiles logarithmic; clamp to the allocated
+        # store so a pre-grown exact capacity never over-scans
+        n_scan = min(
+            _pow2_at_least(self.n_segments), self._store[0].shape[0]
+        )
         tail_w = min(
             _pow2_at_least(max(self.max_overflow, 8)), self._s_pad
         )
@@ -459,3 +463,85 @@ def _segmented_search(
     starts = jnp.arange(0, q_pad, query_chunk)
     _, (vals, rows) = jax.lax.scan(chunk_body, None, starts)
     return vals.reshape(q_pad, k)[:q], rows.reshape(q_pad, k)[:q]
+
+
+# ---------------- persistence ----------------
+# At capacity scale (50M rows ≈ 8.6 GB) a restart must not re-encode the
+# stream; segments persist as one npz (uncompressed: codes are already
+# high-entropy packed bits) + a json sidecar — the same quartet pattern
+# as storage/artifacts.py / BM25Index.save. Only live segments are
+# written; load pre-allocates exactly that many (no doubling slack).
+
+
+def _seg_save(self, path) -> None:
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = self.n_segments
+    arrays = {"centroids": np.asarray(self.centroids)}
+    names = (
+        "codes", "scales", "row_list", "row_map", "list_start",
+        "list_len", "over_len",
+    )
+    if n:
+        for name, buf in zip(names, self._store):
+            arrays[name] = np.asarray(buf[:n])
+    for i, a in enumerate(self.host_int8):
+        arrays[f"host_int8_{i}"] = a
+        arrays[f"host_scale8_{i}"] = self.host_scale8[i]
+    np.savez(path, **arrays)
+    meta = {
+        "seg_rows": self.seg_rows,
+        "cap": self.cap,
+        "bits": self.bits,
+        "refine": self.refine,
+        "n_segments": n,
+        "total_rows": self.total_rows,
+        "max_overflow": self.max_overflow,
+        "n_host": len(self.host_int8),
+    }
+    Path(str(path) + ".meta.json").write_text(
+        json.dumps(meta), encoding="utf-8"
+    )
+
+
+@classmethod
+def _seg_load(cls, path) -> "SegmentedResidualIndex":
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    arrays = np.load(
+        str(path) if str(path).endswith(".npz") else f"{path}.npz"
+    )
+    meta = json.loads(
+        Path(str(path) + ".meta.json").read_text(encoding="utf-8")
+    )
+    index = cls(
+        jnp.asarray(arrays["centroids"]),
+        seg_rows=meta["seg_rows"], cap=meta["cap"], bits=meta["bits"],
+        refine=meta["refine"],
+    )
+    n = meta["n_segments"]
+    if n:
+        names = (
+            "codes", "scales", "row_list", "row_map", "list_start",
+            "list_len", "over_len",
+        )
+        index._store = tuple(jnp.asarray(arrays[k]) for k in names)
+    index.n_segments = n
+    index.total_rows = meta["total_rows"]
+    index.max_overflow = meta["max_overflow"]
+    index.host_int8 = [
+        arrays[f"host_int8_{i}"] for i in range(meta["n_host"])
+    ]
+    index.host_scale8 = [
+        arrays[f"host_scale8_{i}"] for i in range(meta["n_host"])
+    ]
+    return index
+
+
+SegmentedResidualIndex.save = _seg_save
+SegmentedResidualIndex.load = _seg_load

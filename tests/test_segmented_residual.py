@@ -224,3 +224,23 @@ def test_index_kind_segmented_routing(rng, tmp_storage, monkeypatch):
     assert index2._ivf is not seg_obj
     assert index2._ivf.total_rows == n
     config_mod.reset_config()
+
+
+def test_segmented_save_load_roundtrip(rng, tmp_path):
+    d = 64
+    pts = _clustered(rng, 8, 64, d)
+    index = SegmentedResidualIndex.train(
+        jnp.asarray(pts), nlist=8, iters=4, seg_rows=256, refine=True,
+    )
+    for start in range(0, len(pts), 256):
+        index.append(jnp.asarray(pts[start : start + 256]))
+    index.save(tmp_path / "seg")
+    loaded = SegmentedResidualIndex.load(tmp_path / "seg")
+    assert loaded.n_segments == index.n_segments
+    assert loaded.total_rows == index.total_rows
+    assert loaded.max_overflow == index.max_overflow
+    q = jnp.asarray(pts[:8])
+    v1, r1 = index.search(q, 10, nprobe=8, refine_k=30)
+    v2, r2 = loaded.search(q, 10, nprobe=8, refine_k=30)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
