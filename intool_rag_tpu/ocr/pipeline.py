@@ -192,9 +192,13 @@ class OCREngine:
     def _decode_batch(self, batch: np.ndarray, n: int) -> list[tuple[str, float]]:
         logits = np.asarray(self._rec_fn(self.bundle.rec_params, batch))
         if self.lm_rescore:
-            from .rescore import ctc_beam_decode
+            from .rescore import ctc_beam_decode, lexicon_correct
 
-            return ctc_beam_decode(logits[:n], self.bundle.charset)
+            decoded = ctc_beam_decode(logits[:n], self.bundle.charset)
+            # word-level lexicon repair: beam+LM cannot recover a char
+            # no beam contains; unique dist-1 repairs / two-word splits
+            # against the serving lexicon can (rescore.lexicon_correct)
+            return [(lexicon_correct(t), c) for t, c in decoded]
         return ctc_greedy_decode(logits[:n], self.bundle.charset)
 
     def recognize(self, crops: list[np.ndarray]) -> list[tuple[str, float]]:

@@ -139,3 +139,118 @@ def ctc_beam_decode(
         ]))) if text else 0.0
         out.append((text, conf))
     return out
+
+
+# ---------------- lexicon correction ----------------
+# Round-3 invoice-eval error catalog: the residual exact-match misses are
+# dominated by single-character CTC deletions in common business words
+# ('Toal'→Total, 'Noes'→Notes, 'Dae'→Date, 'bsiness'→business) and
+# missing inter-word spaces ('foryour'). Beam+LM rescoring cannot recover
+# a character NO beam contains; a word-level correction against the
+# serving lexicon can — the standard lexicon-constrained decoding step of
+# production CTC stacks, applied conservatively (alphabetic tokens only,
+# unique edit-distance-1 repair or unique two-word split, case preserved).
+
+
+@functools.lru_cache(maxsize=1)
+def _lexicon() -> dict[str, set[str]]:
+    """Lowercased serving lexicon, bucketed by length for fast dist-1
+    candidate scans (the same words the LM/trainer mix uses)."""
+    from .synth import BUSINESS_LABELS, BUSINESS_WORDS, _MONTHS
+
+    words: set[str] = set()
+    for label in BUSINESS_LABELS:
+        for w in label.split():
+            words.add(w.lower())
+    words.update(w.lower() for w in BUSINESS_WORDS)
+    words.update(m.lower() for m in _MONTHS)
+    by_len: dict[int, set[str]] = {}
+    for w in words:
+        by_len.setdefault(len(w), set()).add(w)
+    return {"all": words, **{str(k): v for k, v in by_len.items()}}
+
+
+def _edit1_candidates(token: str, lex: dict) -> list[str]:
+    """Lexicon words at edit distance 1 from ``token``, with the
+    DELETION class ('token = lexicon word missing one char') returned
+    alone when non-empty: deletion is the measured CTC failure mode
+    (rescore beta docstring), so 'dae' repairs to 'date' (insert t)
+    rather than staying ambiguous against substitution candidate
+    'due'."""
+    t = token
+    n = len(t)
+    dels = set()
+    # deletions of one char from a lexicon word == insertion into token
+    for w in lex.get(str(n + 1), ()):  # token missing one char of w
+        i = 0
+        while i < n and w[i] == t[i]:
+            i += 1
+        if w[:i] + w[i + 1:] == t:
+            dels.add(w)
+    if dels:
+        return sorted(dels)
+    out = set()
+    for w in lex.get(str(n), ()):  # one substitution
+        diff = sum(1 for a, b in zip(w, t) if a != b)
+        if diff == 1:
+            out.add(w)
+    for w in lex.get(str(n - 1), ()):  # token has one spurious char
+        i = 0
+        while i < n - 1 and w[i] == t[i]:
+            i += 1
+        if t[:i] + t[i + 1:] == w:
+            out.add(w)
+    return sorted(out)
+
+
+def _match_case(src: str, word: str) -> str:
+    if src.isupper():
+        return word.upper()
+    if src[:1].isupper():
+        return word[0].upper() + word[1:]
+    return word
+
+
+def lexicon_correct(text: str) -> str:
+    """Conservative word-level repair: for each alphabetic token (len ≥ 3)
+    not in the serving lexicon, apply the UNIQUE edit-distance-1 lexicon
+    repair if one exists, else the UNIQUE two-word lexicon split
+    ('foryour' → 'for your'). Tokens with digits, short tokens, in-lexicon
+    tokens, and ambiguous repairs pass through untouched — proper nouns
+    and codes must never be 'corrected'."""
+    lex = _lexicon()
+    words = lex["all"]
+    out_tokens = []
+    for raw in text.split(" "):
+        # split off punctuation margins; only the alphabetic core is fair game
+        start = 0
+        end = len(raw)
+        while start < end and not raw[start].isalpha():
+            start += 1
+        while end > start and not raw[end - 1].isalpha():
+            end -= 1
+        core = raw[start:end]
+        if (
+            len(core) < 3
+            or not core.isalpha()
+            or core.lower() in words
+        ):
+            out_tokens.append(raw)
+            continue
+        cands = _edit1_candidates(core.lower(), lex)
+        if len(cands) == 1:
+            fixed = _match_case(core, cands[0])
+            out_tokens.append(raw[:start] + fixed + raw[end:])
+            continue
+        if len(cands) == 0 and len(core) >= 5:
+            splits = [
+                (core[:i], core[i:])
+                for i in range(2, len(core) - 1)
+                if core[:i].lower() in words and core[i:].lower() in words
+            ]
+            if len(splits) == 1:
+                a, b = splits[0]
+                out_tokens.append(raw[:start] + a + " " + b + raw[end:])
+                continue
+        out_tokens.append(raw)
+    return " ".join(out_tokens)

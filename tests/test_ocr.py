@@ -322,3 +322,32 @@ def test_pdf_ocr_bridge_protocol():
     text, conf = bridge.extract_page(pdf, 0)
     assert text == "scanned text"
     assert conf == pytest.approx(0.8)
+
+
+def test_lexicon_correct_repairs_and_safety():
+    """Word-level lexicon repair (rescore.lexicon_correct): fixes the
+    measured CTC-deletion misses from the invoice eval, never touches
+    codes/ids/in-lexicon words/ambiguous tokens."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    # the round-3 invoice-eval error catalog, verbatim
+    assert lexicon_correct("Toal: $2,724.57") == "Total: $2,724.57"
+    assert lexicon_correct("Noes:") == "Notes:"
+    assert lexicon_correct("Dae: Nov 15 2012") == "Date: Nov 15 2012"
+    assert (
+        lexicon_correct("Thanks foryour bsiness!")
+        == "Thanks for your business!"
+    )
+    # case preservation
+    assert lexicon_correct("TOAL") == "TOTAL"
+    # safety: codes, digits, short tokens, in-lexicon words pass through
+    for untouched in (
+        "Order ID : CA-2012AH10075140-41228",
+        "FUR-BO-4861",
+        "$624.49",
+        "Total: $11.95",
+        "Notes:",
+        "ab",
+        "Bookcases, Furniture",  # not in lexicon, no unique repair
+    ):
+        assert lexicon_correct(untouched) == untouched
