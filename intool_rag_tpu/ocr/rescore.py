@@ -230,6 +230,18 @@ def lexicon_correct(text: str) -> str:
         while end > start and not raw[end - 1].isalpha():
             end -= 1
         core = raw[start:end]
+        # orthographic l→I: in an otherwise-UPPERCASE token a lowercase
+        # 'l' is the I/l glyph confusion ('INVOlCE'), not a real l —
+        # classic OCR normalization, safe because no English word is
+        # spelled all-caps-except-l
+        if (
+            len(core) >= 3
+            and "l" in core
+            and all(c.isupper() for c in core if c.isalpha() and c != "l")
+            and sum(c.isupper() for c in core) >= 2
+        ):
+            core = core.replace("l", "I")
+            raw = raw[:start] + core + raw[end:]
         if (
             len(core) < 3
             or not core.isalpha()

@@ -351,3 +351,14 @@ def test_lexicon_correct_repairs_and_safety():
         "Bookcases, Furniture",  # not in lexicon, no unique repair
     ):
         assert lexicon_correct(untouched) == untouched
+
+
+def test_lexicon_correct_uppercase_l_to_i():
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    assert lexicon_correct("INVOlCE") == "INVOICE"
+    assert lexicon_correct("BlLL TO") == "BILL TO"
+    # mixed-case and all-lower tokens keep their l's
+    assert lexicon_correct("McDonald") == "McDonald"
+    assert lexicon_correct("llc") == "llc"
+    assert lexicon_correct("Apollo") == "Apollo"

@@ -28,10 +28,9 @@ def test_invoice_text_layer_recovery():
     engine = OCREngine(det_limit=1280)
     result = evaluate_on_invoices(engine, scale=2.0)
     assert result["lines"] >= 40  # both invoices contribute
-    # measured round-3 level: exact 0.439 / fuzzy 0.903 (scale-2
+    # measured round-3 level: exact 0.463 / fuzzy 0.920 (scale-2
     # rasters ≈ 150 dpi scans; exact 0.293 before the lexicon-repair
-    # pass — rescore.lexicon_correct fixes unique-dist-1 CTC deletions
-    # in business words). Bars sit under the measured level by a
-    # variance margin.
-    assert result["exact_rate"] >= 0.35, result
+    # and l→I orthographic passes — rescore.lexicon_correct). Bars sit
+    # under the measured level by a variance margin.
+    assert result["exact_rate"] >= 0.37, result
     assert result["fuzzy_rate"] >= 0.85, result
