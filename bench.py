@@ -87,7 +87,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     from intool_rag_tpu.ops.bm25 import (
         bm25_topk_rows_packed,
         bm25_topk_sorted,
-        build_padded_layout_device,
+        build_row_layout,
     )
     from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas
     from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
@@ -95,34 +95,14 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
 
     starts, lens, post_docs, post_w, idf, qterms, qtf = sparse
     dev = [jnp.asarray(x) for x in (starts, lens, post_docs, post_w, idf)]
-    # two-tier row layout built ON DEVICE from the 1-D arrays (uploading
-    # the ~0.4 GB padded arrays through the tunnel stalls; the one-time
-    # device gather does not — round 3)
-    cold_width = 64
-    lens_c = np.minimum(lens, p_max)
-    hot = lens_c > cold_width
-    term_row = np.zeros(len(lens_c), np.int32)
-    term_row[hot] = np.arange(int(hot.sum()), dtype=np.int32)
-    term_row[~hot] = np.arange(len(lens_c) - int(hot.sum()), dtype=np.int32)
-    hd, hw, cd, cw = build_padded_layout_device(
-        dev[0], dev[1], dev[2], dev[3],
-        jnp.asarray(np.flatnonzero(hot).astype(np.int32)),
-        jnp.asarray(np.flatnonzero(~hot).astype(np.int32)),
-        n_docs=n, p_max=p_max, cold_width=cold_width,
+    # two-tier row layout + term_wmax built ON DEVICE from the 1-D
+    # arrays (uploading the padded arrays through the tunnel stalls;
+    # ops/bm25.build_row_layout is the shared production constructor)
+    rows_dev = build_row_layout(
+        dev[0], dev[1], dev[2], dev[3], n_docs=n, p_max=p_max,
     )
-    jax.block_until_ready(hd)
+    jax.block_until_ready(rows_dev["hot_docs"])
     _progress("postings layout built on device")
-    # global per-term max weight = first posting (impact order); pins the
-    # packed kernel's quantization grid (same as BM25Index._row_layout)
-    wmax = jnp.where(
-        dev[1] > 0, dev[3][jnp.clip(dev[0], 0, dev[3].shape[0] - 1)], 0.0
-    ).astype(jnp.float32)
-    rows_dev = {
-        "term_row": jnp.asarray(term_row),
-        "term_hot": jnp.asarray(hot),
-        "hot_docs": hd, "hot_w": hw, "cold_docs": cd, "cold_w": cw,
-        "term_wmax": wmax,
-    }
     qtf_d = jnp.asarray(qtf)
     vocab = len(starts)
     on_tpu = jax.default_backend() == "tpu"

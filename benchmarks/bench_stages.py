@@ -58,7 +58,7 @@ def main() -> None:
 
     from intool_rag_tpu.ops.bm25 import (
         bm25_topk_rows_packed,
-        build_padded_layout_device,
+        build_row_layout,
     )
     from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas
     from intool_rag_tpu.ops.fusion import normalize_minmax, weighted_fusion
@@ -114,28 +114,15 @@ def main() -> None:
             jnp.asarray((qterms[None].repeat(G, 0) + 31 * i) % vocab)
             for i in range(4)
         ]
-        # two-tier row layout + packed single-key sort (the production
-        # BM25Index.topk path), built on device like bench.py
-        cold_width = 64
-        lens_c = np.minimum(lens, p_max)
-        hot = lens_c > cold_width
-        term_row_np = np.zeros(len(lens_c), np.int32)
-        term_row_np[hot] = np.arange(int(hot.sum()), dtype=np.int32)
-        term_row_np[~hot] = np.arange(
-            len(lens_c) - int(hot.sum()), dtype=np.int32
+        # the production BM25Index.topk layout, via the shared constructor
+        rows = build_row_layout(
+            dev[0], dev[1], dev[2], dev[3], n_docs=n, p_max=p_max,
         )
-        hd, hw, cd, cw = build_padded_layout_device(
-            dev[0], dev[1], dev[2], dev[3],
-            jnp.asarray(np.flatnonzero(hot).astype(np.int32)),
-            jnp.asarray(np.flatnonzero(~hot).astype(np.int32)),
-            n_docs=n, p_max=p_max, cold_width=cold_width,
-        )
-        wmax = jnp.where(
-            dev[1] > 0, dev[3][jnp.clip(dev[0], 0, dev[3].shape[0] - 1)], 0.0
-        ).astype(jnp.float32)
         rows_consts = (
-            jnp.asarray(term_row_np), jnp.asarray(hot), hd, hw, cd, cw,
+            rows["term_row"], rows["term_hot"], rows["hot_docs"],
+            rows["hot_w"], rows["cold_docs"], rows["cold_w"],
         )
+        wmax = rows["term_wmax"]
 
         def bm25(qt, qtf_d, tr, th, hd, hw, cd, cw, idf_d, wmax_d):
             return bm25_topk_rows_packed(

@@ -71,45 +71,13 @@ class BM25Index:
 
     def _row_layout(self, cold_width: int = 64):
         if self._rows is None:
-            from ..ops.bm25 import build_padded_layout_device
+            from ..ops.bm25 import build_row_layout
 
-            lens = np.minimum(np.asarray(self.term_len), self.params.p_max)
-            hot = lens > cold_width
-            term_row = np.zeros(len(lens), np.int32)
-            term_row[hot] = np.arange(int(hot.sum()), dtype=np.int32)
-            term_row[~hot] = np.arange(len(lens) - int(hot.sum()),
-                                       dtype=np.int32)
-            hot_terms = np.flatnonzero(hot).astype(np.int32)
-            cold_terms = np.flatnonzero(~hot).astype(np.int32)
-            if len(hot_terms) == 0:
-                hot_terms = np.zeros(1, np.int32)
-            if len(cold_terms) == 0:
-                cold_terms = np.zeros(1, np.int32)
-            hd, hw, cd, cw = build_padded_layout_device(
-                self.term_start, self.term_len, self.post_docs, self.post_w,
-                jnp.asarray(hot_terms), jnp.asarray(cold_terms),
-                n_docs=self.n_docs, p_max=self.params.p_max,
-                cold_width=cold_width,
+            self._rows = build_row_layout(
+                self.term_start, self.term_len, self.post_docs,
+                self.post_w, n_docs=self.n_docs,
+                p_max=self.params.p_max, cold_width=cold_width,
             )
-            # per-term global max posting weight — free from impact
-            # ordering (first posting of each term is its max); drives
-            # the packed kernel's shard-independent quantization grid.
-            # Device-side [V] gather: post_w can be hundreds of MB and
-            # never needs to visit the host.
-            wmax = jnp.where(
-                self.term_len > 0,
-                self.post_w[
-                    jnp.clip(self.term_start, 0, self.post_w.shape[0] - 1)
-                ],
-                0.0,
-            ).astype(jnp.float32)
-            self._rows = {
-                "term_row": jnp.asarray(term_row),
-                "term_hot": jnp.asarray(hot),
-                "hot_docs": hd, "hot_w": hw,
-                "cold_docs": cd, "cold_w": cw,
-                "term_wmax": jnp.asarray(wmax),
-            }
         return self._rows
 
     # ---------------- build ----------------

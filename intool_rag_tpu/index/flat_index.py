@@ -39,7 +39,10 @@ class DenseFlatIndex:
         self._ivf_built_at = -1
         self._sharded = None  # (mesh, sharded corpus) cache
         self._sharded_built_at = -1
-        self._seg_store_id = -1  # store identity for incremental segments
+        # store identity for incremental segments: a weakref, NOT id()
+        # — CPython recycles addresses, so a dead store's id can match a
+        # new store and serve stale rows (review finding)
+        self._seg_store_ref = None
 
     def _use_sharded(self, cfg) -> bool:
         if cfg.SHARDED_SEARCH == "off" or self.metric not in ("cosine", "ip"):
@@ -73,7 +76,8 @@ class DenseFlatIndex:
         fresh = (
             self._ivf is None
             or not isinstance(self._ivf, SegmentedResidualIndex)
-            or self._seg_store_id != id(store)
+            or self._seg_store_ref is None
+            or self._seg_store_ref() is not store
             or self._ivf.total_rows > store.valid_n
         )
         if fresh:
@@ -85,7 +89,9 @@ class DenseFlatIndex:
                 bits=cfg.IVF_RESIDUAL_BITS,
                 refine=cfg.IVF_REFINE_K > 0,
             )
-            self._seg_store_id = id(store)
+            import weakref
+
+            self._seg_store_ref = weakref.ref(store)
         idx = self._ivf
         done = idx.total_rows
         while done < store.valid_n:

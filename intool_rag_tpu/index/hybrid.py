@@ -26,10 +26,19 @@ class HybridEngine:
         store: ChunkStore,
         bm25: BM25Index | None = None,
         metric: str = "cosine",
+        dense: DenseFlatIndex | None = None,
     ) -> None:
         self.store = store
         self.bm25 = bm25
-        self.dense = DenseFlatIndex(store, metric=metric)
+        # ``dense`` lets the registry CARRY OVER the dense index when it
+        # re-wraps an updated BM25 around the same store — without it,
+        # every ingest discarded the index's derived state and the
+        # segmented index's incremental-append path never engaged
+        # (each search retrained + re-encoded the whole corpus)
+        if dense is not None and dense.store is store and dense.metric == metric:
+            self.dense = dense
+        else:
+            self.dense = DenseFlatIndex(store, metric=metric)
 
     def search(
         self,

@@ -105,7 +105,13 @@ class CorpusRegistry:
             texts = self._add_doc_locked(doc_id)
             if self.bm25 is not None and getattr(self.bm25, "_counted", None) is not None:
                 self.bm25 = self.bm25.append(texts)
-                self.engine = HybridEngine(self.store, self.bm25)
+                # same store object → carry the dense index over so its
+                # derived state (IVF partition, streaming segments)
+                # appends incrementally instead of rebuilding per ingest
+                self.engine = HybridEngine(
+                    self.store, self.bm25,
+                    dense=self.engine.dense if self.engine else None,
+                )
             else:
                 self._rebuild_bm25_locked()
             self.version += 1

@@ -97,6 +97,7 @@ class SegmentedResidualIndex:
         self._store = None  # stacked device arrays, capacity-doubled
         self.host_int8: list[np.ndarray] = []
         self.host_scale8: list[np.ndarray] = []
+        self._host_cat = None  # cached concat of the refine tier
 
     # ---------------- train ----------------
 
@@ -191,6 +192,7 @@ class SegmentedResidualIndex:
             )
             self.host_int8.append(np.asarray(codes8))
             self.host_scale8.append(np.asarray(scales8, dtype=np.float32))
+            self._host_cat = None  # invalidate the cached concat
         return np.arange(base, base + n, dtype=np.int64)
 
     @property
@@ -240,8 +242,16 @@ class SegmentedResidualIndex:
         )
         if not do_refine:
             return vals, rows
-        host8 = np.concatenate(self.host_int8)
-        hscale = np.concatenate(self.host_scale8)
+        # concat of the refine tier is invariant between appends — at the
+        # 50M operating point it is ~51 GB, so rebuilding it per query
+        # batch would cost seconds of memcpy and a 2x host-RAM transient
+        # (review finding); cache and invalidate on append
+        if self._host_cat is None:
+            self._host_cat = (
+                np.concatenate(self.host_int8),
+                np.concatenate(self.host_scale8),
+            )
+        host8, hscale = self._host_cat
         rows_np = np.asarray(rows)
         q_np = np.asarray(queries, dtype=np.float32)
         safe = np.clip(rows_np, 0, len(host8) - 1)

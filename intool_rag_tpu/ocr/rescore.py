@@ -180,27 +180,19 @@ def _edit1_candidates(token: str, lex: dict) -> list[str]:
     t = token
     n = len(t)
     dels = set()
-    # deletions of one char from a lexicon word == insertion into token
+    # ONLY the deletion class ('token = lexicon word missing one char'):
+    # deletion is the measured CTC failure mode (rescore beta
+    # docstring), and the substitution/spurious-char classes rewrite
+    # correctly-spelled out-of-lexicon words — 'Dale'→'Date',
+    # 'Model'→'Mode' (review finding). Every measured invoice-eval win
+    # (Toal/Noes/Dae/bsiness/Rae) is deletion-class.
     for w in lex.get(str(n + 1), ()):  # token missing one char of w
         i = 0
         while i < n and w[i] == t[i]:
             i += 1
         if w[:i] + w[i + 1:] == t:
             dels.add(w)
-    if dels:
-        return sorted(dels)
-    out = set()
-    for w in lex.get(str(n), ()):  # one substitution
-        diff = sum(1 for a, b in zip(w, t) if a != b)
-        if diff == 1:
-            out.add(w)
-    for w in lex.get(str(n - 1), ()):  # token has one spurious char
-        i = 0
-        while i < n - 1 and w[i] == t[i]:
-            i += 1
-        if t[:i] + t[i + 1:] == w:
-            out.add(w)
-    return sorted(out)
+    return sorted(dels)
 
 
 def _match_case(src: str, word: str) -> str:
@@ -214,7 +206,8 @@ def _match_case(src: str, word: str) -> str:
 def lexicon_correct(text: str) -> str:
     """Conservative word-level repair: for each alphabetic token (len ≥ 3)
     not in the serving lexicon, apply the UNIQUE edit-distance-1 lexicon
-    repair if one exists, else the UNIQUE two-word lexicon split
+    repair if one exists (deletion-class only — see
+    :func:`_edit1_candidates`), else the UNIQUE two-word lexicon split
     ('foryour' → 'for your'). Tokens with digits, short tokens, in-lexicon
     tokens, and ambiguous repairs pass through untouched — proper nouns
     and codes must never be 'corrected'."""
@@ -230,14 +223,16 @@ def lexicon_correct(text: str) -> str:
         while end > start and not raw[end - 1].isalpha():
             end -= 1
         core = raw[start:end]
-        # orthographic l→I: in an otherwise-UPPERCASE token a lowercase
-        # 'l' is the I/l glyph confusion ('INVOlCE'), not a real l —
-        # classic OCR normalization, safe because no English word is
-        # spelled all-caps-except-l
+        # orthographic l→I: in an otherwise-UPPERCASE pure-alphabetic
+        # token a lowercase 'l' is the I/l glyph confusion ('INVOlCE'),
+        # not a real l — classic OCR normalization, safe because no
+        # English word is spelled all-caps-except-l. The isalpha() gate
+        # keeps serials/codes ('SN4l7X') untouched (review finding).
         if (
             len(core) >= 3
             and "l" in core
-            and all(c.isupper() for c in core if c.isalpha() and c != "l")
+            and core.isalpha()
+            and all(c.isupper() for c in core if c != "l")
             and sum(c.isupper() for c in core) >= 2
         ):
             core = core.replace("l", "I")

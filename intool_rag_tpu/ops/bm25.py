@@ -283,6 +283,59 @@ def build_padded_layout_device(
     return hot_docs, hot_w, cold_docs, cold_w
 
 
+def build_row_layout(
+    term_start: jax.Array,  # [V] i32 (device)
+    term_len: jax.Array,  # [V] i32
+    post_docs: jax.Array,  # [nnz_pad] i32
+    post_w: jax.Array,  # [nnz_pad] f32
+    *,
+    n_docs: int,
+    p_max: int,
+    cold_width: int = 64,
+) -> dict:
+    """ONE constructor for the two-tier row layout + packed-quantization
+    stats, shared by BM25Index, bench.py and bench_stages.py (review
+    finding: three hand-rolled copies drifted apart). Host work is the
+    tiny [V] hot/cold split; the padded tier matrices build ON DEVICE
+    from the 1-D postings already in HBM (uploading the padded arrays
+    through the tunnel stalls — round-3 lesson), as does ``term_wmax``
+    (first posting per term = its max, by impact order).
+
+    Returns dict: term_row [V], term_hot [V] bool, hot_docs/hot_w,
+    cold_docs/cold_w, term_wmax [V] — the exact argument set of
+    :func:`bm25_topk_rows` / :func:`bm25_topk_rows_packed`."""
+    import numpy as np
+
+    lens = np.minimum(np.asarray(term_len), p_max)
+    hot = lens > cold_width
+    term_row = np.zeros(len(lens), np.int32)
+    term_row[hot] = np.arange(int(hot.sum()), dtype=np.int32)
+    term_row[~hot] = np.arange(len(lens) - int(hot.sum()), dtype=np.int32)
+    hot_terms = np.flatnonzero(hot).astype(np.int32)
+    cold_terms = np.flatnonzero(~hot).astype(np.int32)
+    if len(hot_terms) == 0:
+        hot_terms = np.zeros(1, np.int32)
+    if len(cold_terms) == 0:
+        cold_terms = np.zeros(1, np.int32)
+    hd, hw, cd, cw = build_padded_layout_device(
+        term_start, term_len, post_docs, post_w,
+        jnp.asarray(hot_terms), jnp.asarray(cold_terms),
+        n_docs=n_docs, p_max=p_max, cold_width=cold_width,
+    )
+    wmax = jnp.where(
+        term_len > 0,
+        post_w[jnp.clip(term_start, 0, post_w.shape[0] - 1)],
+        0.0,
+    ).astype(jnp.float32)
+    return {
+        "term_row": jnp.asarray(term_row),
+        "term_hot": jnp.asarray(hot),
+        "hot_docs": hd, "hot_w": hw,
+        "cold_docs": cd, "cold_w": cw,
+        "term_wmax": wmax,
+    }
+
+
 def _aggregate_topk_packed(
     docs: jax.Array,  # [Q, M] i32, sentinel n_docs for padding
     contrib: jax.Array,  # [Q, M] f32, ≥ 0
@@ -310,7 +363,18 @@ def _aggregate_topk_packed(
     if scale is None:
         cmax = jnp.max(contrib, axis=1, keepdims=True)  # ≥ 0 by caller clamp
         scale = jnp.maximum(cmax, 1e-30) / levels
-    lev = jnp.clip(jnp.round(contrib / scale), 0, levels).astype(jnp.int32)
+    # FLOOR at level 1 for any real (> 0) contribution: a tiny
+    # common-term contribution under scale/2 would otherwise quantize to
+    # 0, total to 0, and be masked as a no-match by the `good = vals > 0`
+    # contract — silently dropping every common-term-only candidate of a
+    # query that also has one dominant rare term (review finding). The
+    # inflation error for such slots is < scale ≈ cbound/2047, which
+    # only reorders docs that were within quantization noise anyway.
+    lev = jnp.where(
+        contrib > 0,
+        jnp.clip(jnp.round(contrib / scale), 1, levels),
+        0,
+    ).astype(jnp.int32)
     key = docs * (levels + 1) + lev
     key_s = jax.lax.sort(key, dimension=1, is_stable=False)
     doc_s = key_s >> qbits

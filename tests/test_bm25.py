@@ -304,3 +304,30 @@ def test_bm25_index_topk_matches_scores_oracle():
         for i, v in zip(ids[r], vals[r]):
             if v > 0:
                 assert dense[r][int(i)] == pytest.approx(float(v), rel=2e-3, abs=1e-3)
+
+
+def test_bm25_packed_keeps_tiny_contributions():
+    """Regression (review finding): a query mixing one dominant rare
+    term with a near-stopword must NOT drop the common-term-only
+    candidates — contributions under half a quantization step floor at
+    level 1 instead of vanishing to a (0.0, masked) no-match."""
+    docs = ["unicorn stopword stopword"] + ["stopword filler"] * 30
+    idx = BM25Index.build(docs, BM25Params(p_max=64))
+    from intool_rag_tpu.ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
+
+    qt, qf = idx.encode_queries(["unicorn stopword"])
+    rows = idx._row_layout()
+    args = (
+        qt, qf, rows["term_row"], rows["term_hot"],
+        rows["hot_docs"], rows["hot_w"], rows["cold_docs"], rows["cold_w"],
+        idx.idf, 10,
+    )
+    v1, i1 = bm25_topk_rows(*args, n_docs=idx.n_docs)
+    v2, i2 = bm25_topk_rows_packed(
+        *args, n_docs=idx.n_docs, term_wmax=rows["term_wmax"]
+    )
+    n_exact = int((np.asarray(v1)[0] > 0).sum())
+    n_packed = int((np.asarray(v2)[0] > 0).sum())
+    assert n_packed == n_exact, (n_packed, n_exact)
+    # the rare-term doc still ranks first
+    assert np.asarray(i2)[0, 0] == np.asarray(i1)[0, 0] == 0

@@ -198,3 +198,21 @@ def test_registry_document_info(tmp_storage):
     assert info["chunk_count"] == 1
     assert info["vectors_indexed"] == 1
     assert info["dimension"] == 64
+
+
+def test_registry_add_document_carries_dense_index(tmp_storage):
+    """Review finding: add_document re-wraps the engine around the new
+    BM25, which used to discard the dense index's derived state (IVF
+    partition / streaming segments) on EVERY ingest — the incremental
+    paths never engaged. The dense index must carry over when the store
+    object is unchanged."""
+    reg = CorpusRegistry()
+    _persist_doc(reg.storage, "docA", ["alpha text one", "beta text two"], [0, 0])
+    reg.load_all()
+    dense_before = reg.engine.dense
+    store_before = reg.engine.store
+    _persist_doc(reg.storage, "docB", ["gamma text three"], [0])
+    reg.add_document("docB")
+    assert reg.engine.store is store_before  # in-place append
+    assert reg.engine.dense is dense_before  # derived state carried over
+    assert reg.stats()["chunks"] == 3

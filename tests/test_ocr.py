@@ -362,3 +362,18 @@ def test_lexicon_correct_uppercase_l_to_i():
     assert lexicon_correct("McDonald") == "McDonald"
     assert lexicon_correct("llc") == "llc"
     assert lexicon_correct("Apollo") == "Apollo"
+
+
+def test_lexicon_correct_never_touches_codes_or_proper_nouns():
+    """Review findings: the l→I repair must skip digit-containing
+    serials; the dist-1 repair is deletion-class only so
+    correctly-spelled out-of-lexicon words survive."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    for untouched in (
+        "SN4l7X", "AX-1l0B",          # codes keep their l's
+        "Model AX-100B",               # 'Model' must not become 'Mode'
+        "Attn: Dale",                  # names must not become 'Date'
+        "Dole banana",                 # substitution-class stays off
+    ):
+        assert lexicon_correct(untouched) == untouched, untouched
