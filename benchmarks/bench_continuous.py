@@ -119,6 +119,29 @@ def main() -> None:
         "continuous_p50_latency_s": round(stats["p50_latency_s"], 3),
         "speedup": round(stats["tokens_per_s"] / static_tps, 2),
     }
+
+    # ---- batched speculative waves (BENCH_GAMMA, default 4): same
+    # request mix through the speculative scheduler; random weights
+    # mostly reject drafts so this measures the wave-cost floor — with
+    # real quoting workloads tokens_per_wave > 1 multiplies throughput
+    gamma = int(os.environ.get("BENCH_GAMMA", 4))
+    if gamma > 1:
+        sgen = ContinuousGenerator(
+            config, params, n_slots=n_slots, seg_len=16,
+            speculative_gamma=gamma,
+        )
+        sgen.generate_many(prompts[:warm_n], warm_limits)
+        sres, sstats = sgen.generate_many(prompts, limits)
+        assert sres == results  # greedy parity with the plain scheduler
+        out["speculative"] = {
+            "gamma": gamma,
+            "tokens_per_s": round(sstats["tokens_per_s"], 1),
+            "tokens_per_wave": round(sstats.get("tokens_per_wave", 0), 3),
+            "p50_latency_s": round(sstats["p50_latency_s"], 3),
+            "vs_plain_continuous": round(
+                sstats["tokens_per_s"] / stats["tokens_per_s"], 2
+            ),
+        }
     print(json.dumps(out, indent=1))
 
 

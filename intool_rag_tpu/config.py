@@ -133,9 +133,12 @@ class Config:
     LLM_CONTINUOUS_SLOTS: int = dataclasses.field(
         default_factory=lambda: _env_int("LLM_CONTINUOUS_SLOTS", 0)
     )
-    # prompt-lookup speculative decoding for single-stream greedy
-    # generation: >0 = draft window gamma (tokens verified per forward,
-    # models/decoder.py make_lookup_speculative_fn); 0 = off
+    # prompt-lookup speculative decoding (greedy only): >0 = gamma
+    # tokens verified per forward. Single-stream generation drafts from
+    # the prompt (models/decoder.py make_lookup_speculative_fn); with
+    # LLM_CONTINUOUS_SLOTS it composes into BATCHED speculative waves —
+    # every slot drafts from its own rolling history window and one
+    # forward verifies all slots (models/scheduler.py). 0 = off
     LLM_SPECULATIVE_GAMMA: int = dataclasses.field(
         default_factory=lambda: _env_int("LLM_SPECULATIVE_GAMMA", 0)
     )

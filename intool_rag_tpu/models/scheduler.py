@@ -27,9 +27,20 @@ for free; round 2's in-process decoder served static batches only
   pipelined loop is what buys the win). The only cost is refill lag:
   a slot freed in cycle N is refilled at cycle N+2.
 
-Capacity note: the shared cursor advances 1 per decode step, so one
-cache of ``max_position`` P serves ~P total decode steps between
-COMPACTIONS. When the cursor would overrun, the scheduler drains the
+Speculative waves (``speculative_gamma`` > 1, greedy only): each decode
+step becomes a γ-token verification wave — every slot drafts γ−1 tokens
+by prompt-lookup against its own rolling history window (device-
+resident, includes generated tokens, so repetition and context-quoting
+both hit) and ONE batched forward verifies all slots together.
+Per-slot acceptance lengths diverge freely: rejected drafts' cache rows
+are marked invalid (holes), which the validity-map design absorbs and
+compaction reclaims. Exact greedy parity per stream by construction.
+The single-stream counterpart is decoder.make_lookup_speculative_fn;
+this is what it says "batched serving uses models/scheduler.py" about.
+
+Capacity note: the shared cursor advances 1 per decode step (γ per
+speculative wave), so one cache of ``max_position`` P serves ~P total
+decode steps between COMPACTIONS. When the cursor would overrun, the scheduler drains the
 pipeline and re-prefills every live stream's full history (prompt +
 generated-so-far) into a fresh cache, resetting the cursor to the
 longest live history's bucket — causal-transformer K/V for a token
@@ -77,7 +88,20 @@ class ContinuousGenerator:
         pad_id: int = 0,
         top_k: int = 0,
         top_p: float = 1.0,
+        speculative_gamma: int = 0,
+        lookup_window: int = 128,
     ) -> None:
+        """``speculative_gamma`` > 1 turns every decode step into a
+        BATCHED prompt-lookup speculative wave (greedy only): each slot
+        drafts γ−1 tokens by matching its last bigram against a
+        device-resident rolling window of its own history, and ONE
+        forward verifies all slots' drafts together — per-slot
+        acceptance diverges freely because rejected drafts' cache rows
+        are simply marked invalid (the per-slot validity map makes the
+        shared-cursor cache hole-tolerant, and compaction already
+        reclaims holes). Exact greedy parity per stream by construction,
+        like models/decoder.make_lookup_speculative_fn — which is
+        single-stream; this is the batched counterpart."""
         self.config = config
         self.params = params
         self.n_slots = n_slots
@@ -87,9 +111,18 @@ class ContinuousGenerator:
         self.top_p = top_p
         self.eos = -1 if eos_id is None else eos_id
         self.pad_id = pad_id
+        if speculative_gamma and temperature > 0.0:
+            raise ValueError(
+                "speculative decoding requires greedy sampling "
+                "(temperature == 0): acceptance is defined against the "
+                "model's argmax"
+            )
+        self.gamma = int(speculative_gamma) if speculative_gamma else 0
+        self.lookup_window = int(lookup_window)
         self.model = DecoderLM(config)
         self._fns: dict[tuple, callable] = {}
         self._decode_fn = jax.jit(self._decode_segment)
+        self._decode_spec_fn = jax.jit(self._decode_segment_spec)
 
     # ---------------- device programs ----------------
 
@@ -113,7 +146,7 @@ class ContinuousGenerator:
 
     def _insert_merge_body(
         self, params, cache, ids, mask, slot_ids, limits, key,
-        tok, pos, active, rem, s_bucket,
+        tok, pos, active, rem, s_bucket, win=None, wmask=None,
     ):
         """ONE batched prompt-window prefill for a refill group + merge
         into the device serving state.
@@ -148,7 +181,7 @@ class ContinuousGenerator:
         positions = jnp.maximum(
             jnp.cumsum(mask, axis=1) - 1, 0
         ).astype(jnp.int32)
-        logits, win = self.model.apply(
+        logits, wcache = self.model.apply(
             params, ids, positions, sub, mask.astype(bool)
         )
         # dense window merge: rows of the [L-S, L) window either keep
@@ -164,12 +197,12 @@ class ContinuousGenerator:
         sel = mem[None, :, None, None, None]
         cur_k = jax.lax.dynamic_slice(cache.k, (0, 0, start, 0, 0), dims)
         k_new = jax.lax.dynamic_update_slice(
-            cache.k, jnp.where(sel, win.k[:, gidx], cur_k),
+            cache.k, jnp.where(sel, wcache.k[:, gidx], cur_k),
             (0, 0, start, 0, 0),
         )
         cur_v = jax.lax.dynamic_slice(cache.v, (0, 0, start, 0, 0), dims)
         v_new = jax.lax.dynamic_update_slice(
-            cache.v, jnp.where(sel, win.v[:, gidx], cur_v),
+            cache.v, jnp.where(sel, wcache.v[:, gidx], cur_v),
             (0, 0, start, 0, 0),
         )
         # clear the slot's previous tenant, then mark the prompt window
@@ -177,7 +210,7 @@ class ContinuousGenerator:
         cur_valid = jax.lax.dynamic_slice(valid, (0, start), (nb, s_bucket))
         valid = jax.lax.dynamic_update_slice(
             valid,
-            jnp.where(mem[:, None], win.valid[gidx], cur_valid),
+            jnp.where(mem[:, None], wcache.valid[gidx], cur_valid),
             (0, start),
         )
         cache = cache._replace(k=k_new, v=v_new, valid=valid)
@@ -190,7 +223,28 @@ class ContinuousGenerator:
         active = active.at[slot_ids].set(
             (firsts != self.eos) & (new_rem > 0), mode="drop"
         )
-        return cache, tok, pos, active, rem, firsts
+        if win is None:
+            return cache, tok, pos, active, rem, firsts
+        # seed the speculation window: last W prompt tokens,
+        # right-aligned (ids/mask are right-aligned already; left-pad
+        # when the prompt bucket is narrower than the window)
+        w = win.shape[1]
+        if s_bucket >= w:
+            seed_ids = ids[:, -w:]
+            seed_m = mask[:, -w:].astype(bool)
+        else:
+            padw = w - s_bucket
+            seed_ids = jnp.concatenate(
+                [jnp.full((ids.shape[0], padw), self.pad_id, ids.dtype),
+                 ids], axis=1,
+            )
+            seed_m = jnp.concatenate(
+                [jnp.zeros((ids.shape[0], padw), bool),
+                 mask.astype(bool)], axis=1,
+            )
+        win = win.at[slot_ids].set(seed_ids, mode="drop")
+        wmask = wmask.at[slot_ids].set(seed_m, mode="drop")
+        return cache, tok, pos, active, rem, firsts, win, wmask
 
     def _pack_group(self, s_bucket: int, m: int, entries):
         """Pack ``entries = [(slot, token_ids, limit)]`` into the
@@ -219,13 +273,22 @@ class ContinuousGenerator:
         if key2 in self._fns:
             return self._fns[key2]
 
-        fn = jax.jit(
-            lambda params, cache, ids, mask, slots, limits, key, tok,
-            pos, active, rem: self._insert_merge_body(
-                params, cache, ids, mask, slots, limits, key, tok,
-                pos, active, rem, s_bucket,
+        if self.gamma:
+            fn = jax.jit(
+                lambda params, cache, ids, mask, slots, limits, key, tok,
+                pos, active, rem, win, wmask: self._insert_merge_body(
+                    params, cache, ids, mask, slots, limits, key, tok,
+                    pos, active, rem, s_bucket, win, wmask,
+                )
             )
-        )
+        else:
+            fn = jax.jit(
+                lambda params, cache, ids, mask, slots, limits, key, tok,
+                pos, active, rem: self._insert_merge_body(
+                    params, cache, ids, mask, slots, limits, key, tok,
+                    pos, active, rem, s_bucket,
+                )
+            )
         self._fns[key2] = fn
         return fn
 
@@ -238,18 +301,35 @@ class ContinuousGenerator:
         if key2 in self._fns:
             return self._fns[key2]
 
-        def cycle(
-            params, cache, ids, mask, slot_ids, limits, ins_key,
-            tok, pos, active, rem, seg_keys,
-        ):
-            cache, tok, pos, active, rem, firsts = self._insert_merge_body(
+        if self.gamma:
+            def cycle(
                 params, cache, ids, mask, slot_ids, limits, ins_key,
-                tok, pos, active, rem, s_bucket,
-            )
-            out = self._decode_segment(
-                params, cache, tok, pos, active, rem, seg_keys
-            )
-            return out + (firsts,)
+                tok, pos, active, rem, win, wmask,
+            ):
+                (cache, tok, pos, active, rem, firsts, win, wmask) = (
+                    self._insert_merge_body(
+                        params, cache, ids, mask, slot_ids, limits,
+                        ins_key, tok, pos, active, rem, s_bucket,
+                        win, wmask,
+                    )
+                )
+                out = self._decode_segment_spec(
+                    params, cache, tok, pos, active, rem, win, wmask
+                )
+                return out + (firsts,)
+        else:
+            def cycle(
+                params, cache, ids, mask, slot_ids, limits, ins_key,
+                tok, pos, active, rem, seg_keys,
+            ):
+                cache, tok, pos, active, rem, firsts = self._insert_merge_body(
+                    params, cache, ids, mask, slot_ids, limits, ins_key,
+                    tok, pos, active, rem, s_bucket,
+                )
+                out = self._decode_segment(
+                    params, cache, tok, pos, active, rem, seg_keys
+                )
+                return out + (firsts,)
 
         fn = jax.jit(cycle)
         self._fns[key2] = fn
@@ -277,6 +357,114 @@ class ContinuousGenerator:
             step, (cache, tok, pos, active, rem), keys
         )
         return cache, toks.T, tok, pos, active, rem  # toks [B, seg]
+
+    # ---------------- speculative waves (gamma > 0) ----------------
+
+    def _draft(self, win, wmask, tok):
+        """Per-slot prompt-lookup drafts [B, γ−1]: match the bigram
+        (last window token, pending feed token) against the slot's own
+        rolling history window; the γ−1 tokens after the LAST match are
+        the draft. −1 marks no-draft slots (they auto-reject — a wave
+        degrades to one plain greedy step for that slot)."""
+        g = self.gamma
+        w = win.shape[1]
+        prev = win[:, -1]  # window is kept right-aligned
+        hit = (
+            (win[:, :-1] == prev[:, None])
+            & (win[:, 1:] == tok[:, None])
+            & wmask[:, :-1] & wmask[:, 1:] & wmask[:, -1:]
+        )
+        idx = jnp.arange(w - 1)
+        match = jnp.max(jnp.where(hit, idx, -1), axis=1)  # [B]
+        jj = match[:, None] + 2 + jnp.arange(g - 1)[None, :]
+        ok = (match[:, None] >= 0) & (jj < w)
+        jj_c = jnp.clip(jj, 0, w - 1)
+        dr = jnp.take_along_axis(win, jj_c, axis=1)
+        drm = jnp.take_along_axis(wmask, jj_c, axis=1)
+        return jnp.where(ok & drm, dr, -1)
+
+    def _spec_wave(self, params, cache, tok, pos, active, rem, win, wmask):
+        """ONE speculative wave: draft γ−1 per slot, verify all slots in
+        one γ-token forward, emit the per-slot accepted prefix + the
+        model's own next token (1..γ tokens), and invalidate rejected
+        drafts' cache rows. The shared cursor advances γ regardless —
+        holes are reclaimed by compaction."""
+        g = self.gamma
+        base = cache.length
+        drafts = self._draft(win, wmask, tok)  # [B, γ−1]
+        feed = jnp.concatenate([tok[:, None], jnp.maximum(drafts, 0)], axis=1)
+        positions = pos[:, None] + jnp.arange(g)[None, :]
+        logits, cache = self.model.apply(
+            params, feed, positions, cache,
+            jnp.broadcast_to(active[:, None], feed.shape),
+        )
+        o = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, γ]
+        acc = jnp.cumprod((o[:, :-1] == drafts).astype(jnp.int32), axis=1)
+        m = jnp.sum(acc, axis=1)  # accepted draft count per slot
+        c = jnp.minimum(m + 1, rem)  # emitted this wave (≥1 when active)
+        # first EOS inside the emitted prefix truncates it (eos emitted,
+        # same contract as the plain path's host-side break)
+        jcol = jnp.arange(g)[None, :]
+        is_eos = (o == self.eos) & (jcol < c[:, None])
+        e = jnp.min(jnp.where(is_eos, jcol, g), axis=1)
+        c = jnp.where(e < g, jnp.minimum(c, e + 1), c)
+        c = jnp.where(active, c, 0)
+        # serving-state advance
+        last = jnp.take_along_axis(
+            o, jnp.maximum(c - 1, 0)[:, None], axis=1
+        )[:, 0]
+        new_tok = jnp.where(active, last, tok)
+        new_pos = pos + c
+        new_rem = rem - c
+        saw_eos = e < g
+        new_active = active & ~saw_eos & (new_rem > 0)
+        # consumed feed tokens = first c rows of this wave's window;
+        # invalidate the rejected remainder (only inside [base, base+γ))
+        pcol = jnp.arange(cache.valid.shape[-1])[None, :]
+        in_wave = (pcol >= base) & (pcol < base + g)
+        keep = pcol < base + c[:, None]
+        cache = cache._replace(valid=cache.valid & (~in_wave | keep))
+        # rolling window append: the consumed feed tokens [tok,
+        # accepted drafts] = [tok] + o[:c−1] keep the window right-
+        # aligned via a shifted gather over the concatenation
+        appendbuf = jnp.concatenate([tok[:, None], o[:, :-1]], axis=1)
+        ext = jnp.concatenate([win, appendbuf], axis=1)
+        extm = jnp.concatenate(
+            [wmask, jcol < c[:, None]], axis=1
+        )
+        gidx = jnp.arange(win.shape[1])[None, :] + c[:, None]
+        win = jnp.take_along_axis(ext, gidx, axis=1)
+        wmask = jnp.take_along_axis(extm, gidx, axis=1)
+        toks = jnp.where(jcol < c[:, None], o, self.pad_id)
+        return cache, toks, c, new_tok, new_pos, new_active, new_rem, win, wmask
+
+    def _decode_segment_spec(
+        self, params, cache, tok, pos, active, rem, win, wmask
+    ):
+        """``seg_len`` speculative waves; returns per-wave token blocks
+        ``[B, seg, γ]`` and emitted counts ``[B, seg]``. The cursor
+        advances γ per wave (callers budget seg_len·γ per segment)."""
+
+        def step(carry, _):
+            cache, tok, pos, active, rem, win, wmask = carry
+            cache, toks, c, tok, pos, active, rem, win, wmask = (
+                self._spec_wave(
+                    params, cache, tok, pos, active, rem, win, wmask
+                )
+            )
+            return (cache, tok, pos, active, rem, win, wmask), (toks, c)
+
+        (cache, tok, pos, active, rem, win, wmask), (toks, counts) = (
+            jax.lax.scan(
+                step, (cache, tok, pos, active, rem, win, wmask),
+                None, length=self.seg_len,
+            )
+        )
+        # [seg, B, γ] → [B, seg, γ]; [seg, B] → [B, seg]
+        return (
+            cache, jnp.transpose(toks, (1, 0, 2)), counts.T,
+            tok, pos, active, rem, win, wmask,
+        )
 
     # ---------------- cache compaction (ROADMAP #6) ----------------
 
@@ -315,16 +503,24 @@ class ContinuousGenerator:
         dummy_key = jax.random.PRNGKey(0)
         dummy_vec = jnp.zeros(self.n_slots, jnp.int32)
         dummy_act = jnp.zeros(self.n_slots, bool)
+        dummy_win = (
+            (
+                jnp.zeros((self.n_slots, self.lookup_window), jnp.int32),
+                jnp.zeros((self.n_slots, self.lookup_window), bool),
+            )
+            if self.gamma
+            else ()
+        )
         for s_bucket, members in sorted(groups.items()):
             m = self._group_width(len(members))
             arr, mask, slot_ids, lims = self._pack_group(
                 s_bucket, m, [(b, ids, 1) for b, ids in members]
             )
-            fresh, _, _, _, _, _ = self._insert_merge_fn(s_bucket, m)(
+            fresh = self._insert_merge_fn(s_bucket, m)(
                 self.params, fresh, jnp.asarray(arr), jnp.asarray(mask),
                 jnp.asarray(slot_ids), jnp.asarray(lims), dummy_key,
-                dummy_vec, dummy_vec, dummy_act, dummy_vec,
-            )
+                dummy_vec, dummy_vec, dummy_act, dummy_vec, *dummy_win,
+            )[0]
         return fresh, bucket0
 
     # ---------------- host scheduler ----------------
@@ -360,6 +556,8 @@ class ContinuousGenerator:
         t0 = time.perf_counter()
         lat: list[float] = []
         n_compact = 0
+        spec_tokens = 0
+        spec_waves = 0
         budget_err = (
             "stream too long for the cache: raise max_position"
         )
@@ -377,6 +575,33 @@ class ContinuousGenerator:
         pos_d = jnp.asarray(pos_h)
         act_d = jnp.asarray(act_h)
         rem_d = jnp.asarray(rem_h)
+        g = self.gamma
+        seg_advance = self.seg_len * g if g else self.seg_len
+        win_d = wmask_d = None
+        if g:
+            win_d = jnp.full(
+                (self.n_slots, self.lookup_window), self.pad_id, jnp.int32
+            )
+            wmask_d = jnp.zeros((self.n_slots, self.lookup_window), bool)
+
+        def host_window():
+            """Rebuild the speculation windows from host truth (used
+            after compaction, which clobbers device state): right-
+            aligned last W of each live stream's prompt + tokens[:-1]
+            (the pending feed token stays out of the window)."""
+            w = self.lookup_window
+            wh = np.full((self.n_slots, w), self.pad_id, np.int32)
+            wm = np.zeros((self.n_slots, w), bool)
+            for b in range(self.n_slots):
+                st = slots[b]
+                if st is None:
+                    continue
+                hist = (list(prompts[st.idx]) + st.tokens[:-1])[-w:]
+                if hist:
+                    wh[b, -len(hist):] = hist
+                    wm[b, -len(hist):] = True
+            return jnp.asarray(wh), jnp.asarray(wm)
+
         inflight: collections.deque = collections.deque()
 
         def plan_refill():
@@ -394,7 +619,7 @@ class ContinuousGenerator:
             if len_host < s_bucket:
                 # prompt bucket past the cursor (fresh/compacted cache):
                 # bump the shared cursor — skipped rows stay invalid
-                if s_bucket + self.seg_len > cfg.max_position:
+                if s_bucket + seg_advance > cfg.max_position:
                     raise RuntimeError(budget_err)
                 cache = cache._replace(
                     length=jnp.asarray(s_bucket, jnp.int32)
@@ -430,16 +655,21 @@ class ContinuousGenerator:
             # the time a cycle's results are fetched the live table may
             # already hold the NEXT cycle's refills, so attribution must
             # go through the snapshot
-            pend, snap, toks, tk, ps, ac, rm = entry
-            toks, tok_v, pos_v, act_v, rem_v, firsts_list = (
+            pend, snap, toks, counts, tk, ps, ac, rm = entry
+            toks, counts, tok_v, pos_v, act_v, rem_v, firsts_list = (
                 jax.device_get(
-                    (toks, tk, ps, ac, rm, [f for _, f in pend])
+                    (toks, counts, tk, ps, ac, rm, [f for _, f in pend])
                 )
             )
+            nonlocal spec_tokens, spec_waves
             tok_h = np.asarray(tok_v).copy()
             pos_h = np.asarray(pos_v).copy()
             act_h = np.asarray(act_v).copy()
             rem_h = np.asarray(rem_v).copy()
+            if counts is not None:
+                c_arr = np.asarray(counts)
+                spec_tokens += int(c_arr.sum())
+                spec_waves += int((c_arr > 0).sum())
             # first sampled token of each freshly inserted stream (fed
             # to the decode segment on device; recorded here)
             for (members, _), firsts in zip(pend, firsts_list):
@@ -455,7 +685,16 @@ class ContinuousGenerator:
                 st = snap[b]
                 if st is None or st.t_done is not None:
                     continue
-                for t in toks[b]:
+                if counts is None:
+                    emitted = toks[b]
+                else:
+                    # speculative waves: [seg, γ] blocks, per-wave counts
+                    emitted = [
+                        t
+                        for w in range(toks.shape[1])
+                        for t in toks[b, w, : int(counts[b, w])]
+                    ]
+                for t in emitted:
                     if len(st.tokens) >= st.max_new:
                         break
                     if int(t) == self.eos:
@@ -470,7 +709,7 @@ class ContinuousGenerator:
             if not (any(s is not None for s in slots) or queue):
                 process(inflight.popleft())  # drain tail
                 continue
-            if len_host + self.seg_len > cfg.max_position:
+            if len_host + seg_advance > cfg.max_position:
                 # compaction needs ground-truth host state: drain first
                 while inflight:
                     process(inflight.popleft())
@@ -482,7 +721,7 @@ class ContinuousGenerator:
                 )
                 cache, len_host = self._compact(prompts, slots, head)
                 n_compact += 1
-                if len_host + self.seg_len > cfg.max_position:
+                if len_host + seg_advance > cfg.max_position:
                     raise RuntimeError(budget_err)
                 # re-upload the serving state the compaction merges
                 # clobbered (mirrors are exact: the pipeline is drained)
@@ -490,37 +729,61 @@ class ContinuousGenerator:
                 pos_d = jnp.asarray(pos_h)
                 act_d = jnp.asarray(act_h)
                 rem_d = jnp.asarray(rem_h)
+                if g:
+                    win_d, wmask_d = host_window()
             groups = plan_refill()
             key, sub = jax.random.split(key)
             seg_keys = jax.random.split(sub, self.seg_len)
             pend = []
+            counts = None
             for s_bucket, members in groups[:-1]:
                 cache, m, args = build_group(cache, s_bucket, members)
-                cache, tok_d, pos_d, act_d, rem_d, firsts = (
-                    self._insert_merge_fn(s_bucket, m)(
+                if g:
+                    (cache, tok_d, pos_d, act_d, rem_d, firsts,
+                     win_d, wmask_d) = self._insert_merge_fn(s_bucket, m)(
                         self.params, cache, *args,
-                        tok_d, pos_d, act_d, rem_d,
+                        tok_d, pos_d, act_d, rem_d, win_d, wmask_d,
                     )
-                )
+                else:
+                    cache, tok_d, pos_d, act_d, rem_d, firsts = (
+                        self._insert_merge_fn(s_bucket, m)(
+                            self.params, cache, *args,
+                            tok_d, pos_d, act_d, rem_d,
+                        )
+                    )
                 pend.append((members, firsts))
             if groups:
                 s_bucket, members = groups[-1]
                 cache, m, args = build_group(cache, s_bucket, members)
-                cache, toks, tok_d, pos_d, act_d, rem_d, firsts = (
-                    self._cycle_fn(s_bucket, m)(
+                if g:
+                    (cache, toks, counts, tok_d, pos_d, act_d, rem_d,
+                     win_d, wmask_d, firsts) = self._cycle_fn(s_bucket, m)(
                         self.params, cache, *args,
-                        tok_d, pos_d, act_d, rem_d, seg_keys,
+                        tok_d, pos_d, act_d, rem_d, win_d, wmask_d,
                     )
-                )
+                else:
+                    cache, toks, tok_d, pos_d, act_d, rem_d, firsts = (
+                        self._cycle_fn(s_bucket, m)(
+                            self.params, cache, *args,
+                            tok_d, pos_d, act_d, rem_d, seg_keys,
+                        )
+                    )
                 pend.append((members, firsts))
+            elif g:
+                (cache, toks, counts, tok_d, pos_d, act_d, rem_d,
+                 win_d, wmask_d) = self._decode_spec_fn(
+                    self.params, cache, tok_d, pos_d, act_d, rem_d,
+                    win_d, wmask_d,
+                )
             else:
                 cache, toks, tok_d, pos_d, act_d, rem_d = self._decode_fn(
                     self.params, cache, tok_d, pos_d, act_d, rem_d,
                     seg_keys,
                 )
-            len_host += self.seg_len
+            len_host += seg_advance
             inflight.append(
-                (pend, list(slots), toks, tok_d, pos_d, act_d, rem_d)
+                (pend, list(slots), toks, counts, tok_d, pos_d, act_d,
+                 rem_d)
             )
             # depth-2 pipeline: fetch cycle N-1 while cycle N runs
             if len(inflight) >= 2:
@@ -535,4 +798,10 @@ class ContinuousGenerator:
             "p95_latency_s": float(np.percentile(lat, 95)) if lat else 0.0,
             "compactions": n_compact,
         }
+        if self.gamma:
+            # mean emitted tokens per active speculative wave: 1.0 = no
+            # acceptance (plain greedy cost at γ-wide forwards), γ = full
+            stats["tokens_per_wave"] = (
+                spec_tokens / spec_waves if spec_waves else 0.0
+            )
         return results, stats

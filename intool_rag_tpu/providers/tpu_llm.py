@@ -191,6 +191,12 @@ class TPULLM(BaseLLM):
             eos = getattr(self.tokenizer, "eos_id", None)
             if eos is None:
                 eos = getattr(self.tokenizer, "eos_token_id", None)
+            # LLM_SPECULATIVE_GAMMA composes with continuous batching:
+            # each wave verifies gamma tokens per slot (batched
+            # prompt-lookup speculation — models/scheduler.py). Greedy
+            # serving only; sampling configs fall back to plain waves.
+            gamma = get_config().LLM_SPECULATIVE_GAMMA
+            spec = gamma if (gamma > 1 and self.temperature <= 0) else 0
             self._waves = _WaveServer(
                 ContinuousGenerator(
                     self.config,
@@ -201,6 +207,7 @@ class TPULLM(BaseLLM):
                     pad_id=getattr(self.tokenizer, "pad_id", 0),
                     top_k=get_config().LLM_TOP_K,
                     top_p=get_config().LLM_TOP_P,
+                    speculative_gamma=spec,
                 )
             )
 

@@ -109,3 +109,95 @@ def test_continuous_respects_eos(rng):
     for r in results:
         assert len(r) <= 8
         assert eos not in r
+
+
+def test_speculative_batched_matches_plain(rng):
+    """Batched prompt-lookup speculation (speculative_gamma > 0) must
+    produce EXACTLY the plain scheduler's greedy tokens for every
+    stream — acceptance only changes how many waves it takes."""
+    config = _tiny_config()
+    params = init_decoder_params(config)
+    n = 8
+    prompts = [
+        rng.integers(5, 250, size=int(rng.integers(4, 24))).tolist()
+        for _ in range(n)
+    ]
+    limits = [int(rng.integers(6, 20)) for _ in range(n)]
+
+    plain = ContinuousGenerator(config, params, n_slots=4, seg_len=4)
+    want, _ = plain.generate_many(prompts, limits)
+
+    spec = ContinuousGenerator(
+        config, params, n_slots=4, seg_len=4, speculative_gamma=4,
+        lookup_window=32,
+    )
+    got, stats = spec.generate_many(prompts, limits)
+    assert got == want
+    # every wave emits at least one token per active slot
+    assert stats["tokens_per_wave"] >= 1.0
+
+
+def test_speculative_accepts_on_repetition(rng):
+    """A prompt whose continuation the model provably repeats: random
+    tiny decoders fall into short repetition loops, and the rolling
+    window includes GENERATED history, so once the loop closes the
+    lookup drafts it and acceptance must exceed 1 token/wave. (If this
+    particular seed's model doesn't loop within the budget, the parity
+    assertion still holds — the acceptance assertion is conditional on
+    observed repetition.)"""
+    config = _tiny_config()
+    params = init_decoder_params(config)
+    prompts = [rng.integers(5, 250, size=6).tolist() for _ in range(2)]
+    limits = [48, 48]
+
+    plain = ContinuousGenerator(config, params, n_slots=2, seg_len=4)
+    want, _ = plain.generate_many(prompts, limits)
+    spec = ContinuousGenerator(
+        config, params, n_slots=2, seg_len=4, speculative_gamma=4,
+        lookup_window=64,
+    )
+    got, stats = spec.generate_many(prompts, limits)
+    assert got == want
+
+    def loops(seq):
+        # repeated bigram anywhere in the emitted stream
+        bigrams = list(zip(seq, seq[1:]))
+        return len(bigrams) != len(set(bigrams))
+
+    if any(loops(w) for w in want):
+        assert stats["tokens_per_wave"] > 1.0, stats
+
+
+def test_speculative_compaction_parity(rng):
+    """Speculation burns gamma cursor slots per wave, so compaction
+    fires much sooner — outputs must stay identical to the plain path
+    and to an ample-cache speculative run."""
+    config = DecoderConfig(
+        vocab_size=257, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=128, max_position=160,
+        dtype="float32",
+    )
+    params = init_decoder_params(config)
+    prompts = [rng.integers(5, 250, size=8).tolist() for _ in range(4)]
+    limits = [24] * 4
+
+    plain = ContinuousGenerator(config, params, n_slots=2, seg_len=4)
+    want, _ = plain.generate_many(prompts, limits)
+    spec = ContinuousGenerator(
+        config, params, n_slots=2, seg_len=4, speculative_gamma=4,
+        lookup_window=32,
+    )
+    got, stats = spec.generate_many(prompts, limits)
+    assert got == want
+    assert stats["compactions"] >= 1, stats
+
+
+def test_speculative_rejects_sampling():
+    import pytest
+
+    config = _tiny_config()
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousGenerator(
+            config, init_decoder_params(config),
+            speculative_gamma=4, temperature=0.7,
+        )
