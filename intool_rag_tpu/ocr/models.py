@@ -131,6 +131,73 @@ class CTCRecognizer(nn.Module):
         return nn.Dense(self.vocab_size + 1, name="ctc_head")(x)
 
 
+class SVTRRecognizer(nn.Module):
+    """SVTR-style single-vision-model recognizer (Du et al. 2022,
+    "SVTR: Scene Text Recognition with a Single Visual Model") — the
+    architecture family the reference's model zoo ships as rec_svtrnet
+    (arch_config.yaml; §2.7 #45). TPU-first simplifications: the conv
+    patch stem downsamples to H/4 columns, height folds into channels,
+    and ``depth`` pre-norm transformer blocks (MHSA over the column
+    sequence + GELU MLP) do the global mixing — the paper's local-mixing
+    blocks are windowed attention, which at 32-px crops (8 rows after
+    the stem) is indistinguishable from the depthwise-conv local mixing
+    the stem already provides, so the columns-only global mixer keeps
+    every op MXU-shaped with no positional encoding (free length
+    extrapolation, same property the conv recognizer documents).
+
+    Same I/O contract as :class:`CTCRecognizer`: crops ``[B, 32, W, 3]``
+    → logits ``[B, W/(2·col_stride), vocab+1]`` — the pipeline, trainer,
+    beam decode and bundle persistence are arch-agnostic."""
+
+    vocab_size: int  # excluding blank; blank id = vocab_size
+    width: int = 64  # embedding dim
+    depth: int = 3
+    heads: int = 4
+    col_stride: int = 2
+
+    @nn.compact
+    def __call__(self, crops: jax.Array) -> jax.Array:
+        x = _conv_bn_act(crops, self.width // 2, stride=2)  # H/2, W/2
+        x = nn.Conv(
+            self.width, (3, 3), strides=(2, self.col_stride), padding="SAME"
+        )(x)
+        x = nn.relu(x)  # H/4, W/(2·col_stride)
+        b, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, w, h * c)
+        x = nn.Dense(self.width)(x)
+        for i in range(self.depth):
+            y = nn.LayerNorm(name=f"ln_attn_{i}")(x)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, qkv_features=self.width,
+                name=f"mixer_{i}",
+            )(y)
+            x = x + y
+            y = nn.LayerNorm(name=f"ln_mlp_{i}")(x)
+            y = nn.Dense(self.width * 4, name=f"mlp_up_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.width, name=f"mlp_down_{i}")(y)
+            x = x + y
+        x = nn.LayerNorm(name="ln_out")(x)
+        return nn.Dense(self.vocab_size + 1, name="ctc_head")(x)
+
+
+def make_recognizer(
+    arch: str, vocab_size: int, width: int, col_stride: int = 2
+):
+    """Recognizer zoo dispatch: ``conv`` (CTCRecognizer — the shipped
+    default) or ``svtr`` (SVTRRecognizer)."""
+    if arch == "conv":
+        return CTCRecognizer(
+            vocab_size=vocab_size, width=width, col_stride=col_stride
+        )
+    if arch == "svtr":
+        return SVTRRecognizer(
+            vocab_size=vocab_size, width=max(width, 32),
+            col_stride=col_stride,
+        )
+    raise ValueError(f"unknown recognizer arch {arch!r} (conv | svtr)")
+
+
 @dataclasses.dataclass
 class OCRModelBundle:
     """Initialized models + params for the pipeline."""
@@ -139,7 +206,7 @@ class OCRModelBundle:
     det_params: dict
     cls: OrientationClassifier
     cls_params: dict
-    rec: CTCRecognizer
+    rec: "CTCRecognizer | SVTRRecognizer"
     rec_params: dict
     charset: str  # rec vocab, index = class id
 
@@ -147,14 +214,15 @@ class OCRModelBundle:
     def create(
         cls, charset: str, seed: int = 0, width: int = 16,
         rec_width: int | None = None, rec_col_stride: int = 2,
+        rec_arch: str = "conv",
     ) -> "OCRModelBundle":
         rng = jax.random.PRNGKey(seed)
         det = DBDetector(width)
         det_params = det.init(rng, jnp.zeros((1, 64, 64, 3)))
         cls_model = OrientationClassifier(width)
         cls_params = cls_model.init(rng, jnp.zeros((1, 32, 64, 3)))
-        rec = CTCRecognizer(
-            vocab_size=len(charset), width=rec_width or width * 2,
+        rec = make_recognizer(
+            rec_arch, len(charset), rec_width or width * 2,
             col_stride=rec_col_stride,
         )
         rec_params = rec.init(rng, jnp.zeros((1, 32, 64, 3)))
@@ -177,6 +245,9 @@ class OCRModelBundle:
             "width": self._width(),
             "rec_width": self.rec.width,
             "rec_stride": self.rec.col_stride,
+            "rec_arch": (
+                "svtr" if isinstance(self.rec, SVTRRecognizer) else "conv"
+            ),
         })
         np.savez_compressed(
             Path(path),
@@ -202,6 +273,7 @@ class OCRModelBundle:
                 meta["charset"], width=meta["width"],
                 rec_width=meta.get("rec_width", meta["width"] * 2),
                 rec_col_stride=meta.get("rec_stride", 2),
+                rec_arch=meta.get("rec_arch", "conv"),
             )
             det_p = ser.from_bytes(bundle.det_params, z["det"].tobytes())
             cls_p = ser.from_bytes(bundle.cls_params, z["cls"].tobytes())

@@ -18,7 +18,7 @@ import numpy as np
 import optax
 
 from ..logging import get_logger
-from .models import CTCRecognizer, DBDetector, OrientationClassifier
+from .models import CTCRecognizer, DBDetector, OrientationClassifier, make_recognizer
 
 logger = get_logger(__name__)
 
@@ -246,8 +246,10 @@ def train_synthetic_recognizer(
     lr: float = 2e-3,
     init_params=None,
     augment: bool = True,
+    arch: str = "conv",
 ):
-    """Train CTCRecognizer on rendered random strings from ``charset``,
+    """Train a recognizer (``arch``: conv | svtr — models.make_recognizer)
+    on rendered random strings from ``charset``,
     with font/size/contrast/noise augmentation so it generalizes to
     detector crops (``augment=False`` renders clean fixed-font crops —
     used by the fast convergence unit test; shipped weights always train
@@ -257,7 +259,7 @@ def train_synthetic_recognizer(
     from .synth import DEFAULT_FONTS, render_line
 
     rng = np.random.default_rng(seed)
-    model = CTCRecognizer(vocab_size=len(charset), width=width)
+    model = make_recognizer(arch, len(charset), width)
     params = init_params or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3))
     )

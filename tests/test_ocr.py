@@ -377,3 +377,50 @@ def test_lexicon_correct_never_touches_codes_or_proper_nouns():
         "Dole banana",                 # substitution-class stays off
     ):
         assert lexicon_correct(untouched) == untouched, untouched
+
+
+@pytest.mark.slow
+def test_svtr_recognizer_trains_and_reads():
+    """Model-zoo parity (#45): the SVTR-style recognizer (second zoo
+    arch — reference ships rec_svtrnet) trains through the SAME CTC
+    trainer and reads clean digits; bundle save/load round-trips the
+    arch tag."""
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ocr.models import OCRModelBundle, SVTRRecognizer
+    from intool_rag_tpu.ocr.postprocess import ctc_greedy_decode as decode
+    from intool_rag_tpu.ocr.train import (
+        _pad_batch,
+        render_text_image,
+        train_synthetic_recognizer,
+    )
+
+    model, params, charset, losses = train_synthetic_recognizer(
+        steps=300, batch=16, seed=0, augment=False, arch="svtr"
+    )
+    assert isinstance(model, SVTRRecognizer)
+    assert losses[-1] < losses[0] * 0.2, f"CTC loss did not converge: {losses[-1]}"
+    tests = ["0123", "90210", "777"]
+    images = _pad_batch([render_text_image(t) for t in tests])
+    logits = np.asarray(model.apply(params, images))
+    decoded = decode(logits, charset)
+    correct = sum(got == want for (got, _), want in zip(decoded, tests))
+    assert correct >= 2, f"decoded {decoded} vs {tests}"
+
+
+def test_bundle_svtr_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ocr.models import OCRModelBundle, SVTRRecognizer
+
+    bundle = OCRModelBundle.create("abc123", width=8, rec_arch="svtr")
+    assert isinstance(bundle.rec, SVTRRecognizer)
+    bundle.save(tmp_path / "zoo.npz")
+    loaded = OCRModelBundle.load(tmp_path / "zoo.npz")
+    assert isinstance(loaded.rec, SVTRRecognizer)
+    x = jnp.zeros((2, 32, 64, 3))
+    np.testing.assert_allclose(
+        np.asarray(bundle.rec.apply(bundle.rec_params, x)),
+        np.asarray(loaded.rec.apply(loaded.rec_params, x)),
+        rtol=1e-6,
+    )
