@@ -4,6 +4,7 @@ prompt — streams sharing a cache must stay perfectly isolated (round-2
 verdict item 7)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -137,6 +138,7 @@ def test_speculative_batched_matches_plain(rng):
     assert stats["tokens_per_wave"] >= 1.0
 
 
+@pytest.mark.slow
 def test_speculative_accepts_on_repetition(rng):
     """A prompt whose continuation the model provably repeats: random
     tiny decoders fall into short repetition loops, and the rolling
@@ -168,6 +170,7 @@ def test_speculative_accepts_on_repetition(rng):
         assert stats["tokens_per_wave"] > 1.0, stats
 
 
+@pytest.mark.slow
 def test_speculative_compaction_parity(rng):
     """Speculation burns gamma cursor slots per wave, so compaction
     fires much sooner — outputs must stay identical to the plain path
