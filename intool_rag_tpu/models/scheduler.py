@@ -119,10 +119,22 @@ class ContinuousGenerator:
             )
         self.gamma = int(speculative_gamma) if speculative_gamma else 0
         self.lookup_window = int(lookup_window)
+        if self.gamma:
+            # a speculative wave burns gamma cursor slots; shrink the
+            # waves-per-segment so a segment's cursor advance (and thus
+            # the cache budget and refill latency in TOKENS) stays at
+            # the configured seg_len regardless of gamma
+            self.seg_len = max(1, self.seg_len // self.gamma)
         self.model = DecoderLM(config)
         self._fns: dict[tuple, callable] = {}
         self._decode_fn = jax.jit(self._decode_segment)
         self._decode_spec_fn = jax.jit(self._decode_segment_spec)
+
+    @property
+    def segment_advance(self) -> int:
+        """Shared-cursor slots one decode segment consumes — what
+        callers must budget against ``max_position``."""
+        return self.seg_len * self.gamma if self.gamma else self.seg_len
 
     # ---------------- device programs ----------------
 
@@ -576,7 +588,7 @@ class ContinuousGenerator:
         act_d = jnp.asarray(act_h)
         rem_d = jnp.asarray(rem_h)
         g = self.gamma
-        seg_advance = self.seg_len * g if g else self.seg_len
+        seg_advance = self.segment_advance
         win_d = wmask_d = None
         if g:
             win_d = jnp.full(

@@ -332,7 +332,7 @@ class TPULLM(BaseLLM):
             # overruns (takes the whole wave down). Keep the TAIL (RAG
             # prompts end with the question).
             raw = [int(t) for t, m in zip(ids[0], mask[0]) if m]
-            seg = self._waves.gen.seg_len
+            seg = self._waves.gen.segment_advance
             budget = self.config.max_position - seg
             # largest power-of-2 history bucket that fits (buckets round
             # up to powers of 2, so prompt+generated must stay ≤ this)

@@ -351,3 +351,51 @@ def test_tpu_llm_speculative_path(monkeypatch):
     finally:
         monkeypatch.delenv("LLM_SPECULATIVE_GAMMA")
         config_mod.reset_config()
+
+
+def test_tpu_llm_continuous_speculative_serving(monkeypatch):
+    """LLM_SPECULATIVE_GAMMA composes with LLM_CONTINUOUS_SLOTS: the
+    provider builds a speculative wave scheduler (greedy) and concurrent
+    generate() calls return the SAME outputs as the plain continuous
+    path — speculation changes wave count, never tokens."""
+    import threading
+
+    from intool_rag_tpu import config as config_mod
+    from intool_rag_tpu.providers.tpu_llm import ByteTokenizer, TPULLM
+
+    tok = ByteTokenizer()
+    prompts = [f"question {i}: what?" for i in range(4)]
+
+    def serve():
+        llm = TPULLM(
+            config=CFG, tokenizer=tok, max_new_tokens=8, temperature=0.0
+        )
+        assert llm._waves is not None
+        got = [None] * len(prompts)
+
+        def run(i):
+            got[i] = llm.generate(prompts[i])
+
+        threads = [
+            threading.Thread(target=run, args=(i,))
+            for i in range(len(prompts))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        return got, llm
+
+    monkeypatch.setenv("LLM_CONTINUOUS_SLOTS", "4")
+    config_mod.reset_config()
+    try:
+        plain, _ = serve()
+        monkeypatch.setenv("LLM_SPECULATIVE_GAMMA", "4")
+        config_mod.reset_config()
+        spec, llm = serve()
+        assert llm._waves.gen.gamma == 4
+        assert spec == plain
+    finally:
+        monkeypatch.delenv("LLM_CONTINUOUS_SLOTS")
+        monkeypatch.delenv("LLM_SPECULATIVE_GAMMA", raising=False)
+        config_mod.reset_config()
