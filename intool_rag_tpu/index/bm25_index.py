@@ -262,11 +262,28 @@ class BM25Index:
         """Row-layout kernel (two aligned row gathers), packed-key
         aggregation when n_docs fits the i32 key (half the sort bytes —
         the fast TPU path; ~1e-3 relative quantization, top-10 overlap
-        ≥0.999 vs exact), exact f32 aggregation otherwise."""
+        ≥0.999 vs exact), exact f32 aggregation otherwise. Queries whose
+        hot-term count fits T/2 additionally pack hot terms FIRST so the
+        wide gather (and the dominant sort) covers half the term slots
+        (ops/bm25._gather_rows hot_cap)."""
         from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
 
         qterms, qtf = self.encode_queries(queries)
         rows = self._row_layout()
+        hot_cap = None
+        if self.n_docs < 1 << 20:
+            qt_np = np.asarray(qterms)
+            hot_np = rows["term_hot_np"]
+            is_hot = (qt_np >= 0) & hot_np[np.maximum(qt_np, 0)]
+            t = qt_np.shape[1]
+            cap = t // 2
+            if cap >= 1 and int(is_hot.sum(axis=1).max(initial=0)) <= cap:
+                order = np.argsort(~is_hot, axis=1, kind="stable")
+                qterms = jnp.asarray(np.take_along_axis(qt_np, order, 1))
+                qtf = jnp.asarray(
+                    np.take_along_axis(np.asarray(qtf), order, 1)
+                )
+                hot_cap = cap
         args = (
             qterms, qtf, rows["term_row"], rows["term_hot"],
             rows["hot_docs"], rows["hot_w"],
@@ -275,7 +292,8 @@ class BM25Index:
         )
         if self.n_docs < 1 << 20:  # 31 − qbits(11)
             return bm25_topk_rows_packed(
-                *args, n_docs=self.n_docs, term_wmax=rows["term_wmax"]
+                *args, n_docs=self.n_docs, term_wmax=rows["term_wmax"],
+                hot_cap=hot_cap,
             )
         return bm25_topk_rows(*args, n_docs=self.n_docs)
 

@@ -333,6 +333,8 @@ def build_row_layout(
         "hot_docs": hd, "hot_w": hw,
         "cold_docs": cd, "cold_w": cw,
         "term_wmax": wmax,
+        # host copy for query-side hot-first packing (tiny [V] bool)
+        "term_hot_np": hot,
     }
 
 
@@ -437,11 +439,21 @@ def _aggregate_topk(docs: jax.Array, contrib: jax.Array, k: int, n_docs: int):
 
 def _gather_rows(
     qterms, qtf, term_row, term_hot, hot_docs, hot_w, cold_docs, cold_w,
-    idf, n_docs,
+    idf, n_docs, hot_cap=None,
 ):
     """Two-tier row gather shared by the rows kernels: returns flat
     ``(docs [Q, M], contrib [Q, M])`` with contributions clamped ≥ 0 and
-    padding slots set to the ``n_docs`` sentinel."""
+    padding slots set to the ``n_docs`` sentinel.
+
+    ``hot_cap`` (static) activates HOT-FIRST PACKING: the caller
+    guarantees each query's terms are ordered hot-tier-first and that no
+    query has more than ``hot_cap`` hot terms — then the wide
+    (``p_max``) gather only covers the first ``hot_cap`` term slots and
+    the candidate width shrinks from ``T·(p_max+cold)`` to
+    ``hot_cap·p_max + T·cold`` (the downstream sort is the dominant
+    stage cost). Cold terms may sit anywhere (the narrow gather covers
+    all T slots). Callers that cannot guarantee the bound use the full
+    kernel (BM25Index.topk checks per batch and falls back)."""
     q, t = qterms.shape
     p_max = hot_docs.shape[1]
     cold_width = cold_docs.shape[1]
@@ -451,12 +463,18 @@ def _gather_rows(
     is_cold = ~term_hot[t_safe] & (qterms >= 0)
     scale = (idf[t_safe] * qtf)[:, :, None]  # [Q, T, 1]
 
-    hd = jnp.take(hot_docs, jnp.where(is_hot, row, 0).reshape(-1), axis=0)
-    hw = jnp.take(hot_w, jnp.where(is_hot, row, 0).reshape(-1), axis=0)
-    hd = hd.reshape(q, t, p_max)
-    hw = hw.reshape(q, t, p_max)
-    h_contrib = jnp.maximum(jnp.where(is_hot[:, :, None], hw * scale, 0.0), 0.0)
-    hd = jnp.where(is_hot[:, :, None], hd, n_docs)
+    th = t if hot_cap is None else min(hot_cap, t)
+    is_hot_c = is_hot[:, :th]
+    row_h = row[:, :th]
+    scale_h = scale[:, :th]
+    hd = jnp.take(hot_docs, jnp.where(is_hot_c, row_h, 0).reshape(-1), axis=0)
+    hw = jnp.take(hot_w, jnp.where(is_hot_c, row_h, 0).reshape(-1), axis=0)
+    hd = hd.reshape(q, th, p_max)
+    hw = hw.reshape(q, th, p_max)
+    h_contrib = jnp.maximum(
+        jnp.where(is_hot_c[:, :, None], hw * scale_h, 0.0), 0.0
+    )
+    hd = jnp.where(is_hot_c[:, :, None], hd, n_docs)
 
     cd = jnp.take(cold_docs, jnp.where(is_cold, row, 0).reshape(-1), axis=0)
     cw = jnp.take(cold_w, jnp.where(is_cold, row, 0).reshape(-1), axis=0)
@@ -501,7 +519,9 @@ def bm25_topk_rows(
     return _aggregate_topk(docs, contrib, k, n_docs)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_docs", "qbits"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_docs", "qbits", "hot_cap")
+)
 def bm25_topk_rows_packed(
     qterms: jax.Array,  # [Q, T] i32, -1 padding
     qtf: jax.Array,  # [Q, T] f32
@@ -517,6 +537,7 @@ def bm25_topk_rows_packed(
     n_docs: int,
     qbits: int = 11,
     term_wmax: jax.Array | None = None,  # [V] f32 global max posting weight
+    hot_cap: int | None = None,  # see _gather_rows hot-first packing
 ) -> tuple[jax.Array, jax.Array]:
     """Row-layout gather + packed single-key aggregation — the fastest
     TPU path: the 3.6×-faster aligned row gather of
@@ -542,7 +563,7 @@ def bm25_topk_rows_packed(
         )
     docs, contrib = _gather_rows(
         qterms, qtf, term_row, term_hot, hot_docs, hot_w,
-        cold_docs, cold_w, idf, n_docs,
+        cold_docs, cold_w, idf, n_docs, hot_cap,
     )
     scale = None
     if term_wmax is not None:

@@ -331,3 +331,53 @@ def test_bm25_packed_keeps_tiny_contributions():
     assert n_packed == n_exact, (n_packed, n_exact)
     # the rare-term doc still ranks first
     assert np.asarray(i2)[0, 0] == np.asarray(i1)[0, 0] == 0
+
+
+def test_bm25_hot_first_packing_parity():
+    """hot_cap packing (hot terms sorted first, wide gather over T/2
+    slots) must match the full-width kernel exactly; queries with more
+    hot terms than the cap fall back inside BM25Index.topk."""
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ops.bm25 import bm25_topk_rows_packed
+
+    # 40 docs sharing common words (hot at cold_width 4) + rare terms
+    common = "alpha beta gamma delta"
+    docs = [f"{common} rare{i} extra{i % 7}" for i in range(40)]
+    idx = BM25Index.build(docs, BM25Params(p_max=16))
+    rows = idx._row_layout(cold_width=4)
+    queries = ["alpha rare3", "beta gamma extra2", "rare7 rare8"]
+    qt, qf = idx.encode_queries(queries, max_terms=8)
+    qt_np, qf_np = np.asarray(qt), np.asarray(qf)
+    hot_np = rows["term_hot_np"]
+    is_hot = (qt_np >= 0) & hot_np[np.maximum(qt_np, 0)]
+    order = np.argsort(~is_hot, axis=1, kind="stable")
+    qt_s = jnp.asarray(np.take_along_axis(qt_np, order, 1))
+    qf_s = jnp.asarray(np.take_along_axis(qf_np, order, 1))
+    args_tail = (
+        rows["term_row"], rows["term_hot"], rows["hot_docs"],
+        rows["hot_w"], rows["cold_docs"], rows["cold_w"], idx.idf, 10,
+    )
+    v_full, i_full = bm25_topk_rows_packed(
+        qt, qf, *args_tail, n_docs=idx.n_docs,
+        term_wmax=rows["term_wmax"],
+    )
+    v_cap, i_cap = bm25_topk_rows_packed(
+        qt_s, qf_s, *args_tail, n_docs=idx.n_docs,
+        term_wmax=rows["term_wmax"], hot_cap=4,
+    )
+    for r in range(len(queries)):
+        got_f = {int(i): float(v) for i, v in zip(np.asarray(i_full)[r], np.asarray(v_full)[r]) if v > 0}
+        got_c = {int(i): float(v) for i, v in zip(np.asarray(i_cap)[r], np.asarray(v_cap)[r]) if v > 0}
+        assert got_f.keys() == got_c.keys()
+        for d in got_f:
+            assert got_c[d] == pytest.approx(got_f[d], rel=1e-5)
+    # BM25Index.topk end-to-end (packs internally) matches the dense oracle
+    dense = np.asarray(idx.scores(queries))
+    vals, ids = idx.topk(queries, 5)
+    for r in range(len(queries)):
+        for i, v in zip(np.asarray(ids)[r], np.asarray(vals)[r]):
+            if v > 0:
+                assert dense[r][int(i)] == pytest.approx(
+                    float(v), rel=2e-3, abs=1e-3
+                )
