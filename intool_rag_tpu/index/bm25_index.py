@@ -228,10 +228,11 @@ class BM25Index:
 
     # ---------------- query ----------------
 
-    def encode_queries(
+    def _encode_queries_np(
         self, queries: list[str], max_terms: int | None = None
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Map query strings to padded ``(qterms [Q,T] i32, qtf [Q,T] f32)``."""
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side query encoding (callers that reorder/inspect terms
+        use this to avoid a device round-trip before upload)."""
         cfg = get_config()
         t_max = max_terms or cfg.BM25_MAX_QUERY_TERMS
         q = len(queries)
@@ -246,6 +247,13 @@ class BM25Index:
             for j, (tid, tf) in enumerate(sorted(counts.items())[:t_max]):
                 qterms[i, j] = tid
                 qtf[i, j] = tf
+        return qterms, qtf
+
+    def encode_queries(
+        self, queries: list[str], max_terms: int | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Map query strings to padded ``(qterms [Q,T] i32, qtf [Q,T] f32)``."""
+        qterms, qtf = self._encode_queries_np(queries, max_terms)
         return jnp.asarray(qterms), jnp.asarray(qtf)
 
     def scores(self, queries: list[str]) -> jnp.ndarray:
@@ -268,29 +276,31 @@ class BM25Index:
         (ops/bm25._gather_rows hot_cap)."""
         from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
 
-        qterms, qtf = self.encode_queries(queries)
+        qt_np, qf_np = self._encode_queries_np(queries)
         rows = self._row_layout()
+        packed = self.n_docs < 1 << 20  # 31 − qbits(11)
         hot_cap = None
-        if self.n_docs < 1 << 20:
-            qt_np = np.asarray(qterms)
+        if packed:
+            # reorder ON HOST before the single upload (the arrays came
+            # from host encoding — fetching them back for the hot check
+            # would cost two tunnel round-trips on the hot path)
             hot_np = rows["term_hot_np"]
             is_hot = (qt_np >= 0) & hot_np[np.maximum(qt_np, 0)]
             t = qt_np.shape[1]
             cap = t // 2
             if cap >= 1 and int(is_hot.sum(axis=1).max(initial=0)) <= cap:
                 order = np.argsort(~is_hot, axis=1, kind="stable")
-                qterms = jnp.asarray(np.take_along_axis(qt_np, order, 1))
-                qtf = jnp.asarray(
-                    np.take_along_axis(np.asarray(qtf), order, 1)
-                )
+                qt_np = np.take_along_axis(qt_np, order, 1)
+                qf_np = np.take_along_axis(qf_np, order, 1)
                 hot_cap = cap
         args = (
-            qterms, qtf, rows["term_row"], rows["term_hot"],
+            jnp.asarray(qt_np), jnp.asarray(qf_np),
+            rows["term_row"], rows["term_hot"],
             rows["hot_docs"], rows["hot_w"],
             rows["cold_docs"], rows["cold_w"],
             self.idf, k,
         )
-        if self.n_docs < 1 << 20:  # 31 − qbits(11)
+        if packed:
             return bm25_topk_rows_packed(
                 *args, n_docs=self.n_docs, term_wmax=rows["term_wmax"],
                 hot_cap=hot_cap,

@@ -121,9 +121,12 @@ class ContinuousGenerator:
         self.lookup_window = int(lookup_window)
         if self.gamma:
             # a speculative wave burns gamma cursor slots; shrink the
-            # waves-per-segment so a segment's cursor advance (and thus
-            # the cache budget and refill latency in TOKENS) stays at
-            # the configured seg_len regardless of gamma
+            # waves-per-segment so a segment's cursor advance (=
+            # segment_advance, what budget checks use) never EXCEEDS the
+            # configured seg_len — except when gamma > seg_len, where
+            # one wave (the minimum) already burns gamma. Non-dividing
+            # gammas round the advance DOWN (refill latency shortens
+            # slightly; never a budget risk).
             self.seg_len = max(1, self.seg_len // self.gamma)
         self.model = DecoderLM(config)
         self._fns: dict[tuple, callable] = {}

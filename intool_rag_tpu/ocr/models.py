@@ -191,9 +191,12 @@ def make_recognizer(
             vocab_size=vocab_size, width=width, col_stride=col_stride
         )
     if arch == "svtr":
+        # SVTR width constraints: the stem's GroupNorm needs width/2
+        # divisible by its 8 groups and MHSA needs width divisible by
+        # 4 heads — round up to a multiple of 16 (min 32)
+        w = -(-max(width, 32) // 16) * 16
         return SVTRRecognizer(
-            vocab_size=vocab_size, width=max(width, 32),
-            col_stride=col_stride,
+            vocab_size=vocab_size, width=w, col_stride=col_stride,
         )
     raise ValueError(f"unknown recognizer arch {arch!r} (conv | svtr)")
 

@@ -374,6 +374,7 @@ def train_recognizer_cached(
     col_stride: int = 2,
     text_sampler=None,
     font_probs=None,
+    arch: str = "conv",
 ):
     """TPU-first recognizer training: render an augmented crop pool ONCE
     (host PIL rendering is the wall-clock bottleneck of the per-step
@@ -387,8 +388,8 @@ def train_recognizer_cached(
     from .synth import DEFAULT_FONTS, random_text, render_line
 
     rng = np.random.default_rng(seed)
-    model = CTCRecognizer(
-        vocab_size=len(charset), width=width, col_stride=col_stride
+    model = make_recognizer(
+        arch, len(charset), width, col_stride=col_stride
     )
     params = init_params or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3))

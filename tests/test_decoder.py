@@ -384,6 +384,7 @@ def test_tpu_llm_continuous_speculative_serving(monkeypatch):
             t.start()
         for t in threads:
             t.join(timeout=120)
+        assert all(g is not None for g in got)  # no silent hang
         return got, llm
 
     monkeypatch.setenv("LLM_CONTINUOUS_SLOTS", "4")
