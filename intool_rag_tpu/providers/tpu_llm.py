@@ -88,7 +88,7 @@ class _WaveServer:
                 m.inc("llm_wave_requests", len(wave))
                 t_wave = time.perf_counter()
                 try:
-                    results, _ = self.gen.generate_many(
+                    results, stats = self.gen.generate_many(
                         [w[0] for w in wave], [w[1] for w in wave]
                     )
                 except Exception as exc:  # surface to every waiter
@@ -98,6 +98,14 @@ class _WaveServer:
                         done.set()
                     continue
                 m.observe("llm.wave", time.perf_counter() - t_wave)
+                m.inc("llm_wave_tokens", int(stats.get("total_tokens", 0)))
+                m.inc("llm_compactions", int(stats.get("compactions", 0)))
+                if "tokens_per_wave" in stats:
+                    # speculative acceptance: mean emitted tokens per
+                    # γ-token verification step (1.0 = all rejected)
+                    m.observe(
+                        "llm.accepted_per_wave", stats["tokens_per_wave"]
+                    )
                 for (_, _, done, box), toks in zip(wave, results):
                     box["toks"] = toks
                     done.set()
