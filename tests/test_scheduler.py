@@ -204,3 +204,53 @@ def test_speculative_rejects_sampling():
             config, init_decoder_params(config),
             speculative_gamma=4, temperature=0.7,
         )
+
+
+@pytest.mark.slow
+def test_speculative_speedup_on_copy_model(rng):
+    """REAL acceptance, measured end-to-end: a 2-layer decoder trained
+    on the copy task (models/lm_train.py) quotes its prompt greedily;
+    prompt-lookup speculation through the batched scheduler must then
+    accept most drafts (tokens_per_wave ≥ 2 at gamma 4) while keeping
+    exact greedy parity — the quoting-workload claim of the design,
+    demonstrated without downloadable checkpoints."""
+    from intool_rag_tpu.models.lm_train import copy_task_batch, train_copy_lm
+
+    config = DecoderConfig(
+        vocab_size=64,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        intermediate_size=128,
+        max_position=512,
+        dtype="float32",
+    )
+    params, losses = train_copy_lm(config, steps=700, batch=32, seq=48, seed=0)
+    assert losses[-1] < 0.35 * losses[0], losses[-1]
+
+    # prompts: [prefix, SEP, 1.5 prefix repeats] — greedy continuation
+    # keeps copying, so drafts from the prompt window hit
+    data_rng = np.random.default_rng(42)
+    seqs = copy_task_batch(data_rng, 6, 40, config.vocab_size)
+    prompts = [row.tolist() for row in seqs]
+    limits = [24] * len(prompts)
+
+    plain = ContinuousGenerator(config, params, n_slots=3, seg_len=4)
+    want, _ = plain.generate_many(prompts, limits)
+    # sanity: the model really does copy (continuation repeats with the
+    # prefix period: token[i] == token[i - (p_len+... )]) — check that
+    # MOST continuation tokens appear in the prompt's token set
+    hit = np.mean([
+        np.isin(np.asarray(w), np.asarray(p)).mean()
+        for w, p in zip(want, prompts)
+    ])
+    assert hit >= 0.9, f"copy model does not quote: {hit}"
+
+    spec = ContinuousGenerator(
+        config, params, n_slots=3, seg_len=4, speculative_gamma=4,
+        lookup_window=64,
+    )
+    got, stats = spec.generate_many(prompts, limits)
+    assert got == want
+    assert stats["tokens_per_wave"] >= 2.0, stats
