@@ -211,6 +211,29 @@ def lexicon_correct(text: str) -> str:
     ('foryour' → 'for your'). Tokens with digits, short tokens, in-lexicon
     tokens, and ambiguous repairs pass through untouched — proper nouns
     and codes must never be 'corrected'."""
+    # typography repairs the recognizer systematically misses (spaces
+    # adjacent to punctuation were absent from the round-3 training
+    # distribution; synth.wordlike_text now covers them for future
+    # retrains): ','+letter → ', ' (digit grouping '3,122.43' untouched)
+    # and letter+'('+digit → ' (' ('Discount(20%)').
+    fixed_chars = []
+    for i, ch in enumerate(text):
+        fixed_chars.append(ch)
+        if (
+            ch == ","
+            and i + 1 < len(text)
+            and text[i + 1].isalpha()
+        ):
+            fixed_chars.append(" ")
+        if (
+            ch.isalpha()
+            and i + 2 < len(text)
+            and text[i + 1] == "("
+            and text[i + 2].isdigit()
+        ):
+            fixed_chars.append(" ")
+    text = "".join(fixed_chars)
+
     lex = _lexicon()
     words = lex["all"]
     out_tokens = []

@@ -413,7 +413,14 @@ def wordlike_text(rng: np.random.Generator, charset: str, max_len: int = 12) -> 
                 w = w.capitalize() if rng.random() < 0.8 else w.upper()
             words.append(w[: budget])
             budget -= len(w) + 1
-        s = " ".join(words)
+        # comma-separated lists and parentheticals are everywhere in
+        # document text ('Bookcases, Furniture', 'Discount (20%)') but
+        # were absent from the distribution — the recognizer measurably
+        # dropped the space after punctuation on real invoices
+        joiner = ", " if rng.random() < 0.2 else " "
+        s = joiner.join(words)
+        if rng.random() < 0.08 and len(words) > 1:
+            s += f" ({int(rng.integers(1, 99))}%)" 
     elif kind < 0.7:  # number / price / percentage (incl. comma grouping
         # — invoice amounts like $3,122.43 were read with dropped commas
         # before the distribution covered them)
@@ -421,7 +428,7 @@ def wordlike_text(rng: np.random.Generator, charset: str, max_len: int = 12) -> 
         amt = int(rng.integers(100, 99999))
         s = rng.choice([
             n, f"{n}.{int(rng.integers(0,99)):02d}", f"${n}",
-            f"{n}%", f"#{n}",
+            f"{n}%", f"#{n}", f"# {n}",
             f"${amt:,}.{int(rng.integers(0,99)):02d}",
             f"{amt:,}",
         ])

@@ -424,3 +424,18 @@ def test_bundle_svtr_roundtrip(tmp_path):
         np.asarray(loaded.rec.apply(loaded.rec_params, x)),
         rtol=1e-6,
     )
+
+
+def test_lexicon_correct_typography_repairs():
+    """Punctuation-space repairs: ','+letter and letter+'('+digit gain
+    the typographic space; digit grouping and existing spacing are
+    untouched."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    assert (
+        lexicon_correct("Bookcases,Furniture,FUR-BO-4861")
+        == "Bookcases, Furniture, FUR-BO-4861"
+    )
+    assert lexicon_correct("Discount(20%): 624.49") == "Discount (20%): 624.49"
+    for untouched in ("$3,122.43", "1,250", "Total: $2,724.57", "f(x)"):
+        assert lexicon_correct(untouched) == untouched, untouched
