@@ -42,13 +42,14 @@ def main() -> None:
     corpus = device_corpus(n_pad, D)
     batches = device_queries(G, Q, D)
 
-    def stream(block_n, precise):
+    def stream(block_n, precise, argmax_mode):
         @jax.jit
         def run(c, qall):
             def step(_, q):
                 return None, flat_topk_pallas(
                     q, c, K, block_n=block_n, group_l=16,
                     valid_n=n_valid, precise=precise,
+                    argmax_mode=argmax_mode,
                 )
 
             _, out = jax.lax.scan(step, None, qall)
@@ -59,12 +60,13 @@ def main() -> None:
     passes = {False: 1, True: 2}
     for block_n in (2048, 4096, 8192):
         for precise in (False, True):
+          for argmax_mode in ("maskmin", "argmax"):
             try:
-                run = stream(block_n, precise)
+                run = stream(block_n, precise, argmax_mode)
                 dt = timed_min(lambda b: run(corpus, b), batches) / G
             except Exception as exc:  # VMEM OOM etc — report, keep sweeping
                 emit(
-                    f"flat_tune_b{block_n}_{'precise' if precise else 'approx'}",
+                    f"flat_tune_b{block_n}_{'precise' if precise else 'approx'}_{argmax_mode}",
                     0.0, "queries/s", backend=backend,
                     error=str(exc)[:160],
                 )
@@ -75,7 +77,7 @@ def main() -> None:
             hbm_ms = n_valid * D * 2 / 819e9 * 1e3
             roof_ms = max(mxu_ms, hbm_ms)
             emit(
-                f"flat_tune_b{block_n}_{'precise' if precise else 'approx'}",
+                f"flat_tune_b{block_n}_{'precise' if precise else 'approx'}_{argmax_mode}",
                 qps, "queries/s", backend=backend,
                 ms_per_batch=round(dt * 1e3, 2),
                 eff_gb_s=round(gbs, 1),

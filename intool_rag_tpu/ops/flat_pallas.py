@@ -43,7 +43,8 @@ def choose_group_width(n: int, k: int, target_recall: float = 0.98) -> int:
 
 
 def _partial_topk_kernel(
-    valid_ref, q_ref, qlo_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l
+    valid_ref, q_ref, qlo_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l,
+    argmax_mode="maskmin",
 ):
     bi = pl.program_id(0)
     valid_n = valid_ref[0]  # SMEM scalar: no recompile per corpus append
@@ -88,10 +89,19 @@ def _partial_topk_kernel(
         # math is identical for unordered corpora.
         scores3 = scores.reshape(q, group_l, lw)
         gmax = jnp.max(scores3, axis=1)  # [Q, lw]
-        # first-argmax over the sublane axis via masked min of row indices
-        j_iota = jax.lax.broadcasted_iota(jnp.int32, (q, group_l, lw), 1)
-        is_max = scores3 == gmax[:, None, :]
-        garg = jnp.min(jnp.where(is_max, j_iota, group_l), axis=1)  # [Q, lw]
+        if argmax_mode == "argmax":
+            # A/B lever (roofline analysis (b)): one reduction for the
+            # index instead of eq-mask + masked-min (3 passes → 2) —
+            # whether Mosaic lowers sublane argmax efficiently is a
+            # hardware question; bench_flat_tune sweeps both. Same
+            # first-occurrence tie semantics.
+            garg = jnp.argmax(scores3, axis=1).astype(jnp.int32)
+        else:
+            # first-argmax over the sublane axis via masked min of row
+            # indices
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (q, group_l, lw), 1)
+            is_max = scores3 == gmax[:, None, :]
+            garg = jnp.min(jnp.where(is_max, j_iota, group_l), axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (q, lw), 1)
         vals_ref[:, :] = gmax
         idx_ref[:, :] = base + garg * lw + lane
@@ -113,7 +123,10 @@ def _partial_topk_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_n", "group_l", "interpret", "tail", "precise"),
+    static_argnames=(
+        "k", "block_n", "group_l", "interpret", "tail", "precise",
+        "argmax_mode",
+    ),
 )
 def flat_topk_pallas(
     queries: jax.Array,
@@ -126,6 +139,7 @@ def flat_topk_pallas(
     interpret: bool = False,
     tail: str = "approx",
     precise: bool = False,
+    argmax_mode: str = "maskmin",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat MIPS top-k. ``corpus [N, D]`` must have N a multiple of
     ``block_n`` and D a multiple of 128 (the index build pads to this).
@@ -187,14 +201,15 @@ def flat_topk_pallas(
 
     if precise:
         kernel = functools.partial(
-            _partial_topk_kernel, block_n=block_n, group_l=group_l
+            _partial_topk_kernel, block_n=block_n, group_l=group_l,
+            argmax_mode=argmax_mode,
         )
         operands = (valid_arr := jnp.asarray([valid_n], jnp.int32), queries, q_lo, corpus)
     else:
         def kernel(valid_ref, q_ref, c_ref, vals_ref, idx_ref):
             _partial_topk_kernel(
                 valid_ref, q_ref, None, c_ref, vals_ref, idx_ref,
-                block_n=block_n, group_l=group_l,
+                block_n=block_n, group_l=group_l, argmax_mode=argmax_mode,
             )
 
         operands = (valid_arr := jnp.asarray([valid_n], jnp.int32), queries, corpus)
