@@ -342,12 +342,37 @@ def _encode_segment(
     pos = jnp.clip(pos, 0, s_pad - 1)
     keep_gid = jnp.where(is_pad, -1, sorted_gid)
 
-    # scatter rows into the segment layout (one [s_pad] permutation)
-    emb_sorted = emb[order % jnp.maximum(n, 1)]
-    emb_sorted = jnp.where(is_pad[:, None], 0.0, emb_sorted)
-    resid = emb_sorted - centroids[jnp.minimum(sorted_list, l - 1)]
+    # BLOCKWISE residual encode: gathering the sorted rows, the centroid
+    # rows, and the residuals each materialize [seg_rows, D] f32 (3 × 2
+    # GB at the 500k×d1024 bench point — on top of the ~8.4 GB store
+    # that's an OOM). Quantization is per-row (no cross-row stats), so a
+    # scan over 32k-row blocks bounds the transients at ~0.4 GB; only
+    # the tiny packed codes + scales come out.
     encode = encode_int4_residuals if bits == 4 else encode_int1_residuals
-    packed, scale = encode(resid)
+    blk_e = min(blk, seg_rows)
+    n_pad_e = -(-seg_rows // blk_e) * blk_e
+    ord_e = jnp.pad(order, (0, n_pad_e - seg_rows)) % jnp.maximum(n, 1)
+    lst_e = jnp.pad(
+        jnp.minimum(sorted_list, l - 1), (0, n_pad_e - seg_rows)
+    )
+    pad_e = jnp.pad(is_pad, (0, n_pad_e - seg_rows), constant_values=True)
+
+    def enc_blk(_, inp):
+        idx_b, lst_b, pad_b = inp
+        rows = jnp.where(pad_b[:, None], 0.0, emb[idx_b])
+        resid_b = rows - centroids[lst_b]
+        return None, encode(resid_b)
+
+    _, (packed_b, scale_b) = jax.lax.scan(
+        enc_blk, None,
+        (
+            ord_e.reshape(-1, blk_e),
+            lst_e.reshape(-1, blk_e),
+            pad_e.reshape(-1, blk_e),
+        ),
+    )
+    packed = packed_b.reshape(n_pad_e, -1)[:seg_rows]
+    scale = scale_b.reshape(n_pad_e, -1)[:seg_rows]
 
     w = packed.shape[1]
     g = scale.shape[1]
