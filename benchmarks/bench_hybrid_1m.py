@@ -1,6 +1,8 @@
-"""The BASELINE.json north-star config: hybrid (dense + BM25 + fusion)
-at 1M chunks, ≥10× QPS/chip vs the reference component stack at ≥0.95
-recall@10 parity."""
+"""HISTORICAL round-1 configuration of the north-star hybrid bench
+(blockwise XLA dense scan + 1-D sorted BM25 at p_max 4096) — kept to
+compare kernel generations. The CURRENT headline path (split-query
+Pallas dense + packed two-tier-row BM25 at p_max 512) lives in the
+repo-root ``bench.py``; per-stage breakdowns in ``bench_stages.py``."""
 
 import time
 
