@@ -107,8 +107,8 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     vocab = len(starts)
     on_tpu = jax.default_backend() == "tpu"
 
-    # pad N to the Pallas kernel's 2048-row block (valid_n masks the tail)
-    n_pad = -(-n // 2048) * 2048 if on_tpu else n
+    # pad N to the Pallas kernel's 4096-row block (valid_n masks the tail)
+    n_pad = -(-n // 4096) * 4096 if on_tpu else n
 
     @jax.jit
     def gen_corpus():
@@ -125,8 +125,8 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
             # so the separate candidate rescore (5.9 ms/batch of gather)
             # is gone (round-3)
             return flat_topk_pallas(
-                q_dense, corpus, CANDIDATES, group_l=16, valid_n=n,
-                precise=True,
+                q_dense, corpus, CANDIDATES, group_l=32, valid_n=n,
+                precise=True, tail="fold",
             )
         return flat_topk(
             q_dense, corpus, CANDIDATES, metric="cosine",

@@ -67,8 +67,8 @@ def main() -> None:
     n, vocab, p_max_full = effective_sizes(backend)
     rng = np.random.default_rng(0)
     on_tpu = backend == "tpu"
-    # pad N to the Pallas kernel's 2048-row block (valid_n masks the tail)
-    n_pad = -(-n // 2048) * 2048 if on_tpu else n
+    # pad N to the Pallas kernel's 4096-row block (valid_n masks the tail)
+    n_pad = -(-n // 4096) * 4096 if on_tpu else n
 
     @jax.jit
     def gen_corpus():
@@ -88,7 +88,8 @@ def main() -> None:
     def dense(q, corpus):
         if on_tpu:
             return flat_topk_pallas(
-                q, corpus, CANDIDATES, group_l=16, valid_n=n, precise=True,
+                q, corpus, CANDIDATES, group_l=32, valid_n=n, precise=True,
+                tail="fold",
             )
         d_vals, d_rows = flat_topk(
             q, corpus, CANDIDATES, metric="cosine",
@@ -133,10 +134,12 @@ def main() -> None:
         t = _stream_time(
             bm25, [(s,) for s in sqs], qtf_d, *rows_consts, dev[4], wmax
         )
-        # recall of pruned BM25 vs exact scipy on a query subsample
-        s_vals, s_rows = jax.jit(
-            lambda qt: bm25(qt, qtf_d, *rows_consts, dev[4], wmax)
-        )(jnp.asarray(qterms))
+        # recall of pruned BM25 vs exact scipy on a query subsample.
+        # NB: arrays must be jit ARGUMENTS, not closure captures — captured
+        # device constants embed in the executable and 413 remote_compile.
+        s_vals, s_rows = jax.jit(bm25)(
+            jnp.asarray(qterms), qtf_d, *rows_consts, dev[4], wmax
+        )
         import scipy.sparse as sp
 
         sub = 64

@@ -125,7 +125,7 @@ def _partial_topk_kernel(
     jax.jit,
     static_argnames=(
         "k", "block_n", "group_l", "interpret", "tail", "precise",
-        "argmax_mode",
+        "argmax_mode", "tail_rt",
     ),
 )
 def flat_topk_pallas(
@@ -140,6 +140,7 @@ def flat_topk_pallas(
     tail: str = "approx",
     precise: bool = False,
     argmax_mode: str = "maskmin",
+    tail_rt: float = 0.95,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat MIPS top-k. ``corpus [N, D]`` must have N a multiple of
     ``block_n`` and D a multiple of 128 (the index build pads to this).
@@ -223,10 +224,13 @@ def flat_topk_pallas(
         need = (
             2 * block_n * d * corpus.dtype.itemsize  # double-buffered block
             + (2 if precise else 1) * q_pad * d * 2  # query (+lo) bf16
-            + q_pad * block_n * 4  # f32 score accumulator
+            # f32 score accumulator (+ the split-query compensation
+            # matmul's own accumulator before the add, measured at b8192:
+            # 65.65 MB actual vs 57 MB modeled without it)
+            + (2 if precise else 1) * q_pad * block_n * 4
             + 2 * q_pad * (block_n // group_l) * 8  # out tiles (vals+idx)
         )
-        cap = max(48, min(100, need // (1024 * 1024) + 16))
+        cap = max(48, min(110, need // (1024 * 1024) + 20))
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=int(cap) * 1024 * 1024
         )
@@ -250,7 +254,33 @@ def flat_topk_pallas(
     # arrays in scoped VMEM for the downstream top-k and OOMs at 1M rows
     cand_vals, cand_idx = jax.lax.optimization_barrier((cand_vals, cand_idx))
     k_eff = min(k, cand_vals.shape[1])
-    if tail == "approx" and cand_vals.shape[1] >= 4 * k_eff:
+    if tail == "two" and cand_vals.shape[1] >= 8 * k_eff:
+        # two-stage tail: a loose approx pass casts a 4·k-wide net
+        # (recall_target below the 0.999 that degenerates to a near-full
+        # sort — measured 5.76 ms vs 2.86 ms at rt 0.95 on [256, 31k]),
+        # then an exact top-k of the net recovers the precise pool.
+        net_vals, net_pos = jax.lax.approx_max_k(
+            cand_vals, min(4 * k_eff, cand_vals.shape[1]),
+            recall_target=tail_rt,
+        )
+        top_vals, top_pos2 = jax.lax.top_k(net_vals, k_eff)
+        top_pos = jnp.take_along_axis(net_pos, top_pos2, axis=-1)
+    elif tail == "fold" and cand_vals.shape[1] >= 8 * k_eff:
+        # fold-by-2 partial reduce (one VPU pass over the candidate
+        # array, bandwidth-bound) halves the array the tight approx pass
+        # must sort; recall cost is one more random-collision layer
+        # (≈ doubling the effective group width for sub-k stragglers)
+        half = cand_vals.shape[1] // 2
+        a, b = cand_vals[:, :half], cand_vals[:, half : 2 * half]
+        take_a = a >= b
+        fold_vals = jnp.where(take_a, a, b)
+        fold_idx = jnp.where(take_a, cand_idx[:, :half], cand_idx[:, half : 2 * half])
+        top_vals, top_pos = jax.lax.approx_max_k(
+            fold_vals, k_eff, recall_target=0.999
+        )
+        top_idx = jnp.take_along_axis(fold_idx, top_pos, axis=-1)
+        return top_vals[:q], top_idx[:q]
+    elif tail == "approx" and cand_vals.shape[1] >= 4 * k_eff:
         # approx_max_k over the candidate array: adjacent candidates come
         # from different corpus blocks (position = block·lw + lane), so
         # the per-group partial reduce loses only random stragglers.

@@ -200,3 +200,25 @@ def test_flat_pallas_precise_split_query(rng):
     np.testing.assert_allclose(
         np.asarray(vals), np.sort(ref, axis=1)[:, ::-1][:, :10], rtol=2e-4
     )
+
+
+def test_flat_pallas_tail_variants(rng):
+    """fold/two tails must return a correctly-ranked pool with high
+    recall vs the exact oracle (production dense path at 1M uses fold:
+    one VPU fold-by-2 pass + a tight approx over the halved array)."""
+    n, d, q, k = 8192, 128, 8, 10
+    corpus = _normed(rng, (n, d))
+    queries = _normed(rng, (q, d))
+    _, oracle_idx = _oracle_topk(queries, corpus, k, "ip")
+    for tail in ("fold", "two"):
+        vals, idx = flat_topk_pallas(
+            jnp.asarray(queries), jnp.asarray(corpus), k,
+            block_n=512, group_l=4, interpret=True, tail=tail,
+        )
+        assert idx.shape == (q, k)
+        assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.95, tail
+        assert np.all(np.diff(np.asarray(vals), axis=1) <= 1e-6), tail
+        # indices must address the rows whose scores were returned
+        ref = queries @ corpus.T
+        got = np.take_along_axis(ref, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(np.asarray(vals), got, rtol=1e-3, atol=1e-3)
