@@ -132,7 +132,28 @@ def main() -> None:
         )
         sgen.generate_many(prompts[:warm_n], warm_limits)
         sres, sstats = sgen.generate_many(prompts, limits)
-        assert sres == results  # greedy parity with the plain scheduler
+        # Greedy parity: exact on CPU (same f32 reduction order). On TPU
+        # the γ-wide verify matmul and the 1-token decode matmul tile
+        # differently, so logits differ by ulps — and RANDOM weights put
+        # near-uniform logits on knife-edge argmax ties that such ulps
+        # legitimately flip, after which the streams diverge for real.
+        # (With trained weights the margins are real: exact parity is
+        # asserted in tests/test_scheduler.py on the copy-task model.)
+        # Report mean prefix agreement instead of asserting equality.
+        if backend == "tpu":
+            agree = [
+                next(
+                    (i for i, (a, b) in enumerate(zip(r, s)) if a != b),
+                    min(len(r), len(s)),
+                )
+                / max(len(r), 1)
+                for r, s in zip(results, sres)
+            ]
+            out["speculative_prefix_agreement"] = round(
+                float(np.mean(agree)), 3
+            )
+        else:
+            assert sres == results  # greedy parity with the plain scheduler
         out["speculative"] = {
             "gamma": gamma,
             "tokens_per_s": round(sstats["tokens_per_s"], 1),

@@ -519,8 +519,36 @@ def bm25_topk_rows(
     return _aggregate_topk(docs, contrib, k, n_docs)
 
 
+def _rescore_candidates_exact(
+    docs: jax.Array,  # [Q, M] i32 gathered posting doc ids
+    contrib: jax.Array,  # [Q, M] f32 gathered contributions (0 in padding)
+    vals: jax.Array,  # [Q, K] packed-quantized totals (0 = no match)
+    ids: jax.Array,  # [Q, K] candidate doc ids
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 rescore of the packed kernel's candidate pool: each
+    candidate's true score is one masked reduction over the gathered
+    postings (a doc matches ≤ 1 slot per query term, so zeros dominate
+    and the reduce is exact). Selection stays on the quantized totals —
+    only boundary-of-k membership keeps quantization error; scores and
+    within-pool order become exact. Cost ≈ Q·K·M compare+select+add on
+    the VPU, blocked over K to bound the [Q, kb, M] transient."""
+    k_eff = ids.shape[1]
+    kb = 16
+    outs = []
+    for j0 in range(0, k_eff, kb):
+        cand = ids[:, j0 : j0 + kb]
+        match = docs[:, None, :] == cand[:, :, None]
+        outs.append(
+            jnp.sum(jnp.where(match, contrib[:, None, :], 0.0), axis=-1)
+        )
+    exact = jnp.concatenate(outs, axis=1)
+    exact = jnp.where(vals > 0.0, exact, 0.0)  # keep no-match sentinel
+    vals2, pos = jax.lax.top_k(exact, k_eff)  # restore exact-score order
+    return vals2, jnp.take_along_axis(ids, pos, axis=1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_docs", "qbits", "hot_cap")
+    jax.jit, static_argnames=("k", "n_docs", "qbits", "hot_cap", "rescore")
 )
 def bm25_topk_rows_packed(
     qterms: jax.Array,  # [Q, T] i32, -1 padding
@@ -538,6 +566,7 @@ def bm25_topk_rows_packed(
     qbits: int = 11,
     term_wmax: jax.Array | None = None,  # [V] f32 global max posting weight
     hot_cap: int | None = None,  # see _gather_rows hot-first packing
+    rescore: bool = True,  # exact f32 rescore of the candidate pool
 ) -> tuple[jax.Array, jax.Array]:
     """Row-layout gather + packed single-key aggregation — the fastest
     TPU path: the 3.6×-faster aligned row gather of
@@ -574,7 +603,17 @@ def bm25_topk_rows_packed(
             axis=1, keepdims=True,
         )
         scale = jnp.maximum(cbound, 1e-30) / ((1 << qbits) - 1)
-    return _aggregate_topk_packed(docs, contrib, k, n_docs, qbits, scale)
+    vals, ids = _aggregate_topk_packed(docs, contrib, k, n_docs, qbits, scale)
+    if rescore:
+        # measured at 1M/p_max 512: quantized-total ordering alone holds
+        # recall@10-vs-exact at 0.952; the exact pool rescore restores
+        # the unquantized kernel's 0.994 (pruning-limited) for ~0.5 ms.
+        # NB: f32 sum order here follows gather-slot order, which is
+        # layout-dependent — sharded callers that need bit-equality with
+        # the single-device kernel pass rescore=False (the quantized
+        # totals ARE shard-independent; the docstring's grid argument).
+        vals, ids = _rescore_candidates_exact(docs, contrib, vals, ids)
+    return vals, ids
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_docs", "p_max", "qbits"))

@@ -381,3 +381,37 @@ def test_bm25_hot_first_packing_parity():
                 assert dense[r][int(i)] == pytest.approx(
                     float(v), rel=2e-3, abs=1e-3
                 )
+
+
+def test_bm25_rows_packed_rescore_exact_scores():
+    """With the exact pool rescore (default), packed candidate SCORES
+    must match the exact rows kernel bit-for-bit modulo f32 sum order —
+    quantization only survives at the selection boundary (round 3c:
+    quantized-total ordering alone measured recall@10 0.952 vs exact at
+    1M/p_max 512; the rescore restores the pruning-limited 0.994)."""
+    from intool_rag_tpu.ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
+
+    idx = BM25Index.build(DOCS * 5, BM25Params(p_max=16))
+    queries = ["fox canine dog", "发票金额", "invoice total amount"]
+    qt, qf = idx.encode_queries(queries)
+    rows = idx._row_layout()
+    args = (
+        qt, qf, rows["term_row"], rows["term_hot"],
+        rows["hot_docs"], rows["hot_w"], rows["cold_docs"], rows["cold_w"],
+        idx.idf, 10,
+    )
+    v1, i1 = bm25_topk_rows(*args, n_docs=idx.n_docs)
+    v2, i2 = bm25_topk_rows_packed(
+        *args, n_docs=idx.n_docs, term_wmax=rows["term_wmax"], rescore=True
+    )
+    for r in range(len(queries)):
+        exact = {int(i): float(v) for i, v in zip(np.asarray(i1)[r], np.asarray(v1)[r]) if v > 0}
+        got = {int(i): float(v) for i, v in zip(np.asarray(i2)[r], np.asarray(v2)[r]) if v > 0}
+        assert got.keys() == exact.keys()
+        for doc, v in got.items():
+            assert v == pytest.approx(exact[doc], rel=1e-6)
+    # rescore=False keeps the quantized totals (the sharded bit-parity path)
+    v3, _ = bm25_topk_rows_packed(
+        *args, n_docs=idx.n_docs, term_wmax=rows["term_wmax"], rescore=False
+    )
+    assert not np.allclose(np.asarray(v3), np.asarray(v2), rtol=1e-7, atol=0)
