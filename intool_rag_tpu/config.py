@@ -308,7 +308,7 @@ class Config:
         default_factory=lambda: _env_str("INDEX_DTYPE", "bfloat16")  # or f32/int8
     )
     INDEX_KIND: str = dataclasses.field(
-        default_factory=lambda: _env_str("INDEX_KIND", "flat")  # flat | ivf | ivf_residual | segmented
+        default_factory=lambda: _env_str("INDEX_KIND", "flat")  # flat | ivf | ivf_residual | segmented | bits
     )
     SEARCH_BLOCK_N: int = dataclasses.field(
         default_factory=lambda: _env_int("SEARCH_BLOCK_N", 16384)

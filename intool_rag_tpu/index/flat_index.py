@@ -101,9 +101,51 @@ class DenseFlatIndex:
         self._ivf_built_at = store.mutation_count
         return idx
 
+    def _bits_index(self):
+        """Capacity tier (INDEX_KIND=bits): list-major binary-residual
+        store with streaming appends; rebuilt (fresh train + capacity
+        2× current) only when the store object changes or the fixed
+        capacity is outgrown."""
+        from .bits_index import IVFBitsIndex
+
+        cfg = get_config()
+        store = self.store
+        need = store.valid_n
+        fresh = (
+            self._ivf is None
+            or not isinstance(self._ivf, IVFBitsIndex)
+            or self._seg_store_ref is None
+            or self._seg_store_ref() is not store
+            or self._ivf.total_rows > need
+            or need > self._ivf.n_cap - self._ivf.nlist  # spill headroom
+        )
+        if fresh:
+            sample = store.embeddings[: min(need, 8 * cfg.IVF_NLIST)]
+            self._ivf = IVFBitsIndex.train(
+                sample, cfg.IVF_NLIST,
+                # 4× headroom so streaming growth amortizes rebuilds
+                # (a rebuild = fresh k-means + full re-encode)
+                capacity=max(4 * need, 64 * cfg.IVF_NLIST),
+                refine=cfg.IVF_REFINE_K > 0,
+            )
+            import weakref
+
+            self._seg_store_ref = weakref.ref(store)
+        idx = self._ivf
+        done = idx.total_rows
+        chunk = 500_000
+        while done < need:
+            stop = min(done + chunk, need)
+            idx.append(store.embeddings[done:stop])
+            done = stop
+        self._ivf_built_at = store.mutation_count
+        return idx
+
     def _ivf_index(self):
         if self._ivf is None or self._ivf_built_at != self.store.mutation_count:
             cfg = get_config()
+            if cfg.INDEX_KIND == "bits":
+                return self._bits_index()
             if cfg.INDEX_KIND == "segmented":
                 return self._segmented_index()
             if cfg.INDEX_KIND == "ivf_residual":
@@ -165,7 +207,7 @@ class DenseFlatIndex:
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
             return vals, rows
         if (
-            cfg.INDEX_KIND in ("ivf", "ivf_residual", "segmented")
+            cfg.INDEX_KIND in ("ivf", "ivf_residual", "segmented", "bits")
             and exact is not True
             and store.valid_n >= self._IVF_MIN_ROWS
             and self.metric in ("cosine", "ip")
