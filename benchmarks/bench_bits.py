@@ -46,7 +46,7 @@ def main() -> None:
     nlist = 4096 if on_tpu else 64
     block_n = 1024 if on_tpu else 128
     n = seg_rows * n_segments
-    capacity = int(1.12 * n)  # spill headroom; cap_l rounds to block_n
+    capacity = int(1.06 * n)  # spill headroom; cap_l rounds to block_n
 
     @jax.jit
     def gen_centers():
@@ -118,8 +118,11 @@ def main() -> None:
         except Exception:
             pass
         pending.append((q8, s8))
-        # window of 1: 3 pending int8 chunks (1.5 GB) on top of the
-        # 9.65 GB store + 2 GB gen transient would crowd 16 GB HBM
+        # free the 2 GB f32 chunk BEFORE the next gen (rebinding the
+        # loop variable keeps old+new alive simultaneously: +2 GB that
+        # OOMed the 9 GB-store + pending-int8 configuration), and keep
+        # the async-fetch window at 1 in-flight chunk
+        del chunk, q8, s8
         if len(pending) > 1:
             _collect_one()
         if c % 10 == 0:
