@@ -14,8 +14,10 @@ Layout: one global store where IVF list ``l`` owns the contiguous,
 block-aligned slot range ``[l·cap_l, (l+1)·cap_l)``:
 
 - ``codes [N_cap, D/8] u8`` — planar-packed residual signs,
-- ``scales [N_cap, 8] f32`` — per-plane gains; ``scales[:, 0] = -1``
-  marks an empty slot (scores ``-inf`` in-kernel),
+- ``scales [N_cap/block_n, 8, block_n] f32`` — per-plane gains,
+  block-major so the kernel's dynamic probe offset rides the leading
+  dim; ``scales[:, 0, :] = -1`` marks an empty slot (``-inf``
+  in-kernel),
 - ``gid [N_cap] i32`` — slot → global row id (−1 empty).
 
 Streaming appends assign each row to its nearest centroid WITH FREE
@@ -76,10 +78,15 @@ class IVFBitsIndex:
         self.d = d
         self._w = d // N_PLANES
         self.codes = jnp.zeros((self.n_cap, self._w), jnp.uint8)
-        # TRANSPOSED [planes, slots] so the slot axis is minor (exact
-        # HBM tiling; [N, 8] would pad 8 lanes to 128 = 16× memory).
-        # scales[0] = -1 marks empty; real scales are ≥ 0
-        self.scales = jnp.full((N_PLANES, self.n_cap), -1.0, jnp.float32)
+        # BLOCK-MAJOR [n_blocks, planes, block_n]: the slot axis stays
+        # minor (exact HBM tiling — an [N, 8] layout pads 8 lanes to 128
+        # = 16× memory) while the kernel's dynamic probe offset indexes
+        # the LEADING dim (Mosaic rejects dynamic lane-dim offsets).
+        # scales[:, 0, :] = -1 marks empty; real scales are ≥ 0
+        self.scales = jnp.full(
+            (self.n_cap // self.block_n, N_PLANES, self.block_n),
+            -1.0, jnp.float32,
+        )
         self.gid = jnp.full((self.n_cap,), -1, jnp.int32)
         self.fill = np.zeros(l, np.int64)  # host-side per-list cursors
         self.total_rows = 0
@@ -363,8 +370,11 @@ def _encode_scatter(codes, scales, gid, emb, centroids, place, pos, gids):
     )
     new_codes = codes_b.reshape(n_pad, -1)[:n]
     new_scales = scales_b.reshape(n_pad, -1)[:n]
+    block_n = scales.shape[2]
     codes = codes.at[pos].set(new_codes, mode="drop")
-    scales = scales.at[:, pos].set(new_scales.T, mode="drop")
+    scales = scales.at[pos // block_n, :, pos % block_n].set(
+        new_scales, mode="drop"
+    )
     gid = gid.at[pos].set(gids, mode="drop")
     return codes, scales, gid
 

@@ -80,7 +80,7 @@ def _bits_scan_kernel(
     pb_ref,  # scalar prefetch: probe start BLOCK index [QT, nprobe] i32
     q_ref,  # [8, D] bf16 query tile
     codes_ref,  # [block_n, D//8] uint8
-    scales_ref,  # [8, block_n] f32 (TRANSPOSED store: planes × slots)
+    scales_ref,  # [1, 8, block_n] f32 (block-major store, see wrapper)
     csel_ref,  # [8, nprobe] f32 centroid dots of the tile's probes
     vals_ref,  # out [8, lw] f32
     idx_ref,  # out [8, lw] i32 (store SLOT ids)
@@ -93,15 +93,23 @@ def _bits_scan_kernel(
     bi = pl.program_id(2)
 
     ci = codes_ref[:].astype(jnp.int32)  # [bn, W]
-    sc = scales_ref[:]  # [8, bn] — slots along LANES (minor-dim tiling
+    sc = scales_ref[0]  # [8, bn] — slots along LANES (minor-dim tiling
     # exact in HBM; an [N, 8] layout would pad 8 lanes to 128 = 16×)
     w = ci.shape[1]
     # per-plane partial matmul, scale applied to the RESULT along lanes
     # (no sublane↔lane relayout anywhere): plane b covers dims
     # [b·W, (b+1)·W) of the planar packing, q·r̂ = Σ_b scale_b ⊙ (q_b·s_b)
-    scores = csel_ref[:, p][:, None] * jnp.ones(
-        (1, block_n), jnp.float32
-    )  # start from the centroid term q·c_list
+    # select probe p's centroid-dot column via a one-hot masked sum —
+    # Mosaic rejects dynamic LANE indexing (csel_ref[:, p] lowers to a
+    # vector.load with a dynamic lane index and fails to compile)
+    nprobe = csel_ref.shape[1]
+    p_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, nprobe), 1) == p
+    )
+    cent_col = jnp.sum(
+        jnp.where(p_mask, csel_ref[:], 0.0), axis=1, keepdims=True
+    )  # [8, 1] = q·c_list for this probe
+    scores = cent_col * jnp.ones((1, block_n), jnp.float32)
     for b in range(N_PLANES):
         pm1 = (2 * ((ci >> b) & 1) - 1).astype(jnp.bfloat16)  # [bn, W]
         qb = q_ref[:, b * w : (b + 1) * w]  # [8, W]
@@ -137,7 +145,11 @@ def _bits_scan_kernel(
 def ivf_bits_topk_pallas(
     queries: jax.Array,  # [Q, D] f32 (Q % 8 == 0; caller pads)
     codes: jax.Array,  # [N_cap, D//8] uint8, list-major block-aligned
-    scales: jax.Array,  # [8, N_cap] f32 transposed; scales[0] < 0 = empty
+    scales: jax.Array,  # [N_cap/block_n, 8, block_n] f32 block-major;
+    # scales[:, 0, :] < 0 = empty slot. Block-major because Mosaic only
+    # accepts DYNAMIC block indices on non-lane dimensions (a [8, N]
+    # layout put the dynamic probe offset on the lane axis: "cannot
+    # statically prove that index in dimension 1 is a multiple of 128")
     probe_blocks: jax.Array,  # [Q//8, nprobe] i32 start block of each probe
     c_sel: jax.Array,  # [Q, nprobe] f32 per-query centroid dots
     k: int,
@@ -165,9 +177,10 @@ def ivf_bits_topk_pallas(
         raise ValueError(f"codes width {w} != D/8 = {d // N_PLANES}")
     if n_cap % block_n:
         raise ValueError("store not block-aligned")
-    if scales.shape != (N_PLANES, n_cap):
+    if scales.shape != (n_cap // block_n, N_PLANES, block_n):
         raise ValueError(
-            f"scales must be transposed [8, N_cap], got {scales.shape}"
+            "scales must be block-major [N_cap/block_n, 8, block_n], got "
+            f"{scales.shape}"
         )
     if block_n % group_l or (block_n // group_l) % 128 and not interpret:
         raise ValueError(
@@ -195,8 +208,8 @@ def ivf_bits_topk_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (N_PLANES, block_n),
-                lambda qt, p, bi, pb: (0, pb[qt, p] + bi),
+                (1, N_PLANES, block_n),
+                lambda qt, p, bi, pb: (pb[qt, p] + bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

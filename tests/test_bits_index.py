@@ -74,8 +74,12 @@ def test_bits_kernel_matches_decode_oracle(rng):
     c_sel = np.take_along_axis(c_scores, np.repeat(probes, 8, 0), axis=1)
     # group_l=1: no partial reduce, so the kernel's candidate set is the
     # full probed region and selection must match the oracle exactly
+    # block-major scales: [n_blocks, 8, block_n]
+    sc_bm = jnp.asarray(
+        np.asarray(scales).T.reshape(8, n_cap // block_n, block_n)
+    ).transpose(1, 0, 2)
     vals, slots = ivf_bits_topk_pallas(
-        jnp.asarray(queries), codes, scales.T,
+        jnp.asarray(queries), codes, sc_bm,
         jnp.asarray(probes * bpl), jnp.asarray(c_sel),
         16, blocks_per_list=bpl, block_n=block_n, group_l=1,
         interpret=True, tail="exact",
