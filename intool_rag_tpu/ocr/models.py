@@ -212,12 +212,19 @@ class OCRModelBundle:
     rec: "CTCRecognizer | SVTRRecognizer"
     rec_params: dict
     charset: str  # rec vocab, index = class id
+    # recognizer crop height: crops are SAMPLED from the source image at
+    # this height (pipeline crop_quad/tighten_crop), so raising it keeps
+    # real glyph detail ($, commas at small font sizes drop at 32 px);
+    # the cls path always downsizes its batch to 32 (cls params are
+    # height-bound), the conv/svtr recognizers adapt (height collapses
+    # into the column features at init time).
+    rec_h: int = 32
 
     @classmethod
     def create(
         cls, charset: str, seed: int = 0, width: int = 16,
         rec_width: int | None = None, rec_col_stride: int = 2,
-        rec_arch: str = "conv",
+        rec_arch: str = "conv", rec_h: int = 32,
     ) -> "OCRModelBundle":
         rng = jax.random.PRNGKey(seed)
         det = DBDetector(width)
@@ -228,8 +235,11 @@ class OCRModelBundle:
             rec_arch, len(charset), rec_width or width * 2,
             col_stride=rec_col_stride,
         )
-        rec_params = rec.init(rng, jnp.zeros((1, 32, 64, 3)))
-        return cls(det, det_params, cls_model, cls_params, rec, rec_params, charset)
+        rec_params = rec.init(rng, jnp.zeros((1, rec_h, 64, 3)))
+        return cls(
+            det, det_params, cls_model, cls_params, rec, rec_params,
+            charset, rec_h,
+        )
 
     # ---------------- artifact persistence ----------------
 
@@ -251,6 +261,7 @@ class OCRModelBundle:
             "rec_arch": (
                 "svtr" if isinstance(self.rec, SVTRRecognizer) else "conv"
             ),
+            "rec_h": self.rec_h,
         })
         np.savez_compressed(
             Path(path),
@@ -277,11 +288,12 @@ class OCRModelBundle:
                 rec_width=meta.get("rec_width", meta["width"] * 2),
                 rec_col_stride=meta.get("rec_stride", 2),
                 rec_arch=meta.get("rec_arch", "conv"),
+                rec_h=meta.get("rec_h", 32),
             )
             det_p = ser.from_bytes(bundle.det_params, z["det"].tobytes())
             cls_p = ser.from_bytes(bundle.cls_params, z["cls"].tobytes())
             rec_p = ser.from_bytes(bundle.rec_params, z["rec"].tobytes())
         return cls(
             bundle.det, det_p, bundle.cls, cls_p, bundle.rec, rec_p,
-            meta["charset"],
+            meta["charset"], meta.get("rec_h", 32),
         )

@@ -164,8 +164,11 @@ class OCREngine:
         resized = []
         for c in crops:
             h, w = c.shape[:2]
-            cw = max(8, min(1024, int(round(w * target_h / max(1, h)))))
-            resized.append(resize_norm_crop(c, target_h=target_h, max_w=1024)[:, :cw])
+            w_cap = 32 * target_h  # ~800 px of glyphs at h=32 scales with h
+            cw = max(8, min(w_cap, int(round(w * target_h / max(1, h)))))
+            resized.append(
+                resize_norm_crop(c, target_h=target_h, max_w=w_cap)[:, :cw]
+            )
         max_w = _round_up(max(r.shape[1] for r in resized), 32)
         batch = np.zeros((_round_up(len(crops), 8), target_h, max_w, 3), np.float32)
         for i, r in enumerate(resized):
@@ -211,7 +214,10 @@ class OCREngine:
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             decoded = self._decode_batch(
-                self._batch_crops([crops[i] for i in idx]), len(idx)
+                self._batch_crops(
+                    [crops[i] for i in idx], target_h=self.bundle.rec_h
+                ),
+                len(idx),
             )
             for i, d in zip(idx, decoded):
                 results[i] = d
@@ -285,11 +291,12 @@ class OCREngine:
 
         split_pairs: list = []
         for q in quads:
-            strip = crop_quad(image, q, target_h=32, max_w=1024)
+            rec_h = self.bundle.rec_h
+            strip = crop_quad(image, q, target_h=rec_h, max_w=32 * rec_h)
             if strip.size == 0:
                 continue
             for part, sq in split_strip_columns(strip, q):
-                tight = tighten_crop(part)
+                tight = tighten_crop(part, target_h=rec_h)
                 if tight.size > 0:
                     split_pairs.append((sq, tight))
         quads = [p[0] for p in split_pairs]

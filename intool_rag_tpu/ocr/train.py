@@ -375,6 +375,7 @@ def train_recognizer_cached(
     text_sampler=None,
     font_probs=None,
     arch: str = "conv",
+    rec_h: int = 32,
 ):
     """TPU-first recognizer training: render an augmented crop pool ONCE
     (host PIL rendering is the wall-clock bottleneck of the per-step
@@ -392,7 +393,7 @@ def train_recognizer_cached(
         arch, len(charset), width, col_stride=col_stride
     )
     params = init_params or model.init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, 32, 64, 3))
+        jax.random.PRNGKey(seed), jnp.zeros((1, rec_h, 64, 3))
     )
     blank = len(charset)
 
@@ -406,7 +407,7 @@ def train_recognizer_cached(
         ]
     font_probs = np.asarray(font_probs, np.float64)
     font_probs = font_probs / font_probs.sum()
-    pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
+    pool = np.zeros((pool_size, rec_h, crop_w, 3), np.float32)
     labels = np.zeros((pool_size, max_len), np.int32)
     label_pad = np.ones((pool_size, max_len), np.float32)
     # text mix: half word-like lines (latin words, digit groups, prices,
@@ -458,8 +459,11 @@ def train_recognizer_cached(
         for quad_pts, text in gt:
             if i >= pool_size or not text:
                 continue
-            crop = tighten_crop(crop_quad(page, QuadBox(quad_pts, 1.0)))
-            if crop.ndim != 3 or crop.shape[0] != 32 or crop.size == 0:
+            crop = tighten_crop(
+                crop_quad(page, QuadBox(quad_pts, 1.0), target_h=rec_h),
+                target_h=rec_h,
+            )
+            if crop.ndim != 3 or crop.shape[0] != rec_h or crop.size == 0:
                 continue
             if crop.shape[1] > crop_w:  # truncating would corrupt labels
                 continue
@@ -600,7 +604,7 @@ def train_classifier_cached(
         : len(DEFAULT_FONTS)
     ]
     font_probs = font_probs / font_probs.sum()
-    pool = np.zeros((pool_size, 32, crop_w, 3), np.float32)
+    pool = np.zeros((pool_size, rec_h, crop_w, 3), np.float32)
     labels = np.zeros(pool_size, np.int32)
     for i in range(pool_size):
         if rng.random() < 0.5:
