@@ -216,6 +216,7 @@ class IVFBitsIndex:
         nprobe: int = 8,
         refine_k: int | None = None,
         group_l: int = 8,
+        tail: str = "fold",
         interpret: bool = False,
     ) -> tuple[jax.Array, jax.Array]:
         """(scores [Q, k] f32, global row ids [Q, k] i32, −1 empty).
@@ -242,7 +243,7 @@ class IVFBitsIndex:
             qf, self.centroids, self.codes, self.scales, self.gid,
             k=k_dev, nprobe=nprobe, block_n=self.block_n,
             blocks_per_list=self.blocks_per_list, group_l=group_l,
-            interpret=interpret,
+            tail=tail, interpret=interpret,
         )
         if not do_refine:
             return vals[:, :k], rows[:, :k]
@@ -382,12 +383,13 @@ def _encode_scatter(codes, scales, gid, emb, centroids, place, pos, gids):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "block_n", "blocks_per_list", "group_l", "interpret",
+        "k", "nprobe", "block_n", "blocks_per_list", "group_l", "tail",
+        "interpret",
     ),
 )
 def _bits_search(
     queries, centroids, codes, scales, gid,
-    *, k, nprobe, block_n, blocks_per_list, group_l, interpret,
+    *, k, nprobe, block_n, blocks_per_list, group_l, tail, interpret,
 ):
     q, d = queries.shape
     c_scores = jax.lax.dot_general(
@@ -431,7 +433,7 @@ def _bits_search(
     vals, slots = ivf_bits_topk_pallas(
         qs, codes, scales, probe_blocks.astype(jnp.int32), c_sel, k,
         blocks_per_list=blocks_per_list, block_n=block_n, group_l=group_l,
-        interpret=interpret,
+        tail=tail, interpret=interpret,
     )
     rows = jnp.where(jnp.isfinite(vals), gid[slots], -1)
     # unsort back to caller order (order[:q] is the true permutation;
