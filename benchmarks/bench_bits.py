@@ -10,12 +10,21 @@ no 200 GB raw corpus ever exists. Recall is reported against both the
 f32-exact and exact-int8 oracles (the refine tier scores in int8, so
 rank-9/10 near-ties legitimately swap vs f32).
 
+Corpus distribution (env ``BITS_DIST``): ``micro`` (default) has
+micro-cluster (near-duplicate/paraphrase) structure — see
+common.microcluster_chunk_fn; ``ties`` is the radius-spread near-tie
+stress distribution whose in-cluster margins (~1e-4) sit BELOW the
+rescoring noise of even an exact-int8 oracle — no quantized index can
+rank it (measured decomposition: benchmarks/exp_bits_recall.py), so
+its recall is reported for transparency, not as a target.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_bits.py
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -41,7 +50,7 @@ def main() -> None:
     from intool_rag_tpu.index.bits_index import IVFBitsIndex
 
     on_tpu = backend == "tpu"
-    seg_rows = 500_000 if on_tpu else 4096
+    seg_rows = 500_000 if on_tpu else 4000  # % micro group == 0
     n_segments = 100 if on_tpu else 4
     nlist = 4096 if on_tpu else 64
     block_n = 1024 if on_tpu else 128
@@ -55,22 +64,29 @@ def main() -> None:
 
     centers = gen_centers()
     noise = 0.35 / float(np.sqrt(D))
+    dist = os.environ.get("BITS_DIST", "micro")
 
-    @jax.jit
-    def gen_chunk(key, centers):
-        """Clustered rows with radius spread (see bench_segmented.py:
-        equal radii make 'the true top-10' an arbitrary tie-pick)."""
-        k1, k2, k3 = jax.random.split(key, 3)
-        ids = jax.random.randint(k1, (seg_rows,), 0, nlist)
-        radius = noise * jnp.exp(
-            jax.random.uniform(
-                k3, (seg_rows, 1), minval=jnp.log(0.2), maxval=jnp.log(2.0)
+    if dist == "micro":
+        from common import microcluster_chunk_fn
+
+        gen_chunk = jax.jit(microcluster_chunk_fn(seg_rows, D))
+    else:
+
+        @jax.jit
+        def gen_chunk(key, centers):
+            """Near-tie stress: radius-spread clusters (module docstring)."""
+            k1, k2, k3 = jax.random.split(key, 3)
+            ids = jax.random.randint(k1, (seg_rows,), 0, nlist)
+            radius = noise * jnp.exp(
+                jax.random.uniform(
+                    k3, (seg_rows, 1), minval=jnp.log(0.2),
+                    maxval=jnp.log(2.0),
+                )
             )
-        )
-        x = centers[ids] + radius * jax.random.normal(
-            k2, (seg_rows, D), jnp.float32
-        )
-        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            x = centers[ids] + radius * jax.random.normal(
+                k2, (seg_rows, D), jnp.float32
+            )
+            return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
     # ---- train on the first chunk ----
     first = gen_chunk(jax.random.PRNGKey(1), centers)
@@ -145,7 +161,10 @@ def main() -> None:
     # ---- queries: perturbed copies of known rows ----
     @jax.jit
     def gen_queries(key, centers):
-        src = gen_chunk(jax.random.PRNGKey(1 + 3), centers)[:Q]
+        # source chunk key must be one of the ingested chunks (1..n)
+        src = gen_chunk(
+            jax.random.PRNGKey(1 + min(3, n_segments - 1)), centers
+        )[:Q]
         qn = src + (0.1 * noise) * jax.random.normal(key, (Q, D), jnp.float32)
         return qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
 

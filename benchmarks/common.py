@@ -71,6 +71,65 @@ def device_clustered_corpus(
     return gen()
 
 
+def microcluster_chunk_fn(seg_rows: int, d: int, *, group: int = 10,
+                          base_radius: float = 0.35):
+    """Chunk generator with micro-cluster (near-duplicate) structure.
+
+    Real corpora pair broad topical clustering with MICRO-structure:
+    paraphrases, re-chunked overlaps, boilerplate — small tight groups
+    whose members are each other's true neighbors, separated from the
+    rest of their topic cluster by a margin quantizers can resolve. A
+    distribution with neither (every cluster member a near-tie of 12k
+    others, margins ~1e-4) makes recall@10 unmeasurable BY ANY quantized
+    index: exact-int8 rescoring itself reorders near-ties (measured:
+    refined recall plateaus at 0.60 while pool recall hits 0.95 —
+    benchmarks/exp_bits_recall.py).
+
+    Each consecutive ``group`` rows share a micro-center = topic center
+    + radius-spread offset (norm ~``base_radius``); rows scatter around
+    it at ~10% of the micro offset. A query perturbed from any row has
+    its group as the true top-``group`` with margin ~``base_radius²``.
+
+    Returns a jittable ``fn(key, centers) -> [seg_rows, d] f32`` of
+    unit-norm rows; chunks regenerate from their PRNG key (oracles
+    stream exact scores without materializing the corpus).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if seg_rows % group:
+        raise ValueError(f"seg_rows {seg_rows} % group {group} != 0")
+    n_micro = seg_rows // group
+
+    def gen(key, centers):
+        nlist = centers.shape[0]
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        ids = jax.random.randint(k1, (n_micro,), 0, nlist)
+        u = jax.random.normal(k2, (n_micro, d), jnp.float32) / jnp.sqrt(
+            jnp.float32(d)
+        )
+        r_micro = base_radius * jnp.exp(
+            jax.random.uniform(
+                k3, (n_micro, 1), minval=jnp.log(0.5), maxval=jnp.log(1.5)
+            )
+        )
+        mc = centers[ids] + r_micro * u  # [n_micro, d]
+        s_row = 0.1 * r_micro[:, None, :] * jnp.exp(
+            jax.random.uniform(
+                k5, (n_micro, group, 1), minval=jnp.log(0.5),
+                maxval=jnp.log(2.0),
+            )
+        )
+        w = jax.random.normal(
+            k4, (n_micro, group, d), jnp.float32
+        ) / jnp.sqrt(jnp.float32(d))
+        rows = mc[:, None, :] + s_row * w
+        rows = rows.reshape(seg_rows, d)
+        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+    return gen
+
+
 def device_queries(g: int, q: int, d: int, seeds=(1, 2, 3, 4)):
     import jax
     import jax.numpy as jnp

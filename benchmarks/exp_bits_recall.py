@@ -4,14 +4,25 @@ The round-3c 50M measurement (BENCH_NOTES) showed the list-major bits
 kernel serving at 2,193 QPS but recall@10 0.30 with pool@100 0.31 —
 the candidate pool itself misses, flat across nprobe (the neighbors
 all live in the query's home list; the loss is 1-bit IN-LIST ranking).
-Three suspects compound: group_l=8 winner-take-all inside blocks, the
-fold-by-2 tail, and the final top-pool over ~53k noisy binary scores.
 
 This experiment reproduces the geometry small (same ~12.2k rows/list,
-same 13 blocks/list, same n_cand per query) at 3.1M rows so sweeps are
-cheap, then measures pool recall vs (pool size, group_l, tail) plus
-the binary-rank histogram of the true top-10 — which directly gives
-the pool size needed for any recall target.
+same 13 blocks/list, same n_cand per query) at 3M rows so sweeps are
+cheap, then measures pool recall vs (pool size, group_l, tail), the
+binary-rank histogram of the true top-10, and refined recall/QPS at
+candidate operating points.
+
+Two distributions, env ``EXP_DIST``:
+
+- ``micro`` (default): micro-cluster structure (common.py
+  microcluster_chunk_fn) — true neighbors separated from their topic
+  cluster by margins a quantizer can resolve. The distribution recall
+  targets are set on.
+- ``ties``: the original radius-spread clusters — 12k near-tied rows
+  per list with margins ~1e-4, BELOW the rescoring noise of even an
+  exact int8 oracle (measured: refined recall plateaus at 0.60 while
+  pool recall reaches 0.95). Kept as the adversarial stress case; no
+  quantized index of any kind can rank it, so it is not a recall
+  target.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
     python benchmarks/exp_bits_recall.py
@@ -19,6 +30,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site \
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -42,7 +54,7 @@ def main() -> None:
     from intool_rag_tpu.index.bits_index import IVFBitsIndex
 
     on_tpu = backend == "tpu"
-    seg_rows = 500_000 if on_tpu else 8192
+    seg_rows = 500_000 if on_tpu else 8000  # % micro group (10) == 0
     n_segments = 6 if on_tpu else 2
     nlist = 256 if on_tpu else 8  # keeps rows/list ~12.2k like the 50M point
     block_n = 1024 if on_tpu else 128
@@ -57,19 +69,27 @@ def main() -> None:
     centers = gen_centers()
     noise = 0.35 / float(np.sqrt(D))
 
-    @jax.jit
-    def gen_chunk(key, centers):
-        k1, k2, k3 = jax.random.split(key, 3)
-        ids = jax.random.randint(k1, (seg_rows,), 0, nlist)
-        radius = noise * jnp.exp(
-            jax.random.uniform(
-                k3, (seg_rows, 1), minval=jnp.log(0.2), maxval=jnp.log(2.0)
+    dist = os.environ.get("EXP_DIST", "micro")  # micro | ties
+    if dist == "micro":
+        from common import microcluster_chunk_fn
+
+        gen_chunk = jax.jit(microcluster_chunk_fn(seg_rows, D))
+    else:
+
+        @jax.jit
+        def gen_chunk(key, centers):
+            k1, k2, k3 = jax.random.split(key, 3)
+            ids = jax.random.randint(k1, (seg_rows,), 0, nlist)
+            radius = noise * jnp.exp(
+                jax.random.uniform(
+                    k3, (seg_rows, 1), minval=jnp.log(0.2),
+                    maxval=jnp.log(2.0),
+                )
             )
-        )
-        x = centers[ids] + radius * jax.random.normal(
-            k2, (seg_rows, D), jnp.float32
-        )
-        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            x = centers[ids] + radius * jax.random.normal(
+                k2, (seg_rows, D), jnp.float32
+            )
+            return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
     first = gen_chunk(jax.random.PRNGKey(1), centers)
     index = IVFBitsIndex.train(
@@ -89,7 +109,12 @@ def main() -> None:
 
     @jax.jit
     def gen_queries(key, centers):
-        src = gen_chunk(jax.random.PRNGKey(1 + 3), centers)[:Q]
+        # source chunk must be one of the INGESTED chunks (keys
+        # 1..n_segments) — a key outside that range makes queries
+        # perturbations of rows that are not in the corpus
+        src = gen_chunk(
+            jax.random.PRNGKey(1 + min(3, n_segments - 1)), centers
+        )[:Q]
         qn = src + (0.1 * noise) * jax.random.normal(key, (Q, D), jnp.float32)
         return qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
 
@@ -128,12 +153,21 @@ def main() -> None:
         return round(hits / oracle.size, 4)
 
     nprobe = 8
-    pools = (100, 200, 400, 800, 1600, 3200) if on_tpu else (100, 200)
-    op_points = (
-        ((8, 100, "fold"), (2, 800, "fold"), (2, 1600, "fold"),
-         (2, 3200, "fold"), (2, 1600, "blocked"))
-        if on_tpu else ((8, 100, "fold"), (2, 200, "blocked"))
-    )
+    if not on_tpu:
+        pools = (100, 200)
+        op_points = ((8, 100, "fold"), (2, 200, "blocked"))
+    elif dist == "micro":
+        pools = (20, 50, 100, 200, 400)
+        op_points = (
+            (8, 50, "fold"), (8, 100, "fold"), (8, 200, "fold"),
+            (4, 100, "fold"), (2, 100, "fold"),
+        )
+    else:
+        pools = (100, 200, 400, 800, 1600, 3200)
+        op_points = (
+            (8, 100, "fold"), (2, 800, "fold"), (2, 1600, "fold"),
+            (2, 3200, "fold"), (2, 1600, "blocked"),
+        )
     # --- pool-recall sweep: pool size x group_l ---
     for group_l in (8, 4, 2):
         line = []
