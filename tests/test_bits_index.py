@@ -169,6 +169,38 @@ def test_bits_index_recall_and_refine(rng):
     assert hits_full / oracle8.size >= 0.97
 
 
+def test_bits_index_tail_modes_agree(rng):
+    """The fold-by-2 tail and the blocked exact sort must agree on
+    clean-margin data (fold only drops a candidate when its fold
+    partner beats it — both are in the same candidate set, so the
+    survivor set matches the exact sort up to rare true-top-k pairs
+    landing on the same fold lane)."""
+    n, d, l = 4096, 256, 16
+    x = _clustered(rng, n, d, l)
+    idx = IVFBitsIndex.train(
+        jnp.asarray(x[:2048]), l, capacity=2 * n, block_n=64, refine=False
+    )
+    idx.append(jnp.asarray(x))
+    queries = x[rng.integers(0, n, 16)] + 0.01 * rng.standard_normal(
+        (16, d)
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    out = {}
+    for tail in ("fold", "blocked"):
+        _, rows = idx.search(
+            jnp.asarray(queries), 10, nprobe=8, group_l=1, tail=tail,
+            interpret=True,
+        )
+        out[tail] = np.asarray(rows)
+    # top-1 identical; set overlap >= 0.9 (fold pair-collisions only)
+    assert np.array_equal(out["fold"][:, 0], out["blocked"][:, 0])
+    overlap = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(out["fold"], out["blocked"])
+    )
+    assert overlap / out["fold"].size >= 0.9
+
+
 def test_bits_index_spill_and_capacity(rng):
     """Skewed appends spill to next-nearest lists without dropping rows;
     exceeding capacity raises."""
