@@ -99,6 +99,7 @@ def main() -> None:
         refine=False,
     )
     jax.block_until_ready(index.centroids)
+    del first  # 2 GB f32 — keeping it through ingest OOMs the 9 GB store
     t_train = time.perf_counter() - t0
     print(f"# k-means train: {t_train:.1f}s", file=sys.stderr)
 
