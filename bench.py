@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -118,7 +119,26 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
 
     corpus = gen_corpus()
 
-    def dense_topk(q_dense, corpus):
+    # DENSE_PATH=int8: score with the int8 Pallas kernel (2× MXU MAC
+    # rate + half the corpus HBM bytes) over an on-device-quantized
+    # mirror; the bf16 corpus stays resident as the oracle's storage
+    # ground truth so the recall check measures the int8 cost honestly.
+    dense_path = os.environ.get("DENSE_PATH", "bf16")
+    corpus_q8 = None
+    if dense_path == "int8":
+        from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+        from intool_rag_tpu.ops.quant import quantize_int8
+
+        corpus_q8 = jax.jit(quantize_int8)(corpus)
+        jax.block_until_ready(corpus_q8[0])
+        _progress("int8 mirror quantized on device")
+
+    def dense_topk(q_dense, corpus, corpus_q8):
+        if on_tpu and corpus_q8 is not None:
+            return flat_topk_pallas_int8(
+                q_dense, *corpus_q8, CANDIDATES, group_l=32, valid_n=n,
+                tail="fold",
+            )
         if on_tpu:
             # fused Pallas kernel, split-query precise scores + approx
             # tail: in-kernel scores now match f32-query × bf16-corpus,
@@ -144,8 +164,8 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         rows_dev["term_wmax"],
     )
 
-    def hybrid(q_dense, qt, corpus, rows, idf_d):
-        d_vals, d_rows = dense_topk(q_dense, corpus)
+    def hybrid(q_dense, qt, corpus, rows, idf_d, corpus_q8=None):
+        d_vals, d_rows = dense_topk(q_dense, corpus, corpus_q8)
         if on_tpu:
             # cosine score-space clamp (the kernel returns raw ip)
             d_vals = jnp.clip(d_vals, 0.0, 1.0)
@@ -164,10 +184,10 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         return weighted_fusion(d_rows, d_vals, s_rows, s_norm, TOP_K)
 
     @jax.jit
-    def stream(corpus, rows, idf_d, dq_all, sq_all):
+    def stream(corpus, rows, idf_d, dq_all, sq_all, corpus_q8=None):
         def step(_, inp):
             dq, sq = inp
-            return None, hybrid(dq, sq, corpus, rows, idf_d)
+            return None, hybrid(dq, sq, corpus, rows, idf_d, corpus_q8)
 
         _, out = jax.lax.scan(step, None, (dq_all, sq_all))
         return out
@@ -178,12 +198,12 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         jnp.asarray((qterms[None].repeat(G, 0) + 31 * i) % vocab) for i in range(4)
     ]
     _progress("compiling stream")
-    np.asarray(stream(corpus, rows_tuple, dev[4], dqs[-1], sqs[-1])[1])
+    np.asarray(stream(corpus, rows_tuple, dev[4], dqs[-1], sqs[-1], corpus_q8)[1])
     _progress("warmup done; timing")
     times = []
     for dq, sq in zip(dqs[:3], sqs[:3]):
         t0 = time.perf_counter()
-        np.asarray(stream(corpus, rows_tuple, dev[4], dq, sq)[1])
+        np.asarray(stream(corpus, rows_tuple, dev[4], dq, sq, corpus_q8)[1])
         times.append(time.perf_counter() - t0)
     # mean ± sd across passes (round-2 verdict item 10: a best-of run
     # presented ~6% run variance as a point value)
@@ -200,7 +220,7 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     # moving the 2-4GB corpus through the tunnel.
     full_dq = jnp.asarray(np.asarray(dqs[0][0]))
     full_sq = jnp.asarray(qterms)
-    vals, rows = jax.jit(hybrid)(full_dq, full_sq, corpus, rows_tuple, dev[4])
+    vals, rows = jax.jit(hybrid)(full_dq, full_sq, corpus, rows_tuple, dev[4], corpus_q8)
     fast_rows = np.asarray(rows)[:CPU_SAMPLE_Q]
 
     def hybrid_exact(q_dense, qt, corpus, dev):

@@ -102,6 +102,34 @@ def main() -> None:
     out["dense_qps"] = round(N_QUERIES * G / t, 1)
     out["dense_ms_per_batch"] = round(t / G * 1000, 2)
 
+    # ---- int8 dense stage (DENSE_PATH=int8's kernel: int8×int8 MXU at
+    # 2× bf16 MACs + half the corpus HBM bytes; split-query precise) ----
+    if on_tpu:
+        from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+        from intool_rag_tpu.ops.quant import quantize_int8
+
+        corpus_q8 = jax.jit(quantize_int8)(corpus)
+        jax.block_until_ready(corpus_q8[0])
+
+        def dense_i8(q, cq, cs):
+            return flat_topk_pallas_int8(
+                q, cq, cs, CANDIDATES, group_l=32, valid_n=n, tail="fold",
+            )
+
+        t = _stream_time(dense_i8, [(d,) for d in dqs], *corpus_q8)
+        out["dense_int8_qps"] = round(N_QUERIES * G / t, 1)
+        out["dense_int8_ms_per_batch"] = round(t / G * 1000, 2)
+        # selection agreement vs the bf16-precise path on one batch
+        _, r8 = jax.jit(dense_i8)(dqs[0][0], *corpus_q8)
+        _, rb = jax.jit(dense)(dqs[0][0], corpus)
+        a, b = np.asarray(r8), np.asarray(rb)
+        inter = np.mean(
+            [len(set(x.tolist()) & set(y.tolist())) / CANDIDATES
+             for x, y in zip(a, b)]
+        )
+        out["dense_int8_pool_overlap_vs_bf16"] = round(float(inter), 4)
+        del corpus_q8
+
     # ---- BM25 stage: p_max sweep ----
     out["bm25"] = {}
     for p_max in (512, 1024, 2048, 4096):

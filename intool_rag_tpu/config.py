@@ -305,7 +305,16 @@ class Config:
     # ================= TPU-specific (new; no reference equivalent) ========
     # Index / kernels
     INDEX_DTYPE: str = dataclasses.field(
-        default_factory=lambda: _env_str("INDEX_DTYPE", "bfloat16")  # or f32/int8
+        default_factory=lambda: _env_str("INDEX_DTYPE", "bfloat16")  # or float32
+    )
+    # int8 dense scoring: DenseFlatIndex keeps an int8+scales mirror of
+    # the (float) store and scores with the int8 Pallas kernel — the MXU
+    # runs int8 at 2× the bf16 MAC rate and the corpus HBM read halves
+    # (ops/flat_pallas.flat_topk_pallas_int8). Costs +0.5× the bf16
+    # store in HBM for the mirror; recall impact is bounded by int8
+    # absmax rounding (~2⁻⁸ relative) and measured in bench.py.
+    DENSE_INT8: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("DENSE_INT8", False)
     )
     INDEX_KIND: str = dataclasses.field(
         default_factory=lambda: _env_str("INDEX_KIND", "flat")  # flat | ivf | ivf_residual | segmented | bits

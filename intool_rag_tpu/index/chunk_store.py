@@ -53,6 +53,14 @@ class ChunkStore:
         self.dim = dim
         self.dim_pad = _round_up(dim, _DIM_BLOCK)
         self.dtype = jnp.dtype(dtype)
+        if not jnp.issubdtype(self.dtype, jnp.floating):
+            # a plain dtype cast would zero unit-norm embeddings; integer
+            # storage needs scales — use DENSE_INT8 (an int8+scales
+            # mirror in DenseFlatIndex) or the IVF residual/bits tiers
+            raise ValueError(
+                f"ChunkStore dtype must be floating, got {dtype}; "
+                "for int8 scoring set DENSE_INT8=1"
+            )
         self.valid_n = 0
         self.mutation_count = 0  # bumped on append/remove (derived-index invalidation)
         self._embeddings = jnp.zeros((_ROW_BLOCK, self.dim_pad), dtype=self.dtype)

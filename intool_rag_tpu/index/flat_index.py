@@ -39,6 +39,8 @@ class DenseFlatIndex:
         self._ivf_built_at = -1
         self._sharded = None  # (mesh, sharded corpus) cache
         self._sharded_built_at = -1
+        self._q8 = None  # (codes int8, scales f32) mirror for DENSE_INT8
+        self._q8_built_at = -1
         # store identity for incremental segments: a weakref, NOT id()
         # — CPython recycles addresses, so a dead store's id can match a
         # new store and serve stale rows (review finding)
@@ -141,6 +143,17 @@ class DenseFlatIndex:
         self._ivf_built_at = store.mutation_count
         return idx
 
+    def _int8_mirror(self):
+        """int8+scales mirror of the store for the int8 Pallas kernel
+        (DENSE_INT8): quantized on device, cached per store mutation."""
+        if self._q8 is None or self._q8_built_at != self.store.mutation_count:
+            from ..ops.quant import quantize_int8
+
+            q8, s8 = jax.jit(quantize_int8)(self.store.embeddings)
+            self._q8 = (q8, s8)
+            self._q8_built_at = self.store.mutation_count
+        return self._q8
+
     def _ivf_index(self):
         if self._ivf is None or self._ivf_built_at != self.store.mutation_count:
             cfg = get_config()
@@ -242,16 +255,28 @@ class DenseFlatIndex:
             # f32-query × bf16-corpus product, so no candidate rescore
             # pass is needed afterwards (round 3 — the rescore row
             # gather cost ~6 ms/256-query batch at 1M rows)
-            precise_pallas = store.embeddings.dtype == jnp.bfloat16
-            vals, rows = flat_topk_pallas(
-                query_embeddings,
-                store.embeddings,
-                k,
-                group_l=group_l,
-                valid_n=store.valid_n,
-                precise=precise_pallas,
-                tail="fold",
-            )
+            precise_pallas = True
+            if cfg.DENSE_INT8:
+                from ..ops.flat_pallas import flat_topk_pallas_int8
+
+                q8, s8 = self._int8_mirror()
+                vals, rows = flat_topk_pallas_int8(
+                    query_embeddings, q8, s8, k,
+                    group_l=group_l,
+                    valid_n=store.valid_n,
+                    tail="fold",
+                )
+            else:
+                precise_pallas = store.embeddings.dtype == jnp.bfloat16
+                vals, rows = flat_topk_pallas(
+                    query_embeddings,
+                    store.embeddings,
+                    k,
+                    group_l=group_l,
+                    valid_n=store.valid_n,
+                    precise=precise_pallas,
+                    tail="fold",
+                )
         else:
             use_approx = (
                 _on_tpu() and self.metric in ("cosine", "ip") and exact is not True

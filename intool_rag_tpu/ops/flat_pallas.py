@@ -42,41 +42,13 @@ def choose_group_width(n: int, k: int, target_recall: float = 0.98) -> int:
     return l
 
 
-def _partial_topk_kernel(
-    valid_ref, q_ref, qlo_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l,
-    argmax_mode="maskmin",
+def _reduce_block(
+    scores, valid_n, *, base, block_n, group_l, argmax_mode, vals_ref, idx_ref
 ):
-    bi = pl.program_id(0)
-    valid_n = valid_ref[0]  # SMEM scalar: no recompile per corpus append
-    # HIGHEST precision only makes sense for f32 operands (avoids the bf16
-    # 3-pass default); Mosaic rejects fp32 contract precision on bf16 inputs.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if q_ref.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [Q, block_n]
-    if qlo_ref is not None:
-        # split-query compensation pass: q ≈ q_hi + q_lo in bf16 pairs,
-        # so q·c matches the f32-query × bf16-corpus product to ~2^-16
-        # relative — the final ranking no longer needs a separate exact
-        # rescore of the candidate pool (round-3: the rescore gather was
-        # 5.9 ms/batch, ~⅓ of the dense stage)
-        scores += jax.lax.dot_general(
-            qlo_ref[:],
-            c_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
+    """Grouped partial-max reduce of a scored block, with boundary
+    masking only on the block that straddles valid_n (shared by the
+    bf16 and int8 kernels)."""
     q = scores.shape[0]
-    base = bi * block_n
     lw = block_n // group_l  # lane width: 128 on the real path
 
     def reduce_and_store(scores):
@@ -119,6 +91,84 @@ def _partial_topk_kernel(
         reduce_and_store(
             jnp.where(base + col_ids < valid_n, scores, -jnp.inf)
         )
+
+
+def _partial_topk_kernel(
+    valid_ref, q_ref, qlo_ref, c_ref, vals_ref, idx_ref, *, block_n, group_l,
+    argmax_mode="maskmin",
+):
+    bi = pl.program_id(0)
+    valid_n = valid_ref[0]  # SMEM scalar: no recompile per corpus append
+    # HIGHEST precision only makes sense for f32 operands (avoids the bf16
+    # 3-pass default); Mosaic rejects fp32 contract precision on bf16 inputs.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [Q, block_n]
+    if qlo_ref is not None:
+        # split-query compensation pass: q ≈ q_hi + q_lo in bf16 pairs,
+        # so q·c matches the f32-query × bf16-corpus product to ~2^-16
+        # relative — the final ranking no longer needs a separate exact
+        # rescore of the candidate pool (round-3: the rescore gather was
+        # 5.9 ms/batch, ~⅓ of the dense stage)
+        scores += jax.lax.dot_general(
+            qlo_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    _reduce_block(
+        scores, valid_n, base=bi * block_n, block_n=block_n,
+        group_l=group_l, argmax_mode=argmax_mode,
+        vals_ref=vals_ref, idx_ref=idx_ref,
+    )
+
+
+def _partial_topk_kernel_int8(
+    valid_ref, q1_ref, q2_ref, c_ref, cs_ref, vals_ref, idx_ref, *,
+    block_n, group_l, argmax_mode="maskmin",
+):
+    """int8 variant: int8×int8→int32 on the MXU (2× bf16 MACs/cycle on
+    v5e) over an int8 corpus (half the HBM bytes of bf16). Per-row
+    corpus scales are applied before the grouped reduce (they vary per
+    column); the per-QUERY scale is constant within a row, so it is
+    applied outside the kernel after the tail. ``q2`` is the optional
+    split-query compensation pass at the FIXED ratio s2 = s1/128
+    (q2 = round(128·(q/s1 − q1)) ∈ [−64, 64]), giving ~15-bit effective
+    query precision with a constant 1/128 fold — no per-row scale
+    plumbing into the kernel."""
+    bi = pl.program_id(0)
+    valid_n = valid_ref[0]
+    acc = jax.lax.dot_general(
+        q1_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Q, block_n] i32
+    scores = acc.astype(jnp.float32)
+    if q2_ref is not None:
+        acc2 = jax.lax.dot_general(
+            q2_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores += acc2.astype(jnp.float32) * (1.0 / 128.0)
+    scores = scores * cs_ref[:]  # [1, block_n] broadcast over query rows
+    _reduce_block(
+        scores, valid_n, base=bi * block_n, block_n=block_n,
+        group_l=group_l, argmax_mode=argmax_mode,
+        vals_ref=vals_ref, idx_ref=idx_ref,
+    )
 
 
 @functools.partial(
@@ -250,6 +300,12 @@ def flat_topk_pallas(
         interpret=interpret,
     )(*operands)
 
+    return _candidates_topk(cand_vals, cand_idx, k, q, tail=tail, tail_rt=tail_rt)
+
+
+def _candidates_topk(cand_vals, cand_idx, k, q, *, tail, tail_rt):
+    """Top-k tail over the [Q, N/L] partial-max candidate arrays (shared
+    by the bf16 and int8 kernels)."""
     # barrier: without it XLA tries to keep the full [Q, N/L] candidate
     # arrays in scoped VMEM for the downstream top-k and OOMs at 1M rows
     cand_vals, cand_idx = jax.lax.optimization_barrier((cand_vals, cand_idx))
@@ -297,3 +353,151 @@ def flat_topk_pallas(
         top_vals, top_pos = blocked_topk(cand_vals, k_eff, block=1024)
     top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
     return top_vals[:q], top_idx[:q]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_n", "group_l", "interpret", "tail", "precise",
+        "argmax_mode", "tail_rt",
+    ),
+)
+def flat_topk_pallas_int8(
+    queries: jax.Array,
+    corpus_q: jax.Array,
+    corpus_scale: jax.Array,
+    k: int,
+    *,
+    block_n: int | None = None,
+    group_l: int = 32,
+    valid_n: int | jax.Array | None = None,
+    interpret: bool = False,
+    tail: str = "fold",
+    precise: bool = True,
+    argmax_mode: str = "maskmin",
+    tail_rt: float = 0.95,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused flat MIPS top-k over an int8 corpus (``corpus_q [N, D]
+    int8`` + per-row ``corpus_scale [N] f32`` from
+    :func:`intool_rag_tpu.ops.quant.quantize_int8`).
+
+    vs the bf16 kernel: half the HBM corpus bytes AND the MXU runs int8
+    at 2× the bf16 MAC rate on v5e, so the matmul-bound kernel body
+    (BENCH_NOTES round-3c roofline) drops ~2× even with the split-query
+    compensation matmul (``precise=True``, ~15-bit query precision at a
+    fixed s1/128 ratio — see ``_partial_topk_kernel_int8``). Corpus
+    precision is int8 absmax (~2⁻⁸ relative) vs bf16's 2⁻⁹ — the recall
+    cost is measured in bench.py's exact-hybrid oracle check.
+
+    Returns ``(scores [Q, k] f32, indices [Q, k] i32)``.
+    """
+    n, d = corpus_q.shape
+    if corpus_q.dtype != jnp.int8:
+        raise ValueError(f"corpus must be int8, got {corpus_q.dtype}")
+    if block_n is None:
+        block_n = 128 * group_l
+    if block_n % (128 * group_l) != 0 and not interpret:
+        raise ValueError(
+            f"block_n={block_n} must be a multiple of 128·group_l={128 * group_l} "
+            "(Mosaic output-tile constraint)"
+        )
+    if n % block_n != 0 or d % 128 != 0:
+        raise ValueError(f"corpus shape {corpus_q.shape} not padded to ({block_n}, 128)")
+    if valid_n is None:
+        valid_n = n
+    q = queries.shape[0]
+    q_pad = _round_up(max(q, 8), 8)
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+
+    qf = queries.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+    s1 = jnp.maximum(absmax, 1e-9) / 127.0  # [q_pad, 1]
+    scaled = qf / s1
+    q1f = jnp.round(jnp.clip(scaled, -127.0, 127.0))
+    q1 = q1f.astype(jnp.int8)
+    if precise:
+        # residual at the fixed s1/128 grid: |scaled - q1f| ≤ 0.5 →
+        # 128·residual ∈ [−64, 64] fits int8 exactly
+        q2 = jnp.round(128.0 * (scaled - q1f)).astype(jnp.int8)
+    else:
+        q2 = None
+
+    num_blocks = n // block_n
+    num_groups = block_n // group_l
+    cs_row = corpus_scale.astype(jnp.float32).reshape(1, n)
+
+    q_spec = pl.BlockSpec(
+        (q_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [q_spec]
+    if precise:
+        in_specs.append(q_spec)
+    in_specs.append(
+        pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    )
+    in_specs.append(
+        pl.BlockSpec((1, block_n), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((q_pad, num_groups), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, num_groups), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    valid_arr = jnp.asarray([valid_n], jnp.int32)
+    if precise:
+        kernel = functools.partial(
+            _partial_topk_kernel_int8, block_n=block_n, group_l=group_l,
+            argmax_mode=argmax_mode,
+        )
+        operands = (valid_arr, q1, q2, corpus_q, cs_row)
+    else:
+        def kernel(valid_ref, q1_ref, c_ref, cs_ref, vals_ref, idx_ref):
+            _partial_topk_kernel_int8(
+                valid_ref, q1_ref, None, c_ref, cs_ref, vals_ref, idx_ref,
+                block_n=block_n, group_l=group_l, argmax_mode=argmax_mode,
+            )
+
+        operands = (valid_arr, q1, corpus_q, cs_row)
+
+    compiler_params = None
+    if not interpret:
+        # scoped-VMEM budget model (mirrors the bf16 path): int8 blocks
+        # double-buffered, i32 matmul accumulators + the f32 converted
+        # scores live simultaneously before the reduce
+        need = (
+            2 * block_n * d  # double-buffered int8 corpus block
+            + (2 if precise else 1) * q_pad * d  # int8 queries
+            + (3 if precise else 2) * q_pad * block_n * 4  # i32 accs + f32
+            + 2 * block_n * 4  # scales row (double-buffered)
+            + 2 * q_pad * (block_n // group_l) * 8  # out tiles
+        )
+        cap = max(48, min(110, need // (1024 * 1024) + 20))
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(cap) * 1024 * 1024
+        )
+    cand_vals, cand_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, num_blocks * num_groups), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, num_blocks * num_groups), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if precise else 1) * 2 * q_pad * n * d,
+            bytes_accessed=n * d + n * 4 + q_pad * d,
+            transcendentals=0,
+        ),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*operands)
+
+    vals, idx = _candidates_topk(cand_vals, cand_idx, k, q, tail=tail, tail_rt=tail_rt)
+    # per-query scale: constant within a row, so it commutes with every
+    # row-wise reduction above — applied once over [q, k]
+    return vals * s1[:q], idx

@@ -216,3 +216,32 @@ def test_registry_add_document_carries_dense_index(tmp_storage):
     assert reg.engine.store is store_before  # in-place append
     assert reg.engine.dense is dense_before  # derived state carried over
     assert reg.stats()["chunks"] == 3
+
+
+def test_chunk_store_rejects_integer_dtype():
+    import pytest
+
+    with pytest.raises(ValueError, match="DENSE_INT8"):
+        ChunkStore(dim=16, dtype="int8")
+
+
+def test_dense_int8_mirror_caches_and_invalidates():
+    """DENSE_INT8's quantized mirror must rebuild exactly when the store
+    mutates (stale codes would serve deleted/old rows)."""
+    store = ChunkStore(dim=64, dtype="bfloat16")
+    texts = [f"t{i}" for i in range(8)]
+    store.append(_embed(texts), "d1", [f"c{i}" for i in range(8)], [1] * 8, texts)
+    index = DenseFlatIndex(store)
+    q8a, s8a = index._int8_mirror()
+    q8b, _ = index._int8_mirror()
+    assert q8a is q8b  # cached between mutations
+    assert q8a.dtype == jnp.int8
+    assert s8a.shape[0] == store.embeddings.shape[0]
+    # int8 absmax codes reconstruct the stored rows to ~1% of absmax
+    deq = np.asarray(q8a, np.float32) * np.asarray(s8a)[:, None]
+    want = np.asarray(store.embeddings, np.float32)
+    assert np.max(np.abs(deq - want)) <= np.max(np.abs(want)) / 127.0 + 1e-6
+    more = [f"u{i}" for i in range(4)]
+    store.append(_embed(more), "d2", [f"m{i}" for i in range(4)], [1] * 4, more)
+    q8c, _ = index._int8_mirror()
+    assert q8c is not q8a  # rebuilt on mutation

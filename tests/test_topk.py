@@ -202,6 +202,74 @@ def test_flat_pallas_precise_split_query(rng):
     )
 
 
+def test_flat_pallas_int8_parity(rng):
+    """int8 kernel (split-query precise): scores must match the
+    dequantized-int8 oracle to float tolerance, and recall vs the f32
+    exact oracle must be high on separable data."""
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+    from intool_rag_tpu.ops.quant import quantize_int8
+
+    n, d, q, k = 1024, 128, 5, 10
+    corpus = _normed(rng, (n, d))
+    queries = _normed(rng, (q, d))
+    q8, s8 = quantize_int8(jnp.asarray(corpus))
+    vals, idx = flat_topk_pallas_int8(
+        jnp.asarray(queries), q8, s8, k,
+        block_n=128, group_l=1, interpret=True, tail="exact",
+    )
+    # oracle in the kernel's own precision class: f32 query ×
+    # dequantized-int8 corpus (the split-query pass leaves query error
+    # ~2^-15, far below the corpus's 2^-8)
+    deq = np.asarray(q8, np.float32) * np.asarray(s8)[:, None]
+    ref = queries @ deq.T
+    want_rows = np.argsort(-ref, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), want_rows)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.sort(ref, axis=1)[:, ::-1][:, :k], rtol=3e-4
+    )
+    # selection quality vs the true f32 corpus
+    _, oracle_idx = _oracle_topk(queries, corpus, k, "ip")
+    assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.9
+
+
+def test_flat_pallas_int8_valid_n_and_fold_tail(rng):
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+    from intool_rag_tpu.ops.quant import quantize_int8
+
+    n, d, q, k = 4096, 128, 3, 10
+    corpus = _normed(rng, (n, d))
+    corpus[4000:] = 1.0  # poison padding (unit-norm-scale rows)
+    queries = _normed(rng, (q, d))
+    q8, s8 = quantize_int8(jnp.asarray(corpus))
+    vals, idx = flat_topk_pallas_int8(
+        jnp.asarray(queries), q8, s8, k,
+        block_n=512, group_l=4, valid_n=4000, interpret=True, tail="fold",
+    )
+    assert idx.shape == (q, k)
+    assert np.asarray(idx).max() < 4000
+    _, oracle_idx = _oracle_topk(queries[:, :], corpus[:4000], k, "ip")
+    assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.9
+    assert np.all(np.diff(np.asarray(vals), axis=1) <= 1e-6)
+
+
+def test_flat_pallas_int8_nonprecise_ranks(rng):
+    """precise=False (single int8 matmul): 8-bit query rounding still
+    ranks separable data correctly."""
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+    from intool_rag_tpu.ops.quant import quantize_int8
+
+    n, d, q, k = 512, 128, 4, 5
+    corpus = _normed(rng, (n, d))
+    queries = _normed(rng, (q, d))
+    q8, s8 = quantize_int8(jnp.asarray(corpus))
+    _, idx = flat_topk_pallas_int8(
+        jnp.asarray(queries), q8, s8, k,
+        block_n=128, group_l=1, interpret=True, tail="exact", precise=False,
+    )
+    _, oracle_idx = _oracle_topk(queries, corpus, k, "ip")
+    assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.8
+
+
 def test_flat_pallas_tail_variants(rng):
     """fold/two tails must return a correctly-ranked pool with high
     recall vs the exact oracle (production dense path at 1M uses fold:
