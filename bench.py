@@ -123,20 +123,34 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
     # rate + half the corpus HBM bytes) over an on-device-quantized
     # mirror; the bf16 corpus stays resident as the oracle's storage
     # ground truth so the recall check measures the int8 cost honestly.
-    dense_path = os.environ.get("DENSE_PATH", "bf16")
+    # default dense scorer: residual-int8 (two int8 corpus planes, three
+    # int8 MXU passes — ~15-bit corpus precision at bf16's bytes).
+    # Same-session A/B at 1M×d1024 (round 3e): int8r 18,450±768 QPS vs
+    # bf16 17,906±29 at identical recall@10 0.9922; stage-level dense is
+    # 12.15 vs 13.43 ms/batch. DENSE_PATH=bf16|int8|int8r overrides.
+    dense_path = os.environ.get("DENSE_PATH", "int8r" if on_tpu else "bf16")
     corpus_q8 = None
-    if dense_path == "int8":
+    if dense_path in ("int8", "int8r"):
         from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
-        from intool_rag_tpu.ops.quant import quantize_int8
+        from intool_rag_tpu.ops.quant import quantize_int8, quantize_int8_residual
 
-        corpus_q8 = jax.jit(quantize_int8)(corpus)
+        if dense_path == "int8r":
+            # residual plane: ~15-bit corpus precision in-kernel, so the
+            # ranking loss of plain int8 (pool is fine, order is noisy —
+            # measured decomposition in BENCH_NOTES) disappears
+            q8, res, s8 = jax.jit(quantize_int8_residual)(corpus)
+            corpus_q8 = (q8, s8, res)
+        else:
+            q8, s8 = jax.jit(quantize_int8)(corpus)
+            corpus_q8 = (q8, s8, None)
         jax.block_until_ready(corpus_q8[0])
         _progress("int8 mirror quantized on device")
 
     def dense_topk(q_dense, corpus, corpus_q8):
         if on_tpu and corpus_q8 is not None:
             return flat_topk_pallas_int8(
-                q_dense, *corpus_q8, CANDIDATES, group_l=32, valid_n=n,
+                q_dense, corpus_q8[0], corpus_q8[1], CANDIDATES,
+                corpus_res=corpus_q8[2], group_l=32, valid_n=n,
                 tail="fold",
             )
         if on_tpu:

@@ -130,6 +130,24 @@ def main() -> None:
         out["dense_int8_pool_overlap_vs_bf16"] = round(float(inter), 4)
         del corpus_q8
 
+        # residual-plane variant (DENSE_PATH=int8r): 3rd int8 matmul for
+        # ~15-bit corpus precision — bf16's bytes, ~0.75× its MXU time
+        from intool_rag_tpu.ops.quant import quantize_int8_residual
+
+        q8r, resr, s8r = jax.jit(quantize_int8_residual)(corpus)
+        jax.block_until_ready(q8r)
+
+        def dense_i8r(q, cq, cs, cr):
+            return flat_topk_pallas_int8(
+                q, cq, cs, CANDIDATES, corpus_res=cr, group_l=32,
+                valid_n=n, tail="fold",
+            )
+
+        t = _stream_time(dense_i8r, [(d,) for d in dqs], q8r, s8r, resr)
+        out["dense_int8r_qps"] = round(N_QUERIES * G / t, 1)
+        out["dense_int8r_ms_per_batch"] = round(t / G * 1000, 2)
+        del q8r, resr, s8r
+
     # ---- BM25 stage: p_max sweep ----
     out["bm25"] = {}
     for p_max in (512, 1024, 2048, 4096):

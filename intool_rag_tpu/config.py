@@ -316,6 +316,12 @@ class Config:
     DENSE_INT8: bool = dataclasses.field(
         default_factory=lambda: _env_bool("DENSE_INT8", False)
     )
+    # adds the corpus residual plane (quantize_int8_residual): a third
+    # int8 matmul lifts corpus precision to ~15 bits (beats bf16) at
+    # bf16's total mirror bytes — the recall-loss-free int8 config.
+    DENSE_INT8_RESIDUAL: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("DENSE_INT8_RESIDUAL", False)
+    )
     INDEX_KIND: str = dataclasses.field(
         default_factory=lambda: _env_str("INDEX_KIND", "flat")  # flat | ivf | ivf_residual | segmented | bits
     )

@@ -39,7 +39,7 @@ class DenseFlatIndex:
         self._ivf_built_at = -1
         self._sharded = None  # (mesh, sharded corpus) cache
         self._sharded_built_at = -1
-        self._q8 = None  # (codes int8, scales f32) mirror for DENSE_INT8
+        self._q8 = None  # (codes int8, scales f32, residual|None) for DENSE_INT8
         self._q8_built_at = -1
         # store identity for incremental segments: a weakref, NOT id()
         # — CPython recycles addresses, so a dead store's id can match a
@@ -143,14 +143,27 @@ class DenseFlatIndex:
         self._ivf_built_at = store.mutation_count
         return idx
 
-    def _int8_mirror(self):
+    def _int8_mirror(self, residual: bool = False):
         """int8+scales mirror of the store for the int8 Pallas kernel
-        (DENSE_INT8): quantized on device, cached per store mutation."""
-        if self._q8 is None or self._q8_built_at != self.store.mutation_count:
-            from ..ops.quant import quantize_int8
+        (DENSE_INT8): quantized on device, cached per store mutation.
+        With ``residual`` (DENSE_INT8_RESIDUAL) the mirror also carries
+        the q2 residual plane for ~15-bit in-kernel corpus precision —
+        returns (q8, s8, res) vs (q8, s8, None)."""
+        if (
+            self._q8 is None
+            or self._q8_built_at != self.store.mutation_count
+            or (residual and self._q8[2] is None)
+        ):
+            from ..ops.quant import quantize_int8, quantize_int8_residual
 
-            q8, s8 = jax.jit(quantize_int8)(self.store.embeddings)
-            self._q8 = (q8, s8)
+            if residual:
+                q8, res, s8 = jax.jit(quantize_int8_residual)(
+                    self.store.embeddings
+                )
+            else:
+                q8, s8 = jax.jit(quantize_int8)(self.store.embeddings)
+                res = None
+            self._q8 = (q8, s8, res)
             self._q8_built_at = self.store.mutation_count
         return self._q8
 
@@ -259,9 +272,12 @@ class DenseFlatIndex:
             if cfg.DENSE_INT8:
                 from ..ops.flat_pallas import flat_topk_pallas_int8
 
-                q8, s8 = self._int8_mirror()
+                q8, s8, res = self._int8_mirror(
+                    residual=cfg.DENSE_INT8_RESIDUAL
+                )
                 vals, rows = flat_topk_pallas_int8(
                     query_embeddings, q8, s8, k,
+                    corpus_res=res,
                     group_l=group_l,
                     valid_n=store.valid_n,
                     tail="fold",

@@ -134,7 +134,7 @@ def _partial_topk_kernel(
 
 
 def _partial_topk_kernel_int8(
-    valid_ref, q1_ref, q2_ref, c_ref, cs_ref, vals_ref, idx_ref, *,
+    valid_ref, q1_ref, q2_ref, c_ref, c2_ref, cs_ref, vals_ref, idx_ref, *,
     block_n, group_l, argmax_mode="maskmin",
 ):
     """int8 variant: int8×int8→int32 on the MXU (2× bf16 MACs/cycle on
@@ -145,7 +145,13 @@ def _partial_topk_kernel_int8(
     split-query compensation pass at the FIXED ratio s2 = s1/128
     (q2 = round(128·(q/s1 − q1)) ∈ [−64, 64]), giving ~15-bit effective
     query precision with a constant 1/128 fold — no per-row scale
-    plumbing into the kernel."""
+    plumbing into the kernel. ``c2`` is the optional CORPUS residual
+    plane on the same fixed 1/128 grid (ops/quant.py
+    ``quantize_int8_residual``): a third int8 matmul ``q1·c2/128``
+    lifts corpus precision to ~15 bits — above bf16's 8-bit mantissa —
+    so in-kernel ranking beats the bf16 kernel's while every pass stays
+    at the int8 MAC rate. The q2·c2 cross term (~2⁻¹⁴ relative) is
+    deliberately dropped."""
     bi = pl.program_id(0)
     valid_n = valid_ref[0]
     acc = jax.lax.dot_general(
@@ -163,6 +169,14 @@ def _partial_topk_kernel_int8(
             preferred_element_type=jnp.int32,
         )
         scores += acc2.astype(jnp.float32) * (1.0 / 128.0)
+    if c2_ref is not None:
+        acc3 = jax.lax.dot_general(
+            q1_ref[:],
+            c2_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores += acc3.astype(jnp.float32) * (1.0 / 128.0)
     scores = scores * cs_ref[:]  # [1, block_n] broadcast over query rows
     _reduce_block(
         scores, valid_n, base=bi * block_n, block_n=block_n,
@@ -368,6 +382,7 @@ def flat_topk_pallas_int8(
     corpus_scale: jax.Array,
     k: int,
     *,
+    corpus_res: jax.Array | None = None,
     block_n: int | None = None,
     group_l: int = 32,
     valid_n: int | jax.Array | None = None,
@@ -388,6 +403,17 @@ def flat_topk_pallas_int8(
     fixed s1/128 ratio — see ``_partial_topk_kernel_int8``). Corpus
     precision is int8 absmax (~2⁻⁸ relative) vs bf16's 2⁻⁹ — the recall
     cost is measured in bench.py's exact-hybrid oracle check.
+
+    ``corpus_res`` (from ``quantize_int8_residual``) adds the corpus
+    residual plane: one more int8 matmul per block lifts corpus
+    precision to ~15 bits (beats bf16) at bf16's total HBM bytes and
+    ~0.75× its MXU time — the recall-loss-free int8 configuration
+    (DENSE_PATH=int8r / DENSE_INT8_RESIDUAL). Measured decomposition
+    rationale: the plain-int8 pool holds the true top-10 as well as
+    bf16's (0.9988 at 1M); only in-pool ranking noise costs recall, and
+    a post-hoc exact rescore needs ~8 ms/batch of row gathers — the
+    in-kernel residual pass buys the same precision from data already
+    streaming through VMEM.
 
     Returns ``(scores [Q, k] f32, indices [Q, k] i32)``.
     """
@@ -430,12 +456,20 @@ def flat_topk_pallas_int8(
     q_spec = pl.BlockSpec(
         (q_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
     )
+    c_spec = pl.BlockSpec(
+        (block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
     in_specs = [q_spec]
     if precise:
         in_specs.append(q_spec)
-    in_specs.append(
-        pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
-    )
+    in_specs.append(c_spec)
+    if corpus_res is not None:
+        if corpus_res.shape != (n, d) or corpus_res.dtype != jnp.int8:
+            raise ValueError(
+                f"corpus_res must be int8 {(n, d)}, got "
+                f"{corpus_res.dtype} {corpus_res.shape}"
+            )
+        in_specs.append(c_spec)
     in_specs.append(
         pl.BlockSpec((1, block_n), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
     )
@@ -450,30 +484,40 @@ def flat_topk_pallas_int8(
     )
 
     valid_arr = jnp.asarray([valid_n], jnp.int32)
-    if precise:
-        kernel = functools.partial(
-            _partial_topk_kernel_int8, block_n=block_n, group_l=group_l,
-            argmax_mode=argmax_mode,
-        )
+    body = functools.partial(
+        _partial_topk_kernel_int8, block_n=block_n, group_l=group_l,
+        argmax_mode=argmax_mode,
+    )
+    if precise and corpus_res is not None:
+        kernel = body
+        operands = (valid_arr, q1, q2, corpus_q, corpus_res, cs_row)
+    elif precise:
+        def kernel(valid_ref, q1_ref, q2_ref, c_ref, cs_ref, vals_ref, idx_ref):
+            body(valid_ref, q1_ref, q2_ref, c_ref, None, cs_ref, vals_ref, idx_ref)
+
         operands = (valid_arr, q1, q2, corpus_q, cs_row)
+    elif corpus_res is not None:
+        def kernel(valid_ref, q1_ref, c_ref, c2_ref, cs_ref, vals_ref, idx_ref):
+            body(valid_ref, q1_ref, None, c_ref, c2_ref, cs_ref, vals_ref, idx_ref)
+
+        operands = (valid_arr, q1, corpus_q, corpus_res, cs_row)
     else:
         def kernel(valid_ref, q1_ref, c_ref, cs_ref, vals_ref, idx_ref):
-            _partial_topk_kernel_int8(
-                valid_ref, q1_ref, None, c_ref, cs_ref, vals_ref, idx_ref,
-                block_n=block_n, group_l=group_l, argmax_mode=argmax_mode,
-            )
+            body(valid_ref, q1_ref, None, c_ref, None, cs_ref, vals_ref, idx_ref)
 
         operands = (valid_arr, q1, corpus_q, cs_row)
 
+    n_mm_cost = 1 + (1 if precise else 0) + (1 if corpus_res is not None else 0)
     compiler_params = None
     if not interpret:
         # scoped-VMEM budget model (mirrors the bf16 path): int8 blocks
         # double-buffered, i32 matmul accumulators + the f32 converted
         # scores live simultaneously before the reduce
+        n_mm = n_mm_cost
         need = (
-            2 * block_n * d  # double-buffered int8 corpus block
+            (4 if corpus_res is not None else 2) * block_n * d  # dbuf int8 blocks
             + (2 if precise else 1) * q_pad * d  # int8 queries
-            + (3 if precise else 2) * q_pad * block_n * 4  # i32 accs + f32
+            + (n_mm + 1) * q_pad * block_n * 4  # i32 accs + f32
             + 2 * block_n * 4  # scales row (double-buffered)
             + 2 * q_pad * (block_n // group_l) * 8  # out tiles
         )
@@ -489,8 +533,10 @@ def flat_topk_pallas_int8(
             jax.ShapeDtypeStruct((q_pad, num_blocks * num_groups), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(2 if precise else 1) * 2 * q_pad * n * d,
-            bytes_accessed=n * d + n * 4 + q_pad * d,
+            flops=n_mm_cost * 2 * q_pad * n * d,
+            bytes_accessed=(2 if corpus_res is not None else 1) * n * d
+            + n * 4
+            + q_pad * d,
             transcendentals=0,
         ),
         compiler_params=compiler_params,

@@ -36,6 +36,30 @@ def dequantize_int8(q: jax.Array, scale: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scale[:, None]
 
 
+def quantize_int8_residual(
+    x: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Two-level int8 row encoding: ``row ≈ scale · (q1 + q2/128)``.
+
+    ``q1`` is the per-row absmax int8 code (same grid as
+    :func:`quantize_int8`); ``q2 = round(128·(row/scale − q1))`` is the
+    rounding residual on the FIXED scale/128 grid — |residual| ≤ 0.5 by
+    construction, so 128·residual ∈ [−64, 64] fits int8 exactly. Two
+    int8 planes give ~15-bit effective corpus precision (better than
+    bf16's 8-bit mantissa) at bf16's total byte cost, while both matmuls
+    run at the MXU's 2× int8 MAC rate (ops/flat_pallas.py
+    ``corpus_res=``). Returns ``(q1 int8 [N,D], q2 int8 [N,D],
+    scale f32 [N])``.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1)
+    scale = jnp.maximum(absmax, 1e-9) / 127.0
+    scaled = xf / scale[:, None]
+    q1f = jnp.round(jnp.clip(scaled, -127.0, 127.0))
+    q2 = jnp.round(128.0 * (scaled - q1f)).astype(jnp.int8)
+    return q1f.astype(jnp.int8), q2, scale
+
+
 # ---------------- Pallas stochastic-rounding quantizer ----------------
 
 

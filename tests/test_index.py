@@ -232,8 +232,8 @@ def test_dense_int8_mirror_caches_and_invalidates():
     texts = [f"t{i}" for i in range(8)]
     store.append(_embed(texts), "d1", [f"c{i}" for i in range(8)], [1] * 8, texts)
     index = DenseFlatIndex(store)
-    q8a, s8a = index._int8_mirror()
-    q8b, _ = index._int8_mirror()
+    q8a, s8a, res_a = index._int8_mirror()
+    q8b, _, _ = index._int8_mirror()
     assert q8a is q8b  # cached between mutations
     assert q8a.dtype == jnp.int8
     assert s8a.shape[0] == store.embeddings.shape[0]
@@ -241,7 +241,16 @@ def test_dense_int8_mirror_caches_and_invalidates():
     deq = np.asarray(q8a, np.float32) * np.asarray(s8a)[:, None]
     want = np.asarray(store.embeddings, np.float32)
     assert np.max(np.abs(deq - want)) <= np.max(np.abs(want)) / 127.0 + 1e-6
+    assert res_a is None  # residual plane only built when requested
+    # residual upgrade on the same mutation: rebuilds with the q2 plane,
+    # lifting reconstruction to the 15-bit grid
+    q8r, s8r, res = index._int8_mirror(residual=True)
+    assert res is not None and res.dtype == jnp.int8
+    deq2 = (
+        np.asarray(q8r, np.float32) + np.asarray(res, np.float32) / 128.0
+    ) * np.asarray(s8r)[:, None]
+    assert np.max(np.abs(deq2 - want)) <= np.max(np.abs(want)) / 127.0 / 128.0 + 1e-6
     more = [f"u{i}" for i in range(4)]
     store.append(_embed(more), "d2", [f"m{i}" for i in range(4)], [1] * 4, more)
-    q8c, _ = index._int8_mirror()
+    q8c, _, _ = index._int8_mirror()
     assert q8c is not q8a  # rebuilt on mutation

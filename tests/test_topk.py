@@ -270,6 +270,59 @@ def test_flat_pallas_int8_nonprecise_ranks(rng):
     assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.8
 
 
+def test_flat_pallas_int8_residual_precision(rng):
+    """corpus_res plane (DENSE_PATH=int8r): in-kernel scores must match
+    the f32 oracle to ~2^-14 relative — materially tighter than both
+    plain int8 (~2^-8) and a bf16 corpus (~2^-9) — and the returned
+    ranking must equal the f32 oracle's on generic random data."""
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+    from intool_rag_tpu.ops.quant import quantize_int8_residual
+
+    n, d, q, k = 1024, 128, 5, 10
+    corpus = _normed(rng, (n, d))
+    queries = _normed(rng, (q, d))
+    q1, q2, s8 = quantize_int8_residual(jnp.asarray(corpus))
+    # reconstruction: two int8 planes ≈ 15-bit corpus
+    deq = (
+        np.asarray(q1, np.float32) + np.asarray(q2, np.float32) / 128.0
+    ) * np.asarray(s8)[:, None]
+    assert np.max(np.abs(deq - corpus)) <= np.max(np.abs(corpus)) / 127 / 128
+    vals, idx = flat_topk_pallas_int8(
+        jnp.asarray(queries), q1, s8, k, corpus_res=q2,
+        block_n=128, group_l=1, interpret=True, tail="exact",
+    )
+    ref = queries @ corpus.T
+    want_rows = np.argsort(-ref, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), want_rows)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.sort(ref, axis=1)[:, ::-1][:, :k], rtol=2e-4,
+        atol=2e-4,
+    )
+    # the dropped q2·c2 cross term bounds the score error at ~2^-14
+    got = np.take_along_axis(ref, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), got, rtol=0, atol=3e-4)
+
+
+def test_flat_pallas_int8_residual_valid_n(rng):
+    """Padding rows must stay masked with the residual plane active."""
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+    from intool_rag_tpu.ops.quant import quantize_int8_residual
+
+    n, d, q, k = 4096, 128, 3, 10
+    corpus = _normed(rng, (n, d))
+    corpus[4000:] = 1.0  # poison padding
+    queries = _normed(rng, (q, d))
+    q1, q2, s8 = quantize_int8_residual(jnp.asarray(corpus))
+    vals, idx = flat_topk_pallas_int8(
+        jnp.asarray(queries), q1, s8, k, corpus_res=q2,
+        block_n=512, group_l=4, valid_n=4000, interpret=True, tail="fold",
+    )
+    assert np.asarray(idx).max() < 4000
+    _, oracle_idx = _oracle_topk(queries, corpus[:4000], k, "ip")
+    assert recall_at_k(np.asarray(idx), oracle_idx) >= 0.9
+    assert np.all(np.diff(np.asarray(vals), axis=1) <= 1e-6)
+
+
 def test_flat_pallas_tail_variants(rng):
     """fold/two tails must return a correctly-ranked pool with high
     recall vs the exact oracle (production dense path at 1M uses fold:
