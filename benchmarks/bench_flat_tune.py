@@ -84,6 +84,63 @@ def main() -> None:
                 pct_roofline=round(100 * roof_ms / (dt * 1e3), 1),
             )
 
+    # ---- int8 / int8r sweep: int8 corpus blocks are half the bytes of
+    # bf16, so block_n 8192 fits the double-buffer comfortably; the
+    # residual config adds the corpus q2 plane (3rd matmul). group_l 64
+    # requires block_n % (128·64): only 8192 qualifies in this sweep.
+    if backend != "tpu":
+        return
+    from intool_rag_tpu.ops.flat_pallas import flat_topk_pallas_int8
+    from intool_rag_tpu.ops.quant import quantize_int8_residual
+
+    q1, q2, s8 = jax.jit(quantize_int8_residual)(corpus)
+    jax.block_until_ready(q1)
+
+    def stream_i8(block_n, group_l, residual):
+        @jax.jit
+        def run(c1, c2, cs, qall):
+            def step(_, q):
+                return None, flat_topk_pallas_int8(
+                    q, c1, cs, K, corpus_res=c2 if residual else None,
+                    block_n=block_n, group_l=group_l, valid_n=n_valid,
+                    tail="fold",
+                )
+
+            _, out = jax.lax.scan(step, None, qall)
+            return out
+
+        return run
+
+    for block_n, group_l in ((4096, 32), (8192, 32), (8192, 64)):
+        for residual in (False, True):
+            name = (
+                f"flat_tune_int8{'r' if residual else ''}_b{block_n}_g{group_l}"
+            )
+            try:
+                run = stream_i8(block_n, group_l, residual)
+                dt = timed_min(lambda b: run(q1, q2, s8, b), batches) / G
+            except Exception as exc:
+                emit(name, 0.0, "queries/s", backend=backend,
+                     error=str(exc)[:160])
+                continue
+            n_mm = 3 if residual else 2
+            corpus_bytes = n_valid * D * (2 if residual else 1)
+            emit(
+                name, Q / dt, "queries/s", backend=backend,
+                ms_per_batch=round(dt * 1e3, 2),
+                eff_gb_s=round(corpus_bytes / dt / 1e9, 1),
+                # int8 MXU at 2× the bf16 MAC rate (394 TOP/s class)
+                pct_roofline=round(
+                    100
+                    * max(
+                        n_mm * 2 * Q * n_valid * D / 394e12 * 1e3,
+                        corpus_bytes / 819e9 * 1e3,
+                    )
+                    / (dt * 1e3),
+                    1,
+                ),
+            )
+
 
 if __name__ == "__main__":
     main()
