@@ -169,7 +169,16 @@ def main() -> None:
         qn = src + (0.1 * noise) * jax.random.normal(key, (Q, D), jnp.float32)
         return qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
 
-    qs = [gen_queries(jax.random.PRNGKey(100 + i), centers) for i in range(4)]
+    # SERIALIZE the four gens: each holds a full seg_rows×D f32 source
+    # chunk (~2 GB) until its jit completes, and async dispatch through
+    # the tunnel keeps several in flight — at 50M (8.96 GB store) the
+    # overlapped transients OOMed the first search sync (round 3e; the
+    # exact-shape repro with serialized gens ran fine at the same
+    # residency)
+    qs = [
+        jax.block_until_ready(gen_queries(jax.random.PRNGKey(100 + i), centers))
+        for i in range(4)
+    ]
 
     results = {}
     for nprobe in (8, 16, 32):
