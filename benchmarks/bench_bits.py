@@ -50,8 +50,14 @@ def main() -> None:
     from intool_rag_tpu.index.bits_index import IVFBitsIndex
 
     on_tpu = backend == "tpu"
-    seg_rows = 500_000 if on_tpu else 4000  # % micro group == 0
-    n_segments = 100 if on_tpu else 4
+    # 250k-row chunks (not 500k): after the full 50M ingest the BFC
+    # allocator is fragmented enough that a contiguous 2 GB f32 chunk
+    # transient no longer fits (round 3e — two OOMs at the first
+    # post-ingest gen with ~5 GB nominally free); 1 GB transients ride
+    # through. Query sources are captured during ingest for the same
+    # reason (no post-ingest regeneration).
+    seg_rows = 250_000 if on_tpu else 4000  # % micro group == 0
+    n_segments = 200 if on_tpu else 4
     nlist = 4096 if on_tpu else 64
     block_n = 1024 if on_tpu else 128
     n = seg_rows * n_segments
@@ -122,10 +128,17 @@ def main() -> None:
 
     t0 = time.perf_counter()
     t_device = 0.0
+    q_src = None
+    src_chunk = min(3, n_segments - 1)
     for c in range(n_segments):
         td = time.perf_counter()
         chunk = gen_chunk(jax.random.PRNGKey(1 + c), centers)
         index.append(chunk)
+        if c == src_chunk:
+            # query sources captured now — regenerating this chunk after
+            # ingest needs a contiguous multi-GB transient that the
+            # fragmented post-ingest allocator can't serve
+            q_src = np.asarray(chunk[:Q])
         q8, s8 = quant8(chunk)
         jax.block_until_ready(q8)
         t_device += time.perf_counter() - td
@@ -160,23 +173,19 @@ def main() -> None:
     )
 
     # ---- queries: perturbed copies of known rows ----
+    src_rows = jnp.asarray(q_src)  # captured during ingest (1 MB)
+
     @jax.jit
-    def gen_queries(key, centers):
-        # source chunk key must be one of the ingested chunks (1..n)
-        src = gen_chunk(
-            jax.random.PRNGKey(1 + min(3, n_segments - 1)), centers
-        )[:Q]
-        qn = src + (0.1 * noise) * jax.random.normal(key, (Q, D), jnp.float32)
+    def gen_queries(key, src_rows):
+        qn = src_rows + (0.1 * noise) * jax.random.normal(
+            key, (Q, D), jnp.float32
+        )
         return qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
 
-    # SERIALIZE the four gens: each holds a full seg_rows×D f32 source
-    # chunk (~2 GB) until its jit completes, and async dispatch through
-    # the tunnel keeps several in flight — at 50M (8.96 GB store) the
-    # overlapped transients OOMed the first search sync (round 3e; the
-    # exact-shape repro with serialized gens ran fine at the same
-    # residency)
     qs = [
-        jax.block_until_ready(gen_queries(jax.random.PRNGKey(100 + i), centers))
+        jax.block_until_ready(
+            gen_queries(jax.random.PRNGKey(100 + i), src_rows)
+        )
         for i in range(4)
     ]
 
