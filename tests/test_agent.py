@@ -53,7 +53,11 @@ def agent_service(tmp_storage, monkeypatch):
     )
     server = ServiceServer(service=svc, host="127.0.0.1", port=0)
     server.start_background()
-    with httpx.Client(base_url=f"http://127.0.0.1:{server.port}") as c:
+    # generous timeout: agent steps jit-compile on first use and the host
+    # can be under load (e.g. a concurrent TPU benchmark's CPU baseline)
+    with httpx.Client(
+        base_url=f"http://127.0.0.1:{server.port}", timeout=120.0
+    ) as c:
         yield c
     server.shutdown()
     reset_semantic_analyzer()

@@ -164,7 +164,7 @@ def test_concurrent_ingest_and_query(tmp_storage, monkeypatch):
             t.join()
         assert not errors, errors[:3]
         # final state is consistent: all 9 documents present and queryable
-        with httpx.Client(base_url=base) as c:
+        with httpx.Client(base_url=base, timeout=120.0) as c:
             assert c.get("/documents").json()["total"] == 9
             r = c.post("/query", json={"question": "topic1 details?"}).json()
             assert r["sources"]
