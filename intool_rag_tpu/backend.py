@@ -24,11 +24,19 @@ def ensure_backend(retries: int = 2, delay_s: float = 5.0) -> str:
     before degrading.
     """
     global _checked
+    import os
     import time
 
     import jax
 
     if not _checked:
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            # honor an explicit CPU request: the axon sitecustomize
+            # re-registers the accelerator at interpreter start and
+            # swallows the env var, so a service launched with
+            # JAX_PLATFORMS=cpu would otherwise still claim the
+            # single-tenant TPU (and steal it from a training run)
+            jax.config.update("jax_platforms", "cpu")
         if not _accelerator_probe_ok():
             # a dead tunnel relay makes the PJRT C-API client BLOCK
             # FOREVER inside make_c_api_client — no Python exception

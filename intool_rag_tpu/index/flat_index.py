@@ -57,12 +57,50 @@ class DenseFlatIndex:
         return self.store.valid_n >= cfg.SHARDED_SEARCH_MIN_ROWS
 
     def _sharded_corpus(self):
+        """(mesh, payload) cache. Payload is ("plain", corpus) or
+        ("int8", codes, scales, res|None) — the int8 capacity tier
+        composed with sharding (round-3 verdict item 2). Shards are
+        row-aligned to the Pallas block so the per-shard search runs the
+        same fused kernels as the single-chip path."""
         from ..parallel.mesh import corpus_mesh
         from ..parallel.sharded_search import shard_corpus
 
-        if self._sharded is None or self._sharded_built_at != self.store.mutation_count:
+        cfg = get_config()
+        want_int8 = bool(cfg.DENSE_INT8) and _on_tpu() and cfg.USE_PALLAS
+        if (
+            self._sharded is None
+            or self._sharded_built_at != self.store.mutation_count
+            or (self._sharded[1][0] == "int8") != want_int8
+        ):
             mesh = corpus_mesh()
-            self._sharded = (mesh, shard_corpus(self.store.embeddings, mesh))
+            # align shards to the widest kernel block (128·32); padding
+            # rows are masked by valid_n before selection
+            row_align = 4096 if (_on_tpu() and cfg.USE_PALLAS) else 1
+            if want_int8:
+                from ..ops.quant import quantize_int8, quantize_int8_residual
+
+                if cfg.DENSE_INT8_RESIDUAL:
+                    q8, res, s8 = jax.jit(quantize_int8_residual)(
+                        self.store.embeddings
+                    )
+                    res = shard_corpus(res, mesh, row_align=row_align)
+                else:
+                    q8, s8 = jax.jit(quantize_int8)(self.store.embeddings)
+                    res = None
+                payload = (
+                    "int8",
+                    shard_corpus(q8, mesh, row_align=row_align),
+                    shard_corpus(s8, mesh, row_align=row_align),
+                    res,
+                )
+            else:
+                payload = (
+                    "plain",
+                    shard_corpus(
+                        self.store.embeddings, mesh, row_align=row_align
+                    ),
+                )
+            self._sharded = (mesh, payload)
             self._sharded_built_at = self.store.mutation_count
         return self._sharded
 
@@ -221,14 +259,33 @@ class DenseFlatIndex:
                 query_embeddings, ((0, 0), (0, store.dim_pad - store.dim))
             )
         if self._use_sharded(cfg) and exact is not True:
-            from ..parallel.sharded_search import sharded_flat_topk
-
-            mesh, sharded = self._sharded_corpus()
-            vals, rows = sharded_flat_topk(
-                query_embeddings, sharded, k, mesh,
-                valid_n=store.valid_n,
-                block_n=min(cfg.SEARCH_BLOCK_N, max(sharded.shape[0] // mesh.shape["data"], 1)),
+            from ..parallel.sharded_search import (
+                pallas_group_l,
+                sharded_flat_topk,
+                sharded_flat_topk_int8,
             )
+
+            mesh, payload = self._sharded_corpus()
+            if payload[0] == "int8":
+                _, codes, scales, res = payload
+                vals, rows = sharded_flat_topk_int8(
+                    query_embeddings, codes, scales, k, mesh,
+                    res=res, valid_n=store.valid_n,
+                )
+            else:
+                sharded = payload[1]
+                shard_rows = max(sharded.shape[0] // mesh.shape["data"], 1)
+                use_pallas = (
+                    cfg.USE_PALLAS
+                    and _on_tpu()
+                    and pallas_group_l(shard_rows, k) is not None
+                )
+                vals, rows = sharded_flat_topk(
+                    query_embeddings, sharded, k, mesh,
+                    valid_n=store.valid_n,
+                    block_n=min(cfg.SEARCH_BLOCK_N, shard_rows),
+                    kernel="pallas" if use_pallas else "xla",
+                )
             if self.metric == "cosine":
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
             return vals, rows

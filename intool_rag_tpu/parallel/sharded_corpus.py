@@ -12,6 +12,13 @@ Row identity: global row id = ``slot · n_shards + shard`` (interleaved) —
 independent of per-shard capacity, so ids survive both appends and
 regrowth (existing rows keep their shard and slot), and host-side
 identity tables can key on them.
+
+Quantized tiers (``quant="int8"`` / ``"int8r"``) store the corpus as
+int8 codes + per-row scales (+ the int8 residual plane for ~15-bit
+corpus precision, ops/quant.py) — the single-chip capacity tiers
+composed with sharding: appends quantize rows on device (row-local, so
+codes equal the single-chip mirror's), and search runs the fused int8
+Pallas kernel per shard (parallel/sharded_search.py).
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .sharded_search import sharded_flat_topk
+from .sharded_search import pallas_group_l, sharded_flat_topk, sharded_flat_topk_int8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -36,7 +43,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ShardedCorpus:
-    """Row-sharded embedding corpus with incremental append."""
+    """Row-sharded embedding corpus with incremental append.
+
+    ``quant``: ``"none"`` stores rows at ``dtype``; ``"int8"`` stores
+    int8 codes + f32 scales (half the bytes of bf16); ``"int8r"`` adds
+    the residual int8 plane (bf16's bytes, ~15-bit precision). The
+    quantized tiers search via the fused int8 Pallas kernel — real on
+    TPU, interpret-mode elsewhere (CPU-mesh tests / dryrun).
+    """
 
     def __init__(
         self,
@@ -46,19 +60,82 @@ class ShardedCorpus:
         capacity_per_shard: int = 1024,
         dtype=jnp.float32,
         growth: float = 2.0,
+        quant: str = "none",
+        interpret: bool | None = None,
     ) -> None:
+        if quant not in ("none", "int8", "int8r"):
+            raise ValueError(f"unknown quant mode {quant!r}")
         self.dim = dim
         self.mesh = mesh
         self.n_shards = mesh.shape["data"]
-        self.cap = _round_up(capacity_per_shard, 8)
+        # Pallas kernels need shard_rows % (128·group_l) == 0; quantized
+        # tiers round capacity to the smallest block so the kernel always
+        # has a usable width (group_l=1 at worst — tests; ≥8 in prod caps)
+        self.row_align = 128 if quant != "none" else 8
+        self.cap = _round_up(capacity_per_shard, self.row_align)
         self.dtype = dtype
         self.growth = growth
+        self.quant = quant
+        self.interpret = interpret
         self.counts = np.zeros(self.n_shards, np.int32)  # host-side truth
-        self.data = jax.device_put(
-            jnp.zeros((self.n_shards * self.cap, dim), dtype),
-            NamedSharding(mesh, P("data", None)),
-        )
+        self._alloc()
         self._place = self._build_place()
+
+    # ---------------- storage planes ----------------
+
+    def _alloc(self) -> None:
+        rows = self.n_shards * self.cap
+        mesh = self.mesh
+        sh2 = NamedSharding(mesh, P("data", None))
+        sh1 = NamedSharding(mesh, P("data"))
+        if self.quant == "none":
+            self.data = jax.device_put(
+                jnp.zeros((rows, self.dim), self.dtype), sh2
+            )
+        else:
+            self.codes = jax.device_put(jnp.zeros((rows, self.dim), jnp.int8), sh2)
+            self.scales = jax.device_put(jnp.zeros((rows,), jnp.float32), sh1)
+            self.res = (
+                jax.device_put(jnp.zeros((rows, self.dim), jnp.int8), sh2)
+                if self.quant == "int8r"
+                else None
+            )
+
+    def _planes(self) -> tuple[jax.Array, ...]:
+        if self.quant == "none":
+            return (self.data,)
+        if self.quant == "int8":
+            return (self.codes, self.scales)
+        return (self.codes, self.scales, self.res)
+
+    def _set_planes(self, planes: tuple[jax.Array, ...]) -> None:
+        if self.quant == "none":
+            (self.data,) = planes
+        elif self.quant == "int8":
+            self.codes, self.scales = planes
+        else:
+            self.codes, self.scales, self.res = planes
+
+    def _plane_specs(self) -> tuple:
+        if self.quant == "none":
+            return (P("data", None),)
+        if self.quant == "int8":
+            return (P("data", None), P("data"))
+        return (P("data", None), P("data"), P("data", None))
+
+    def _encode(self, batch: jnp.ndarray) -> tuple[jax.Array, ...]:
+        """Quantize an append batch into per-plane rows (row-local — the
+        codes equal the single-chip int8 mirror's for the same rows)."""
+        batch = jnp.asarray(batch)
+        if self.quant == "none":
+            return (batch,)
+        from ..ops.quant import quantize_int8, quantize_int8_residual
+
+        if self.quant == "int8":
+            q8, s8 = jax.jit(quantize_int8)(batch)
+            return (q8, s8)
+        q1, q2, s8 = jax.jit(quantize_int8_residual)(batch)
+        return (q1, s8, q2)
 
     # ---------------- info ----------------
 
@@ -73,21 +150,30 @@ class ShardedCorpus:
 
     def _build_place(self):
         mesh = self.mesh
+        plane_specs = self._plane_specs()
+        batch_specs = tuple(
+            P(None, None) if len(s) == 2 else P(None) for s in plane_specs
+        )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P("data", None), P(None, None), P(None), P(None)),
-            out_specs=P("data", None),
+            in_specs=(plane_specs, batch_specs, P(None), P(None)),
+            out_specs=plane_specs,
             check_vma=False,
         )
-        def place(local, batch, dest_shard, dest_slot):
+        def place(locals_, batches, dest_shard, dest_slot):
             sid = jax.lax.axis_index("data")
             mine = dest_shard == sid
-            # rows of other shards scatter out of range and drop
-            slots = jnp.where(mine, dest_slot, local.shape[0])
-            return local.at[slots].set(batch.astype(local.dtype), mode="drop")
+            out = []
+            for local, batch in zip(locals_, batches):
+                # rows of other shards scatter out of range and drop
+                slots = jnp.where(mine, dest_slot, local.shape[0])
+                out.append(
+                    local.at[slots].set(batch.astype(local.dtype), mode="drop")
+                )
+            return tuple(out)
 
         return place
 
@@ -141,12 +227,13 @@ class ShardedCorpus:
         dest_slot = (starts + within).astype(np.int32)
         counts = counts.copy()
         np.add.at(counts, dest_shard, 1)
-        self.data = self._place(
-            self.data,
-            jnp.asarray(batch),
+        new_planes = self._place(
+            self._planes(),
+            self._encode(batch),
             jnp.asarray(dest_shard),
             jnp.asarray(dest_slot),
         )
+        self._set_planes(new_planes)
         self.counts = counts
         return self.global_rows(dest_shard, dest_slot)
 
@@ -154,24 +241,74 @@ class ShardedCorpus:
         """Amortized regrow: gather valid rows per shard to the host once,
         re-place into a larger buffer (rare — O(N) like vector doubling)."""
         new_cap = _round_up(
-            max(int(need_rows * self.growth / self.n_shards) + 1, self.cap * 2), 8
+            max(int(need_rows * self.growth / self.n_shards) + 1, self.cap * 2),
+            self.row_align,
         )
-        host = np.asarray(self.data).reshape(self.n_shards, self.cap, self.dim)
-        new_host = np.zeros((self.n_shards, new_cap, self.dim), host.dtype)
-        for s in range(self.n_shards):
-            c = int(self.counts[s])
-            new_host[s, :c] = host[s, :c]
+        planes = self._planes()
+        new_planes = []
+        for plane in planes:
+            host = np.asarray(plane)
+            tail_shape = host.shape[1:]
+            host = host.reshape((self.n_shards, self.cap) + tail_shape)
+            new_host = np.zeros(
+                (self.n_shards, new_cap) + tail_shape, host.dtype
+            )
+            for s in range(self.n_shards):
+                c = int(self.counts[s])
+                new_host[s, :c] = host[s, :c]
+            spec = P("data", *([None] * len(tail_shape)))
+            new_planes.append(
+                jax.device_put(
+                    jnp.asarray(new_host.reshape((-1,) + tail_shape)),
+                    NamedSharding(self.mesh, spec),
+                )
+            )
         self.cap = new_cap
-        self.data = jax.device_put(
-            jnp.asarray(new_host.reshape(-1, self.dim), self.dtype),
-            NamedSharding(self.mesh, P("data", None)),
-        )
+        self._set_planes(tuple(new_planes))
         self._place = self._build_place()
 
     # ---------------- query ----------------
 
-    def search(self, queries: jax.Array, k: int, *, block_n: int = 16384):
-        """Global top-k; returned indices are global row ids."""
+    def _interpret(self) -> bool:
+        if self.interpret is not None:
+            return self.interpret
+        return jax.default_backend() != "tpu"
+
+    def search(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        block_n: int = 16384,
+        kernel: str | None = None,
+        group_l: int | None = None,
+        tail: str = "fold",
+    ):
+        """Global top-k; returned indices are global row ids.
+
+        ``kernel`` (quant="none" only): None auto-selects the fused
+        Pallas per-shard kernel on TPU, the XLA scan elsewhere; "pallas"
+        forces the kernel (interpret-mode off-TPU — CPU-mesh tests)."""
+        if self.quant != "none":
+            return sharded_flat_topk_int8(
+                queries,
+                self.codes,
+                self.scales,
+                k,
+                self.mesh,
+                res=self.res,
+                valid_n=self.counts,
+                group_l=group_l,
+                tail=tail,
+                interpret=self._interpret(),
+            )
+        if kernel is None:
+            on_tpu = jax.default_backend() == "tpu"
+            kernel = (
+                "pallas"
+                if on_tpu and pallas_group_l(self.cap, k) is not None
+                else "xla"
+            )
         return sharded_flat_topk(
             queries,
             self.data,
@@ -179,4 +316,8 @@ class ShardedCorpus:
             self.mesh,
             valid_n=self.counts,
             block_n=min(block_n, self.cap),
+            kernel=kernel,
+            group_l=group_l,
+            tail=tail,
+            interpret=self._interpret() if kernel == "pallas" else False,
         )

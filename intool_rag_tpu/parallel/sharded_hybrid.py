@@ -46,10 +46,13 @@ class ShardedHybrid:
         capacity_per_shard: int = 1024,
         dtype=jnp.float32,
         params: BM25Params | None = None,
+        quant: str = "none",
+        interpret: bool | None = None,
     ) -> None:
         self.mesh = mesh
         self.corpus = ShardedCorpus(
-            dim, mesh, capacity_per_shard=capacity_per_shard, dtype=dtype
+            dim, mesh, capacity_per_shard=capacity_per_shard, dtype=dtype,
+            quant=quant, interpret=interpret,
         )
         self.bm25 = ShardedBM25(mesh, params=params)
 
@@ -90,15 +93,20 @@ class ShardedHybrid:
 
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        save_sharded(
-            self.corpus.data, path / "dense",
-            meta={
-                "counts": self.corpus.counts.tolist(),
-                "cap": self.corpus.cap,
-                "dim": self.corpus.dim,
-                "n_shards": self.corpus.n_shards,
-            },
-        )
+        meta = {
+            "counts": self.corpus.counts.tolist(),
+            "cap": self.corpus.cap,
+            "dim": self.corpus.dim,
+            "n_shards": self.corpus.n_shards,
+            "quant": self.corpus.quant,
+        }
+        if self.corpus.quant == "none":
+            save_sharded(self.corpus.data, path / "dense", meta=meta)
+        else:
+            save_sharded(self.corpus.codes, path / "dense", meta=meta)
+            save_sharded(self.corpus.scales, path / "dense_scales")
+            if self.corpus.res is not None:
+                save_sharded(self.corpus.res, path / "dense_res")
         bm = self.bm25
         arrays = {"df": bm.df}
         for i, sc in enumerate(bm.shards):
@@ -141,15 +149,23 @@ class ShardedHybrid:
                 "shard count)"
             )
         data, dmeta = load_sharded(path / "dense", mesh)
+        quant = dmeta.get("quant", "none")
         engine = cls(
             dmeta["dim"], mesh, capacity_per_shard=dmeta["cap"],
             params=BM25Params(
                 k1=meta["k1"], b=meta["b"], p_max=meta["p_max"]
             ),
+            quant=quant,
         )
         engine.corpus.cap = dmeta["cap"]
         engine.corpus.counts = np.asarray(dmeta["counts"], np.int32)
-        engine.corpus.data = data
+        if quant == "none":
+            engine.corpus.data = data
+        else:
+            engine.corpus.codes = data
+            engine.corpus.scales, _ = load_sharded(path / "dense_scales", mesh)
+            if quant == "int8r":
+                engine.corpus.res, _ = load_sharded(path / "dense_res", mesh)
         engine.corpus._place = engine.corpus._build_place()
 
         arrays = np.load(path / "sparse.npz")

@@ -2,6 +2,14 @@
 shard, all-gather merge (the design from SURVEY.md §5.8: each chip scores
 its chunk shard, takes a local top-k, then k·n_chips candidates merge to
 a global top-k — collectives ride ICI, the corpus never moves).
+
+Per-shard selection routes through the SAME fused Pallas kernels as the
+single-chip path (ops/flat_pallas.py — partial-top-k over bf16/f32 or
+int8(+residual) corpora), so per-shard throughput matches the single-chip
+headline instead of the ~10× slower blocked-XLA-sort fallback
+(round-3 verdict item 2). ``kernel="xla"`` keeps the portable path for
+non-TPU backends; CPU-mesh tests run the Pallas kernels in interpret
+mode.
 """
 
 from __future__ import annotations
@@ -17,17 +25,63 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.flat_pallas import (
+    choose_group_width,
+    flat_topk_pallas,
+    flat_topk_pallas_int8,
+)
 from ..ops.topk import flat_topk
 
 
-def shard_corpus(corpus: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a padded [N, D] corpus row-sharded over the ``data`` axis."""
+def shard_corpus(corpus: jax.Array, mesh: Mesh, *, row_align: int = 1) -> jax.Array:
+    """Place a padded ``[N, ...]`` array row-sharded over the ``data``
+    axis. ``row_align`` additionally pads each shard to a row multiple
+    (the Pallas kernels need shard_rows % (128·group_l) == 0)."""
     n_shards = mesh.shape["data"]
+    step = n_shards * max(row_align, 1)
     n = corpus.shape[0]
-    if n % n_shards != 0:
-        pad = n_shards * (-(-n // n_shards)) - n
-        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
-    return jax.device_put(corpus, NamedSharding(mesh, P("data", None)))
+    pad = -n % step
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad),) + ((0, 0),) * (corpus.ndim - 1))
+    spec = P("data", *([None] * (corpus.ndim - 1)))
+    return jax.device_put(corpus, NamedSharding(mesh, spec))
+
+
+def pallas_group_l(shard_rows: int, k: int, *, cap: int = 32) -> int | None:
+    """Largest lane-group width usable by the fused kernel on a shard of
+    ``shard_rows`` (recall-targeted via :func:`choose_group_width`, then
+    shrunk until the 128·L block divides the shard). ``None`` when no
+    width works — caller falls back to the XLA path."""
+    g = min(cap, choose_group_width(shard_rows, k))
+    while g > 1 and shard_rows % (128 * g) != 0:
+        g //= 2
+    if g < 1 or shard_rows % (128 * g) != 0:
+        return None
+    return g
+
+
+def _merge_local(local_vals, local_rows, *, per_shard, shard_idx, shard_rows,
+                 n_shards, k, axis="data"):
+    """Map shard-local rows to global ids and all-gather-merge the
+    per-shard candidate lists to a global top-k (shared by every
+    kernel variant). -inf slots carry arbitrary indices — pinned to -1.
+
+    Layouts: prefix mode → row = shard·shard_rows + slot (matches the
+    flat concatenated corpus); per-shard mode → interleaved
+    row = slot·n_shards + shard, which is capacity-independent so ids
+    survive ShardedCorpus regrowth."""
+    invalid = ~jnp.isfinite(local_vals)
+    local_vals = jnp.where(invalid, -jnp.inf, local_vals)
+    if per_shard:
+        gids = local_rows * n_shards + shard_idx
+    else:
+        gids = local_rows + shard_idx * shard_rows
+    global_rows = jnp.where(invalid, -1, gids)
+    all_vals = jax.lax.all_gather(local_vals, axis, axis=1, tiled=True)
+    all_rows = jax.lax.all_gather(global_rows, axis, axis=1, tiled=True)
+    top_vals, top_pos = jax.lax.top_k(all_vals, min(k, all_vals.shape[1]))
+    top_rows = jnp.take_along_axis(all_rows, top_pos, axis=1)
+    return top_vals, top_rows
 
 
 def sharded_flat_topk(
@@ -38,6 +92,10 @@ def sharded_flat_topk(
     *,
     valid_n=None,  # int (prefix layout) | [S] array (per-shard counts) | None
     block_n: int = 16384,
+    kernel: str = "xla",  # "xla" | "pallas"
+    group_l: int | None = None,
+    tail: str = "fold",
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
@@ -46,6 +104,12 @@ def sharded_flat_topk(
     concatenated array) or a per-shard count vector ``[n_shards] i32``
     (incremental-append layout, parallel/sharded_corpus.py — each shard
     fills independently).
+
+    ``kernel="pallas"`` runs the fused partial-top-k kernel per shard
+    (bf16 corpora get the split-query compensation pass, so per-shard
+    scores match the single-chip kernel exactly); requires
+    shard_rows % (128·group_l) == 0 — use :func:`shard_corpus` with
+    ``row_align`` or let :func:`pallas_group_l` pick the width.
     """
     n = corpus.shape[0]
     n_shards = mesh.shape["data"]
@@ -63,6 +127,10 @@ def sharded_flat_topk(
     else:
         k = min(k, valid_n)
     k_local = min(k, shard_rows)
+    if kernel == "pallas" and group_l is None:
+        group_l = pallas_group_l(shard_rows, k)
+        if group_l is None:
+            kernel = "xla"
 
     @functools.partial(
         shard_map,
@@ -79,36 +147,115 @@ def sharded_flat_topk(
             local_valid = counts[shard_idx]
         else:
             local_valid = jnp.clip(valid_n - start, 0, shard_rows)
-        # local exact top-k; the per-shard valid count masks the
-        # zero-padded tail BEFORE selection (padding rows score 0.0
-        # under 'ip' and would displace real negative-scoring
-        # candidates — ADVICE.md round 1)
-        local_vals, local_rows = flat_topk(
-            q,
-            local_corpus,
-            k_local,
-            metric="ip",
-            block_n=min(block_n, shard_rows),
-            valid_n=local_valid,
-        )
-        # map to global rows; -inf slots (shard had < k valid rows)
-        # carry arbitrary indices — pin them to -1.
-        # Layouts: prefix mode → row = shard·shard_rows + slot (matches
-        # the flat concatenated corpus); per-shard mode → interleaved
-        # row = slot·n_shards + shard, which is capacity-independent so
-        # ids survive ShardedCorpus regrowth.
-        invalid = ~jnp.isfinite(local_vals)
-        local_vals = jnp.where(invalid, -jnp.inf, local_vals)
-        if per_shard:
-            gids = local_rows * n_shards + shard_idx
+        # local top-k; the per-shard valid count masks the zero-padded
+        # tail BEFORE selection (padding rows score 0.0 under 'ip' and
+        # would displace real negative-scoring candidates — ADVICE.md
+        # round 1)
+        if kernel == "pallas":
+            local_vals, local_rows = flat_topk_pallas(
+                q,
+                local_corpus,
+                k_local,
+                group_l=group_l,
+                valid_n=local_valid,
+                precise=local_corpus.dtype == jnp.bfloat16,
+                tail=tail,
+                interpret=interpret,
+            )
         else:
-            gids = local_rows + start
-        global_rows = jnp.where(invalid, -1, gids)
-        # merge across shards: gather all candidates, global top-k
-        all_vals = jax.lax.all_gather(local_vals, "data", axis=1, tiled=True)
-        all_rows = jax.lax.all_gather(global_rows, "data", axis=1, tiled=True)
-        top_vals, top_pos = jax.lax.top_k(all_vals, min(k, all_vals.shape[1]))
-        top_rows = jnp.take_along_axis(all_rows, top_pos, axis=1)
-        return top_vals, top_rows
+            local_vals, local_rows = flat_topk(
+                q,
+                local_corpus,
+                k_local,
+                metric="ip",
+                block_n=min(block_n, shard_rows),
+                valid_n=local_valid,
+            )
+        return _merge_local(
+            local_vals, local_rows, per_shard=per_shard,
+            shard_idx=shard_idx, shard_rows=shard_rows,
+            n_shards=n_shards, k=k,
+        )
 
     return search(queries, corpus)
+
+
+def sharded_flat_topk_int8(
+    queries: jax.Array,
+    codes: jax.Array,  # [N_pad, D] int8 sharded P("data", None)
+    scales: jax.Array,  # [N_pad] f32 sharded P("data")
+    k: int,
+    mesh: Mesh,
+    *,
+    res: jax.Array | None = None,  # optional residual plane (int8r)
+    valid_n=None,  # int (prefix) | [S] per-shard counts | None
+    group_l: int | None = None,
+    tail: str = "fold",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Global top-k over a row-sharded int8(-residual) corpus — the
+    capacity tiers composed with sharding (round-3 verdict item 2): each
+    shard runs the single-chip int8 Pallas kernel
+    (:func:`flat_topk_pallas_int8`, split-query compensation + optional
+    corpus residual plane), then candidates merge exactly as the f32
+    path. Per-row quantization is row-local, so per-shard scores equal
+    the single-chip kernel's on the same rows."""
+    n = codes.shape[0]
+    n_shards = mesh.shape["data"]
+    shard_rows = n // n_shards
+    if valid_n is None:
+        valid_n = n
+    per_shard = not isinstance(valid_n, int)
+    if per_shard:
+        counts = jnp.asarray(valid_n, jnp.int32)
+        k = min(k, shard_rows * n_shards)
+    else:
+        k = min(k, valid_n)
+    k_local = min(k, shard_rows)
+    if group_l is None:
+        group_l = pallas_group_l(shard_rows, k)
+        if group_l is None:
+            raise ValueError(
+                f"shard_rows={shard_rows} not alignable to a 128·L Pallas "
+                "block; pad with shard_corpus(row_align=...)"
+            )
+
+    with_res = res is not None
+    in_specs = [P(None, None), P("data", None), P("data")]
+    if with_res:
+        in_specs.append(P("data", None))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def search(q, local_codes, local_scales, *maybe_res):
+        shard_idx = jax.lax.axis_index("data")
+        if per_shard:
+            local_valid = counts[shard_idx]
+        else:
+            local_valid = jnp.clip(
+                valid_n - shard_idx * shard_rows, 0, shard_rows
+            )
+        local_vals, local_rows = flat_topk_pallas_int8(
+            q,
+            local_codes,
+            local_scales,
+            k_local,
+            corpus_res=maybe_res[0] if with_res else None,
+            group_l=group_l,
+            valid_n=local_valid,
+            tail=tail,
+            interpret=interpret,
+        )
+        return _merge_local(
+            local_vals, local_rows, per_shard=per_shard,
+            shard_idx=shard_idx, shard_rows=shard_rows,
+            n_shards=n_shards, k=k,
+        )
+
+    args = (queries, codes, scales) + ((res,) if with_res else ())
+    return search(*args)

@@ -29,7 +29,10 @@ def save_sharded(array: jax.Array, path: Path | str, *, meta: dict | None = None
         "shard_rows": [],
     }
     for i, shard in enumerate(shards):
-        data = np.asarray(shard.data, np.float32)
+        data = np.asarray(shard.data)
+        if not np.issubdtype(data.dtype, np.integer):
+            # npz can't hold bf16; floats round-trip through f32
+            data = data.astype(np.float32)
         np.savez_compressed(path.with_suffix(f".shard{i}"), data=data)
         start = shard.index[0].start or 0
         manifest["shard_rows"].append([int(start), int(start + data.shape[0])])
@@ -41,7 +44,8 @@ def load_sharded(path: Path | str, mesh: Mesh, *, dtype=None) -> tuple[jax.Array
     may differ from save time — rows are re-partitioned evenly."""
     path = Path(path)
     manifest = json.loads(Path(str(path) + ".manifest.json").read_text())
-    n, d = manifest["shape"]
+    shape = tuple(manifest["shape"])
+    n = shape[0]
     n_dev = mesh.shape["data"]
     if n % n_dev != 0:
         raise ValueError(f"rows {n} not divisible by mesh size {n_dev}")
@@ -70,6 +74,6 @@ def load_sharded(path: Path | str, mesh: Mesh, *, dtype=None) -> tuple[jax.Array
         block = np.concatenate(parts, axis=0).astype(out_dtype)
         buffers.append(jax.device_put(block, devices[dev_idx]))
         row += per_dev
-    sharding = NamedSharding(mesh, P("data", None))
-    array = jax.make_array_from_single_device_arrays((n, d), sharding, buffers)
+    sharding = NamedSharding(mesh, P("data", *([None] * (len(shape) - 1))))
+    array = jax.make_array_from_single_device_arrays(shape, sharding, buffers)
     return array, manifest["meta"]

@@ -112,7 +112,7 @@ def test_dense_index_sharded_serving(rng, tmp_storage, monkeypatch):
     q = jnp.asarray(emb[:4])
     vals, rows = index.search(q, 5)
     assert index._sharded is not None  # sharded path taken
-    assert len(index._sharded[1].addressable_shards) == 8
+    assert len(index._sharded[1][1].addressable_shards) == 8
     assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2, 3]
     # parity vs exact single-device
     _, rows_exact = index.search(q, 5, exact=True)
