@@ -66,6 +66,10 @@ class ShardedCorpus:
         if quant not in ("none", "int8", "int8r"):
             raise ValueError(f"unknown quant mode {quant!r}")
         self.dim = dim
+        # the fused kernels need D % 128 == 0; zero-padding the feature
+        # axis leaves per-row absmax quantization and inner products
+        # unchanged, so pad transparently for the quantized tiers
+        self.dim_pad = _round_up(dim, 128) if quant != "none" else dim
         self.mesh = mesh
         self.n_shards = mesh.shape["data"]
         # Pallas kernels need shard_rows % (128·group_l) == 0; quantized
@@ -93,10 +97,12 @@ class ShardedCorpus:
                 jnp.zeros((rows, self.dim), self.dtype), sh2
             )
         else:
-            self.codes = jax.device_put(jnp.zeros((rows, self.dim), jnp.int8), sh2)
+            self.codes = jax.device_put(
+                jnp.zeros((rows, self.dim_pad), jnp.int8), sh2
+            )
             self.scales = jax.device_put(jnp.zeros((rows,), jnp.float32), sh1)
             self.res = (
-                jax.device_put(jnp.zeros((rows, self.dim), jnp.int8), sh2)
+                jax.device_put(jnp.zeros((rows, self.dim_pad), jnp.int8), sh2)
                 if self.quant == "int8r"
                 else None
             )
@@ -129,6 +135,8 @@ class ShardedCorpus:
         batch = jnp.asarray(batch)
         if self.quant == "none":
             return (batch,)
+        if batch.shape[1] != self.dim_pad:
+            batch = jnp.pad(batch, ((0, 0), (0, self.dim_pad - batch.shape[1])))
         from ..ops.quant import quantize_int8, quantize_int8_residual
 
         if self.quant == "int8":
@@ -290,6 +298,10 @@ class ShardedCorpus:
         Pallas per-shard kernel on TPU, the XLA scan elsewhere; "pallas"
         forces the kernel (interpret-mode off-TPU — CPU-mesh tests)."""
         if self.quant != "none":
+            if queries.shape[1] != self.dim_pad:
+                queries = jnp.pad(
+                    queries, ((0, 0), (0, self.dim_pad - queries.shape[1]))
+                )
             return sharded_flat_topk_int8(
                 queries,
                 self.codes,
