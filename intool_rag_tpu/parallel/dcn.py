@@ -113,6 +113,52 @@ def hierarchical_flat_topk(
     return search(queries, corpus)
 
 
+def _two_level_merge(local_vals, gids, k):
+    """Hierarchical candidate merge: ICI all-gather + top-k within the
+    slice, then k survivors per slice across DCN (k·n_dcn traffic on the
+    slow axis instead of k·n_shards)."""
+    iv = jax.lax.all_gather(local_vals, "ici", axis=1, tiled=True)
+    ir = jax.lax.all_gather(gids, "ici", axis=1, tiled=True)
+    sv, sp = jax.lax.top_k(iv, min(k, iv.shape[1]))
+    sr = jnp.take_along_axis(ir, sp, axis=1)
+    dv = jax.lax.all_gather(sv, "dcn", axis=1, tiled=True)
+    dr = jax.lax.all_gather(sr, "dcn", axis=1, tiled=True)
+    fv, fp = jax.lax.top_k(dv, min(k, dv.shape[1]))
+    fr = jnp.take_along_axis(dr, fp, axis=1)
+    return fv, fr
+
+
+def _hierarchical_search(queries, arrays, specs, k, mesh, counts, local_topk):
+    """Generic 2-level sharded search: ``local_topk(q, locals_,
+    local_valid, shard_idx)`` returns the per-shard ``(vals, rows)``
+    in LOCAL slot ids; rows map to interleaved global ids
+    (slot·n_shards + shard — the ShardedCorpus convention) and merge
+    hierarchically. ``counts`` is the per-shard valid-row vector."""
+    n_dcn, n_ici = mesh.shape["dcn"], mesh.shape["ici"]
+    n_shards = n_dcn * n_ici
+    counts_arr = jnp.asarray(counts, jnp.int32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None),) + tuple(specs),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def search(q, *locals_):
+        di = jax.lax.axis_index("dcn")
+        ii = jax.lax.axis_index("ici")
+        shard_idx = di * n_ici + ii
+        local_valid = counts_arr[shard_idx]
+        local_vals, local_rows = local_topk(q, locals_, local_valid, shard_idx)
+        invalid = ~jnp.isfinite(local_vals)
+        local_vals = jnp.where(invalid, -jnp.inf, local_vals)
+        gids = jnp.where(invalid, -1, local_rows * n_shards + shard_idx)
+        return _two_level_merge(local_vals, gids, k)
+
+    return search(queries, *arrays)
+
+
 def hierarchical_kmeans(
     points: jax.Array,  # [N_pad, D] sharded P(("dcn","ici"), None)
     k: int,
@@ -194,3 +240,232 @@ def hierarchical_kmeans(
     for _ in range(iters):
         centroids, assignments = one_iter_jit(points, centroids)
     return centroids, assignments
+
+
+# ---------------- hybrid (dense + BM25 + fusion) on the 2-level mesh ----------------
+
+
+def hierarchical_corpus_topk(corpus, queries, k, mesh, *, group_l=None,
+                             tail="fold", kernel=None):
+    """Dense top-k over a :class:`ShardedCorpus`'s planes with the
+    hierarchical (ICI-then-DCN) merge. The per-shard selection runs the
+    SAME fused kernels as the 1-D path (Pallas bf16/f32 or
+    int8(+residual); XLA scan fallback) — only the merge topology
+    differs, so scores equal the 1-D sharded engine's exactly."""
+    from ..ops.flat_pallas import flat_topk_pallas, flat_topk_pallas_int8
+    from .sharded_search import pallas_group_l
+
+    n_shards = mesh.shape["dcn"] * mesh.shape["ici"]
+    assert n_shards == corpus.n_shards, (
+        f"corpus sharded {corpus.n_shards}-way; mesh has {n_shards} shards"
+    )
+    k = min(k, corpus.cap * n_shards)
+    k_local = min(k, corpus.cap)
+    if corpus.quant != "none":
+        if queries.shape[1] != corpus.dim_pad:
+            queries = jnp.pad(
+                queries, ((0, 0), (0, corpus.dim_pad - queries.shape[1]))
+            )
+        g = group_l if group_l is not None else pallas_group_l(corpus.cap, k_local)
+        interp = corpus._interpret()
+        with_res = corpus.res is not None
+        arrays = (corpus.codes, corpus.scales) + (
+            (corpus.res,) if with_res else ()
+        )
+        specs = (P(("dcn", "ici"), None), P(("dcn", "ici"))) + (
+            (P(("dcn", "ici"), None),) if with_res else ()
+        )
+
+        def local_topk(q, locals_, valid, sid):
+            return flat_topk_pallas_int8(
+                q, locals_[0], locals_[1], k_local,
+                corpus_res=locals_[2] if with_res else None,
+                group_l=g, valid_n=valid, tail=tail, interpret=interp,
+            )
+
+    else:
+        if kernel is None:
+            kernel = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and pallas_group_l(corpus.cap, k_local) is not None
+                else "xla"
+            )
+        arrays = (corpus.data,)
+        specs = (P(("dcn", "ici"), None),)
+        if kernel == "pallas":
+            g = group_l if group_l is not None else pallas_group_l(corpus.cap, k_local)
+            interp = corpus._interpret()
+
+            def local_topk(q, locals_, valid, sid):
+                return flat_topk_pallas(
+                    q, locals_[0], k_local, group_l=g, valid_n=valid,
+                    precise=locals_[0].dtype == jnp.bfloat16,
+                    tail=tail, interpret=interp,
+                )
+
+        else:
+
+            def local_topk(q, locals_, valid, sid):
+                return flat_topk(
+                    q, locals_[0], k_local, metric="ip",
+                    block_n=min(16384, corpus.cap), valid_n=valid,
+                )
+
+    return _hierarchical_search(
+        queries, arrays, specs, k, mesh, corpus.counts, local_topk
+    )
+
+
+def hierarchical_bm25_topk(bm25, queries: list[str], k: int, mesh: Mesh):
+    """Sparse top-k over a :class:`ShardedBM25`'s postings with the
+    hierarchical merge (same per-shard row kernels, same global
+    quantization grid — scores equal the 1-D sharded path's)."""
+    from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
+
+    qterms, qtf = bm25.encode_queries(queries)
+    tr, th, hd, hw, cd, cw, idf, wmax = bm25.device_arrays()
+    cap = bm25._cap
+    n_dcn, n_ici = mesh.shape["dcn"], mesh.shape["ici"]
+    n_shards = n_dcn * n_ici
+    k_eff = min(k, cap * n_shards)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None, None),
+            P(("dcn", "ici"), None), P(("dcn", "ici"), None),
+            P(("dcn", "ici"), None, None), P(("dcn", "ici"), None, None),
+            P(("dcn", "ici"), None, None), P(("dcn", "ici"), None, None),
+            P(None), P(None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def search(qt, qf, tr_, th_, hd_, hw_, cd_, cw_, idf_r, wmax_r):
+        di = jax.lax.axis_index("dcn")
+        ii = jax.lax.axis_index("ici")
+        shard = di * n_ici + ii
+        if cap < 1 << 20:
+            vals, slots = bm25_topk_rows_packed(
+                qt, qf, tr_[0], th_[0], hd_[0], hw_[0], cd_[0], cw_[0],
+                idf_r, k_eff, n_docs=cap, term_wmax=wmax_r,
+            )
+        else:
+            vals, slots = bm25_topk_rows(
+                qt, qf, tr_[0], th_[0], hd_[0], hw_[0], cd_[0], cw_[0],
+                idf_r, k_eff, n_docs=cap,
+            )
+        invalid = vals <= 0.0
+        gids = jnp.where(invalid, -1, slots * n_shards + shard)
+        vals = jnp.where(invalid, -jnp.inf, vals)
+        top_vals, top_gids = _two_level_merge(vals, gids, k_eff)
+        finite = jnp.isfinite(top_vals)
+        return (
+            jnp.where(finite, top_vals, 0.0),
+            jnp.where(finite, top_gids, -1),
+        )
+
+    return search(qterms, qtf, tr, th, hd, hw, cd, cw, idf, wmax)
+
+
+class DCNHybrid:
+    """Hybrid (dense + BM25 + fusion) corpus on a 2-level (dcn, ici)
+    mesh — BASELINE config #5's multi-slice story matching the
+    single-slice :class:`~intool_rag_tpu.parallel.sharded_hybrid.ShardedHybrid`
+    (round-3 verdict item 9). Storage reuses the 1-D machinery over the
+    flattened device order (identical physical placement and identical
+    interleaved row ids — see the module docstring), so only the query
+    collectives change: both retriever families merge ICI-first, and
+    fusion runs on the replicated merged lists."""
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        *,
+        capacity_per_shard: int = 1024,
+        dtype=jnp.float32,
+        params=None,
+        quant: str = "none",
+        interpret: bool | None = None,
+    ) -> None:
+        from .mesh import corpus_mesh
+        from .sharded_bm25 import ShardedBM25
+        from .sharded_corpus import ShardedCorpus
+
+        self.mesh = mesh
+        flat = corpus_mesh(list(mesh.devices.reshape(-1)))
+        self.corpus = ShardedCorpus(
+            dim, flat, capacity_per_shard=capacity_per_shard, dtype=dtype,
+            quant=quant, interpret=interpret,
+        )
+        self.bm25 = ShardedBM25(flat, params=params)
+
+    @property
+    def valid_n(self) -> int:
+        return self.corpus.valid_n
+
+    def append(self, texts: list[str], embeddings: np.ndarray) -> np.ndarray:
+        if len(texts) != embeddings.shape[0]:
+            raise ValueError(
+                f"texts ({len(texts)}) and embeddings "
+                f"({embeddings.shape[0]}) must align"
+            )
+        gids = self.corpus.append(embeddings)
+        n = self.corpus.n_shards
+        self.bm25.append(
+            texts,
+            dest_shard=(gids % n).astype(np.int32),
+            dest_slot=(gids // n).astype(np.int32),
+            cap=self.corpus.cap,
+        )
+        return gids
+
+    def search(
+        self,
+        query_texts: list[str],
+        query_embeddings,
+        k: int,
+        *,
+        candidates: int | None = None,
+        hybrid: bool | None = None,
+        group_l: int | None = None,
+        tail: str = "fold",
+    ):
+        """Fused ``(scores [Q, k], global row ids [Q, k])`` — same
+        config surface and fusion modes as ShardedHybrid.search."""
+        from ..config import get_config
+        from ..ops.fusion import normalize_minmax, rrf_fusion, weighted_fusion
+
+        cfg = get_config()
+        if self.valid_n == 0:
+            q = len(query_texts)
+            return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+        kc = min(
+            candidates or max(k, cfg.RETRIEVAL_CANDIDATES), self.valid_n
+        )
+        k = min(k, kc)
+        use_hybrid = cfg.HYBRID_SEARCH_ENABLED if hybrid is None else hybrid
+
+        d_vals, d_rows = hierarchical_corpus_topk(
+            self.corpus, query_embeddings, kc, self.mesh,
+            group_l=group_l, tail=tail,
+        )
+        d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
+        if not use_hybrid:
+            return d_vals[:, :k], d_rows[:, :k]
+
+        s_vals, s_rows = hierarchical_bm25_topk(
+            self.bm25, query_texts, kc, self.mesh
+        )
+        if cfg.FUSION_MODE == "rrf":
+            return rrf_fusion(d_rows, s_rows, k, rrf_k=cfg.RRF_K)
+        s_norm = normalize_minmax(s_vals)
+        d_vals = jnp.where(d_rows >= 0, d_vals, 0.0)
+        s_norm = jnp.where(s_rows >= 0, s_norm, 0.0)
+        return weighted_fusion(
+            d_rows, d_vals, s_rows, s_norm, k,
+            w_dense=cfg.VECTOR_WEIGHT, w_sparse=cfg.BM25_WEIGHT,
+        )
