@@ -26,6 +26,13 @@ _FILLER = (
     "record detail summary total list part data file form line"
 ).split()
 
+# disjoint filler lexicon for the OOD eval family (no overlap with
+# _FILLER, so surface statistics differ from the training corpus)
+_FILLER_OOD = (
+    "ledger quarterly metric chapter sheet grid remark amount field unit "
+    "log aspect digest balance index region batch folder slip row"
+).split()
+
 
 @dataclasses.dataclass
 class RelevanceTask:
@@ -112,4 +119,73 @@ def make_relevance_task(
         train_queries=tq,
         train_passages=tp,
         train_labels=np.asarray(tl, np.float32),
+    )
+
+
+def make_relevance_task_ood(
+    rng: np.random.Generator,
+    *,
+    n_topics: int = 40,
+    n_ctx: int = 20,
+    docs_per_ctx: int = 16,
+    n_eval: int = 48,
+    decoy_prob: float = 0.3,
+) -> RelevanceTask:
+    """Out-of-distribution EVAL family (round-3 verdict item 10: the
+    rerank-quality proof was train-on-test within one generator).
+
+    Shares the qtop↔dtop association vocabulary with
+    :func:`make_relevance_task` — that mapping IS the knowledge the
+    cross-encoder is trained to hold — but every surface property
+    differs from the training corpus:
+
+    - disjoint filler lexicon (``_FILLER_OOD``),
+    - randomized word order (training docs are templated
+      ``dtopT ctxC <filler>``; here topic/context words land at random
+      positions),
+    - longer, variable-length documents (6–14 filler words vs 3–8),
+    - distractor topic mentions: with ``decoy_prob`` a document also
+      contains a single wrong-topic ``dtop`` word, while the true topic
+      word appears twice — a bag-of-evidence robustness probe that the
+      positional template could never create.
+
+    A reranker that learned the association (not template artifacts)
+    keeps its NDCG/MRR lift here; one that memorized surface structure
+    does not. Returns a task with eval examples only (train fields are
+    empty — training stays on the original family by design).
+    """
+    texts, doc_topic, doc_ctx = [], [], []
+    for c in range(n_ctx):
+        for _ in range(docs_per_ctx):
+            t = int(rng.integers(n_topics))
+            words = list(rng.choice(_FILLER_OOD, size=int(rng.integers(6, 15))))
+            words += [f"dtop{t}", f"dtop{t}", f"ctx{c}"]
+            if rng.random() < decoy_prob:
+                wrong = int((t + 1 + rng.integers(n_topics - 1)) % n_topics)
+                words.append(f"dtop{wrong}")
+            rng.shuffle(words)
+            texts.append(" ".join(words))
+            doc_topic.append(t)
+            doc_ctx.append(c)
+    doc_topic = np.asarray(doc_topic)
+    doc_ctx = np.asarray(doc_ctx)
+
+    examples = []
+    while len(examples) < n_eval:
+        c = int(rng.integers(n_ctx))
+        cohort = np.flatnonzero(doc_ctx == c)
+        t = int(doc_topic[cohort[rng.integers(len(cohort))]])
+        rel = set(cohort[doc_topic[cohort] == t].tolist())
+        if rel:
+            examples.append(
+                EvalExample(query=f"qtop{t} ctx{c}", relevant_rows=rel)
+            )
+    return RelevanceTask(
+        texts=texts,
+        doc_topic=doc_topic,
+        doc_ctx=doc_ctx,
+        examples=examples,
+        train_queries=[],
+        train_passages=[],
+        train_labels=np.zeros(0, np.float32),
     )

@@ -41,9 +41,32 @@ def build_pair_pool(
     labels: list[float] | np.ndarray,
     *,
     max_len: int = 64,
+    augment_shuffle: int = 0,
+    rng: np.random.Generator | None = None,
 ) -> PairPool:
     """Tokenize aligned pairs to one fixed width (training wants a single
-    static shape; serving keeps its length-bucketed path)."""
+    static shape; serving keeps its length-bucketed path).
+
+    ``augment_shuffle`` adds that many word-order-shuffled copies of each
+    passage (same query/label): relevance is a bag-of-evidence property,
+    and without the augmentation the cross-encoder latches onto the
+    corpus's positional template (measured: a model trained on
+    ``topic-first`` documents lost its entire NDCG lift on shuffled-order
+    eval documents — tests/test_rerank_quality.py OOD family)."""
+    if augment_shuffle and rng is None:
+        raise ValueError("augment_shuffle needs an rng")
+    if augment_shuffle:
+        labels = np.asarray(labels, np.float32)
+        aq, ap, al = list(queries), list(passages), [labels]
+        for _ in range(augment_shuffle):
+            for q, p, lab in zip(queries, passages, labels):
+                words = p.split()
+                rng.shuffle(words)
+                aq.append(q)
+                ap.append(" ".join(words))
+            al.append(labels)
+        queries, passages = aq, ap
+        labels = np.concatenate(al)
     sep = getattr(tokenizer, "sep_id", 2)
     pad = tokenizer.pad_id
     ids_q, _ = tokenizer.encode_batch(queries)
