@@ -82,6 +82,12 @@ class Config:
     EMBEDDING_PRESET: str = dataclasses.field(
         default_factory=lambda: _env_str("EMBEDDING_PRESET", "auto")
     )
+    # path to a native self-trained encoder checkpoint
+    # (models/encoder.py save_encoder_checkpoint); takes precedence over
+    # HF weight resolution when set
+    EMBEDDING_CHECKPOINT: str = dataclasses.field(
+        default_factory=lambda: _env_str("EMBEDDING_CHECKPOINT", "")
+    )
     EMBEDDING_QUERY_INSTRUCTION: str = dataclasses.field(
         default_factory=lambda: _env_str(
             "EMBEDDING_QUERY_INSTRUCTION",

@@ -64,11 +64,23 @@ class TPUEmbeddingProvider:
         self.batch_size = cfg.EMBEDDING_BATCH_SIZE
 
     def _load_local_weights(self):
-        """Load HF weights when EMBEDDING_MODEL resolves locally (a cached
-        hub model or a local directory) — the state-dict mapping is
-        parity-tested against torch, so real BGE-M3 weights reproduce its
-        embeddings. Returns None when nothing is available (zero-egress
-        environments)."""
+        """Load weights: a native self-trained checkpoint
+        (EMBEDDING_CHECKPOINT — models/encoder.py
+        save_encoder_checkpoint) takes precedence, then HF weights when
+        EMBEDDING_MODEL resolves locally (a cached hub model or a local
+        directory) — the state-dict mapping is parity-tested against
+        torch, so real BGE-M3 weights reproduce its embeddings. Returns
+        None when nothing is available (zero-egress environments)."""
+        import os
+
+        ckpt = get_config().EMBEDDING_CHECKPOINT
+        if ckpt and os.path.exists(ckpt):
+            from ..models.encoder import load_encoder_checkpoint
+
+            self.encoder_config, params = load_encoder_checkpoint(ckpt)
+            logger.info("loaded native encoder checkpoint %s", ckpt)
+            return params
+
         from ..models.encoder import load_torch_state_dict
 
         try:

@@ -111,3 +111,90 @@ def make_sharded_train_step(
 
     jitted = jax.jit(step_fn, donate_argnums=(0,))
     return jitted, place_batch
+
+
+# ---------------- cached-pool trainer (single device / tunnel) ----------------
+
+
+def tokenize_pairs(tokenizer, queries, passages, *, max_len: int = 32):
+    """Tokenize aligned (query, positive-passage) pairs to fixed width."""
+    import numpy as np
+
+    def enc(texts):
+        ids, mask = tokenizer.encode_batch(texts)
+        n, s = ids.shape
+        if s >= max_len:
+            return ids[:, :max_len], mask[:, :max_len]
+        pid = tokenizer.pad_id
+        out_i = np.full((n, max_len), pid, np.int32)
+        out_m = np.zeros((n, max_len), np.int32)
+        out_i[:, :s] = ids
+        out_m[:, :s] = mask
+        return out_i, out_m
+
+    q_ids, q_mask = enc(queries)
+    p_ids, p_mask = enc(passages)
+    return {"q_ids": q_ids, "q_mask": q_mask, "p_ids": p_ids, "p_mask": p_mask}
+
+
+def train_encoder_cached(
+    config: EncoderConfig,
+    pool: dict,
+    *,
+    steps: int = 800,
+    batch: int = 64,
+    lr: float = 1e-3,
+    temperature: float = 0.05,
+    seed: int = 0,
+    steps_per_launch: int = 50,
+    init: Any | None = None,
+):
+    """InfoNCE fine-tune over a device-resident (query, positive) pool
+    with the cached-pool ``lax.scan`` trainer pattern (ocr/train.py —
+    amortizes the ~40 ms/step tunnel RPC to one per ``steps_per_launch``).
+    In-batch negatives come from the sampled batch. Returns
+    ``(params, mean_losses per launch)``."""
+    from ..models.encoder import init_params
+
+    model = TextEncoder(config)
+    params = init if init is not None else init_params(config, seed=seed)
+    n = pool["q_ids"].shape[0]
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=max(20, steps // 20),
+        decay_steps=steps, end_value=lr * 0.05,
+    )
+    optimizer = optax.adamw(schedule, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+    dev = {k: jnp.asarray(v) for k, v in pool.items()}
+
+    @jax.jit
+    def launch(params, opt_state, key):
+        def one_step(carry, key_t):
+            params, opt_state = carry
+            idx = jax.random.randint(key_t, (batch,), 0, n)
+
+            def loss_fn(p):
+                q = model.apply(p, dev["q_ids"][idx], dev["q_mask"][idx])
+                pe = model.apply(p, dev["p_ids"][idx], dev["p_mask"][idx])
+                return info_nce_loss(q, pe, temperature)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, steps_per_launch)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys
+        )
+        return params, opt_state, losses.mean()
+
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed + 1)
+    means = []
+    for _ in range(-(-steps // steps_per_launch)):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = launch(params, opt_state, sub)
+        means.append(float(m))
+    return params, np.asarray(means)

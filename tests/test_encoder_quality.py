@@ -1,0 +1,80 @@
+"""Semantic retrieval quality from a SELF-TRAINED encoder (round-3
+verdict item 4): the reference gets semantic quality for free from
+sentence-transformers (rag/providers/hf/embeddings.py:24); here the
+small encoder is contrastively trained in-environment on synthetic
+query-document pairs and must beat the hash embedder on held-out
+queries — and it must serve through the real provider path
+(EMBEDDING_PROVIDER=tpu + EMBEDDING_CHECKPOINT)."""
+
+import numpy as np
+import pytest
+
+from intool_rag_tpu import config as config_mod
+from intool_rag_tpu.eval.harness import build_engine_from_texts, evaluate_engine
+from intool_rag_tpu.eval.synthetic import make_relevance_task
+from intool_rag_tpu.models.encoder import (
+    EncoderConfig,
+    save_encoder_checkpoint,
+)
+from intool_rag_tpu.models.tokenizer import SimpleTokenizer
+from intool_rag_tpu.train.contrastive import tokenize_pairs, train_encoder_cached
+
+from test_rerank_quality import _HashProvider
+
+
+@pytest.mark.slow
+def test_trained_encoder_beats_hash_retrieval(rng, tmp_path, monkeypatch):
+    monkeypatch.setenv("EMBEDDING_QUERY_INSTRUCTION", "")
+    config_mod.reset_config()
+    task = make_relevance_task(rng)
+    # unique positive (query, passage) pairs for InfoNCE
+    seen, queries, passages = set(), [], []
+    for q, p, lab in zip(
+        task.train_queries, task.train_passages, task.train_labels
+    ):
+        if lab > 0.5 and (q, p) not in seen:
+            seen.add((q, p))
+            queries.append(q)
+            passages.append(p)
+    assert len(queries) >= 150  # unique positives (generator dups ×3)
+
+    config = EncoderConfig(
+        vocab_size=2048, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position=48, dtype="float32",
+    )
+    tokenizer = SimpleTokenizer(vocab_size=2048, max_length=24)
+    pool = tokenize_pairs(tokenizer, queries, passages, max_len=24)
+    params, losses = train_encoder_cached(
+        config, pool, steps=600, batch=64, lr=1e-3
+    )
+    assert losses[-1] < losses[0] * 0.5, losses  # it actually learned
+
+    # serve through the provider path: checkpoint → EMBEDDING_CHECKPOINT
+    ckpt = tmp_path / "enc_selftrained.npz"
+    save_encoder_checkpoint(ckpt, config, params)
+    monkeypatch.setenv("EMBEDDING_CHECKPOINT", str(ckpt))
+    monkeypatch.setenv("EMBEDDING_PROVIDER", "tpu")
+    config_mod.reset_config()
+    from intool_rag_tpu.providers.tpu_embed import TPUEmbeddingProvider
+
+    provider = TPUEmbeddingProvider(model_name="self-trained-small")
+    assert provider.dimension == 64  # checkpoint dictated the dims
+
+    hash_provider = _HashProvider()
+    eng_trained = build_engine_from_texts(task.texts, provider)
+    eng_hash = build_engine_from_texts(task.texts, hash_provider)
+    r_trained = evaluate_engine(
+        eng_trained, provider, task.examples, k=10, modes=("dense",)
+    )["dense"]
+    r_hash = evaluate_engine(
+        eng_hash, hash_provider, task.examples, k=10, modes=("dense",)
+    )["dense"]
+    # hash sees only the lexical context word (cohort-level recall with
+    # arbitrary in-cohort order); the trained encoder resolves the
+    # query↔document topic association on held-out queries
+    assert r_trained["recall@k"] >= r_hash["recall@k"] + 0.15, (
+        r_trained, r_hash,
+    )
+    assert r_trained["ndcg@k"] >= r_hash["ndcg@k"] + 0.25, (r_trained, r_hash)
+    assert r_trained["mrr"] >= r_hash["mrr"] + 0.25, (r_trained, r_hash)
+    config_mod.reset_config()
