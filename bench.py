@@ -146,12 +146,18 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
         jax.block_until_ready(corpus_q8[0])
         _progress("int8 mirror quantized on device")
 
+    # frontier knobs (benchmarks re-sweep the recall/QPS frontier when a
+    # stage gets faster — round-3 verdict item 5): defaults are the
+    # shipped operating point
+    group_l = int(os.environ.get("DENSE_GROUP_L", "32"))
+    tail_mode = os.environ.get("DENSE_TAIL", "fold")
+
     def dense_topk(q_dense, corpus, corpus_q8):
         if on_tpu and corpus_q8 is not None:
             return flat_topk_pallas_int8(
                 q_dense, corpus_q8[0], corpus_q8[1], CANDIDATES,
-                corpus_res=corpus_q8[2], group_l=32, valid_n=n,
-                tail="fold",
+                corpus_res=corpus_q8[2], group_l=group_l, valid_n=n,
+                tail=tail_mode,
             )
         if on_tpu:
             # fused Pallas kernel, split-query precise scores + approx
@@ -159,8 +165,8 @@ def tpu_hybrid(sparse, n, p_max, query_seed=0):
             # so the separate candidate rescore (5.9 ms/batch of gather)
             # is gone (round-3)
             return flat_topk_pallas(
-                q_dense, corpus, CANDIDATES, group_l=32, valid_n=n,
-                precise=True, tail="fold",
+                q_dense, corpus, CANDIDATES, group_l=group_l, valid_n=n,
+                precise=True, tail=tail_mode,
             )
         return flat_topk(
             q_dense, corpus, CANDIDATES, metric="cosine",
@@ -353,6 +359,11 @@ def main() -> None:
                 "baseline_qps_sd": round(cpu_sd, 2),
                 "recall@10_vs_exact_hybrid": round(recall, 4),
                 "p_max": P_MAX,
+                "dense": "{}/g{}/{}".format(
+                    os.environ.get("DENSE_PATH", "int8r" if backend == "tpu" else "bf16"),
+                    os.environ.get("DENSE_GROUP_L", "32"),
+                    os.environ.get("DENSE_TAIL", "fold"),
+                ),
                 "backend": backend,
             }
         )

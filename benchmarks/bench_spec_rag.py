@@ -1,0 +1,100 @@
+"""Speculative decoding on RAG-style text: net speedup, real acceptance
+(round-3 verdict item 7 — the ≥2 tokens/wave claim came from a pure
+copy-task model; RAG answers quote a question-dependent span).
+
+Trains a mid-size decoder on doc+question+quoted-answer sequences
+(models/lm_train.py rag_qa_batch — lookup-and-copy, the extractive-QA
+structure), then serves held-out RAG-style prompts through the
+continuous-batching scheduler with and without batched prompt-lookup
+waves. Reports tokens/s, tokens/wave, and the net speedup — the README
+claim ("RAG answers quote retrieved context, so drafts hit") measured
+end-to-end instead of extrapolated.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_spec_rag.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from intool_rag_tpu.backend import ensure_backend
+
+from common import emit  # noqa: E402
+
+
+def main() -> None:
+    backend = ensure_backend()
+    from intool_rag_tpu.models.decoder import DecoderConfig
+    from intool_rag_tpu.models.lm_train import rag_qa_prompts, train_rag_qa_lm
+    from intool_rag_tpu.models.scheduler import ContinuousGenerator
+
+    on_tpu = backend == "tpu"
+    config = DecoderConfig(
+        vocab_size=512,
+        hidden_size=512 if on_tpu else 64,
+        num_layers=8 if on_tpu else 2,
+        num_heads=8 if on_tpu else 4,
+        num_kv_heads=4 if on_tpu else 2,
+        intermediate_size=1408 if on_tpu else 128,
+        max_position=1024,
+        dtype="bfloat16" if on_tpu else "float32",
+    )
+    n_fields, val_len = 4, 9
+    steps = 4000 if on_tpu else 300
+    t0 = time.perf_counter()
+    params, losses = train_rag_qa_lm(
+        config, steps=steps, batch=64 if on_tpu else 16, seq=96, seed=0,
+        n_fields=n_fields, val_len=val_len, lr=2e-3,
+    )
+    print(
+        f"# trained {steps} steps in {time.perf_counter() - t0:.0f}s: "
+        f"loss {losses[0]:.3f} -> {losses[-1]:.3f}",
+        file=sys.stderr,
+    )
+
+    data_rng = np.random.default_rng(7)
+    n_prompts = 64 if on_tpu else 8
+    prompts, answers = rag_qa_prompts(
+        data_rng, n_prompts, config.vocab_size, n_fields=n_fields,
+        val_len=val_len,
+    )
+    limits = [24] * len(prompts)
+
+    def run(gen):
+        # warmup/compile on a small slice, then time the full batch
+        gen.generate_many(prompts[:4], [24] * 4)
+        t0 = time.perf_counter()
+        out, stats = gen.generate_many(prompts, limits)
+        dt = time.perf_counter() - t0
+        return out, stats, sum(len(o) for o in out) / dt
+
+    n_slots = 16 if on_tpu else 4
+    plain = ContinuousGenerator(config, params, n_slots=n_slots, seg_len=8)
+    want, _, tps_plain = run(plain)
+    frac = np.mean([
+        np.mean(np.asarray(w[:val_len]) == np.asarray(a))
+        for w, a in zip(want, answers)
+    ])
+    spec = ContinuousGenerator(
+        config, params, n_slots=n_slots, seg_len=8, speculative_gamma=4,
+        lookup_window=128,
+    )
+    got, stats, tps_spec = run(spec)
+    assert got == want, "speculative output diverged from plain greedy"
+    emit("spec_rag_answer_token_match", float(frac), "fraction",
+         backend=backend)
+    emit("spec_rag_plain_tok_s", tps_plain, "tokens/s", backend=backend,
+         n_slots=n_slots, prompts=len(prompts))
+    emit("spec_rag_spec_tok_s", tps_spec, "tokens/s", backend=backend,
+         gamma=4, tokens_per_wave=round(stats.get("tokens_per_wave", 0), 3))
+    emit("spec_rag_net_speedup", tps_spec / tps_plain, "x",
+         backend=backend)
+
+
+if __name__ == "__main__":
+    main()
