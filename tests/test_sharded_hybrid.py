@@ -215,3 +215,46 @@ def test_sharded_hybrid_checkpoint_roundtrip(rng, tmp_path):
     assert len(set(map(int, gids))) == 24
     v2, r2 = restored.search(q_texts, jnp.asarray(q_emb), 8)
     assert np.isfinite(np.asarray(v2)).all()
+
+
+def test_sharded_hybrid_quantized_checkpoint_roundtrip(rng, tmp_path):
+    """int8r planes (codes + scales + residual) survive save() → load()
+    bit-exactly: restored searches match, and streaming appends continue
+    on the quantized tiers (capacity tiers × sharding × checkpointing)."""
+    dim = 128
+    params = BM25Params(k1=1.5, b=0.75, p_max=256)
+    mesh = corpus_mesh()
+    engine = ShardedHybrid(
+        dim, mesh, capacity_per_shard=128, params=params,
+        quant="int8r", interpret=True,
+    )
+    texts, emb = _make_corpus(rng, 80, dim)
+    engine.append(texts, emb)
+
+    q_texts = [" ".join(rng.choice(_WORDS, size=4)) for _ in range(4)]
+    q_emb = rng.standard_normal((4, dim)).astype(np.float32)
+    before_v, before_r = engine.search(q_texts, jnp.asarray(q_emb), 8)
+
+    engine.save(tmp_path / "ckpt8")
+    restored = ShardedHybrid.load(tmp_path / "ckpt8", mesh)
+    assert restored.corpus.quant == "int8r"
+    restored.corpus.interpret = True  # CPU mesh
+    # planes restored bit-exactly (int8 codes round-trip as integers)
+    np.testing.assert_array_equal(
+        np.asarray(engine.corpus.codes), np.asarray(restored.corpus.codes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(engine.corpus.res), np.asarray(restored.corpus.res)
+    )
+    after_v, after_r = restored.search(q_texts, jnp.asarray(q_emb), 8)
+    np.testing.assert_array_equal(np.asarray(before_r), np.asarray(after_r))
+    np.testing.assert_allclose(
+        np.asarray(before_v), np.asarray(after_v), rtol=1e-5, atol=1e-6
+    )
+
+    # streaming continues on the quantized planes after restore
+    more_t, more_e = _make_corpus(rng, 24, dim)
+    gids = restored.append(more_t, more_e)
+    assert restored.valid_n == 104
+    v2, r2 = restored.search(more_t[:2], jnp.asarray(more_e[:2]), 3)
+    np.testing.assert_array_equal(np.asarray(r2)[:, 0], gids[:2])
