@@ -104,6 +104,28 @@ def test_simple_tokenizer_deterministic():
     assert ids1[0, 1] == ids1[1, 1]
 
 
+def test_simple_tokenizer_native_path_matches_python():
+    """The native-analyzer fast path (+ word-id memo) must be
+    bit-identical to the pure-Python analyzer path — mixed-script text
+    included (the rerank p50 fix must not shift any encoder input)."""
+    from intool_rag_tpu.index.analyzer import tokenize as py_tokenize
+
+    texts = [
+        "Hello, WORLD!  Multi-  line\ttext 123",
+        "Überflüssig naïve café — résumé",
+        "中文混合 latin 字符 bigrams 42",
+        "",
+        "the a an of (stopwords only)",
+    ]
+    tok = SimpleTokenizer(vocab_size=512)
+    ids_fast, m_fast = tok.encode_batch(texts)
+    slow = SimpleTokenizer(vocab_size=512)
+    slow._words = py_tokenize  # force the pure-Python analyzer
+    ids_slow, m_slow = slow.encode_batch(texts)
+    np.testing.assert_array_equal(ids_fast, ids_slow)
+    np.testing.assert_array_equal(m_fast, m_slow)
+
+
 def test_encoder_long_sequence_2048():
     """Long-context path (SURVEY §5.7: BGE-M3's 8192-token claim): a
     2048-token encode must produce finite unit embeddings, and padding
