@@ -14,7 +14,12 @@ import numpy as np
 
 
 def emit(metric: str, value: float, unit: str, **extra) -> None:
-    print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit, **extra}))
+    # flush=True: benches run piped/detached on the TPU host; without it
+    # a timeout-kill discards every already-emitted line (block buffering)
+    print(
+        json.dumps({"metric": metric, "value": round(value, 4), "unit": unit, **extra}),
+        flush=True,
+    )
 
 
 def timed_min(fn, inputs: list, *, fetch=lambda out: np.asarray(out[0])) -> float:
