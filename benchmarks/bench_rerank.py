@@ -16,10 +16,11 @@ from intool_rag_tpu.backend import ensure_backend
 from common import device_corpus, emit
 
 
-def run_config(config, candidates, query, label, backend):
+def run_config(config, candidates, query, label, backend, packed=False):
     from intool_rag_tpu.models.reranker import Reranker
 
     reranker = Reranker.create(config)
+    reranker.packed = packed
     reranker.rerank(query, candidates, top_k=10)  # compile buckets
     times = []
     for i in range(5):
@@ -81,6 +82,9 @@ def main() -> None:
         intermediate_size=4096, max_position=1026, dtype="bfloat16",
     )
     reranker = run_config(full, candidates, query, "bge_m3_dims", backend)
+    # ragged packing: same pairs, block-diagonal attention, ~0 padding
+    run_config(full, candidates, query, "bge_m3_dims_packed", backend,
+               packed=True)
 
     # end-to-end: dense retrieve top-100 over 100k×1024 + full rerank
     n = 100_000

@@ -74,7 +74,12 @@ class SelfAttention(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        hidden: jax.Array,
+        mask: jax.Array,
+        segment_ids: jax.Array | None = None,
+    ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         head_dim = cfg.hidden_size // cfg.num_heads
@@ -87,6 +92,7 @@ class SelfAttention(nn.Module):
         b, s, _ = q.shape
         shape = (b, s, cfg.num_heads, head_dim)
         if cfg.ring_axis is not None:
+            assert segment_ids is None, "packing not supported under SP"
             # sequence parallelism: q/k/v are the LOCAL sequence shard;
             # k/v blocks rotate around the mesh ring (parallel/sequence.py)
             from ..parallel.sequence import ring_attention
@@ -111,12 +117,19 @@ class SelfAttention(nn.Module):
             # padding is masked by giving pad positions segment id 0
             # (valid = 1), so they only attend among themselves and
             # their outputs are discarded by downstream masked pooling.
+            # With explicit segment_ids (packed rows: several pairs per
+            # row, ids 1..P, pads 0) the same mechanism confines
+            # attention to each pair.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,
             )
 
-            seg = mask.astype(jnp.int32)
+            seg = (
+                segment_ids.astype(jnp.int32)
+                if segment_ids is not None
+                else mask.astype(jnp.int32)
+            )
             bhsd = (
                 q.reshape(shape).transpose(0, 2, 1, 3),
                 k.reshape(shape).transpose(0, 2, 1, 3),
@@ -127,6 +140,19 @@ class SelfAttention(nn.Module):
                 segment_ids=SegmentIds(q=seg, kv=seg),
                 sm_scale=1.0 / head_dim**0.5,
             ).transpose(0, 2, 1, 3)
+        elif segment_ids is not None:
+            # packed rows: token i attends to token j iff they belong to
+            # the same segment (pairwise [B, S, S] mask). Pad positions
+            # share segment 0, so they attend among themselves — no
+            # fully-masked softmax rows — and their outputs are dropped
+            # by the segment-aware CLS gather downstream.
+            pair = segment_ids[:, :, None] == segment_ids[:, None, :]
+            attn = jax.nn.dot_product_attention(
+                q.reshape(shape),
+                k.reshape(shape),
+                v.reshape(shape),
+                mask=pair[:, None, :, :],
+            )
         else:
             # mask: [B, S] -> bias broadcast over heads and query positions
             attn = jax.nn.dot_product_attention(
@@ -143,10 +169,15 @@ class EncoderLayer(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        hidden: jax.Array,
+        mask: jax.Array,
+        segment_ids: jax.Array | None = None,
+    ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        attn_out = SelfAttention(cfg, name="attention")(hidden, mask)
+        attn_out = SelfAttention(cfg, name="attention")(hidden, mask, segment_ids)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="attention_ln"
         )(hidden + attn_out)
@@ -173,10 +204,28 @@ class TextEncoder(nn.Module):
         *,
         pool: bool = True,
         positions: jax.Array | None = None,
+        segment_ids: jax.Array | None = None,
     ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        if positions is None:
+        if positions is None and segment_ids is not None:
+            # packed rows: RoBERTa positions restart at each segment so a
+            # packed pair sees the same position ids it would unpacked.
+            # Segments are contiguous; subtract the running valid-count at
+            # each segment start (carried forward by cummax) from the
+            # global running count.
+            valid = (segment_ids > 0).astype(jnp.int32)
+            c = jnp.cumsum(valid, axis=1)
+            change = jnp.concatenate(
+                [
+                    jnp.ones_like(segment_ids[:, :1], bool),
+                    segment_ids[:, 1:] != segment_ids[:, :-1],
+                ],
+                axis=1,
+            )
+            base = jnp.where(change, c - valid, 0)
+            positions = (c - jax.lax.cummax(base, axis=1)) * valid + cfg.pad_token_id
+        elif positions is None:
             # RoBERTa position ids: cumulative over non-pad, offset by
             # pad id. Under sequence parallelism the cumsum must span the
             # GLOBAL sequence, so the SP driver precomputes it and passes
@@ -198,7 +247,9 @@ class TextEncoder(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="emb_ln"
         )(word + pos + tok_type)
         for i in range(cfg.num_layers):
-            hidden = EncoderLayer(cfg, name=f"layer_{i}")(hidden, attention_mask)
+            hidden = EncoderLayer(cfg, name=f"layer_{i}")(
+                hidden, attention_mask, segment_ids
+            )
         if not pool:
             return hidden.astype(jnp.float32)
         cls = hidden[:, 0, :].astype(jnp.float32)

@@ -30,15 +30,37 @@ class CrossEncoder(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        *,
+        segment_ids: jax.Array | None = None,
+        cls_index: jax.Array | None = None,
+    ) -> jax.Array:
+        """Score pairs. Two layouts share the same params:
+
+        - one pair per row (default): returns ``[B]``, score from row CLS;
+        - packed rows (``segment_ids`` [B, S] with ids 1..P, pads 0, and
+          ``cls_index`` [B, P] = each pair's first-token offset): returns
+          ``[B, P]`` — block-diagonal attention keeps pairs independent,
+          so a packed pair scores identically to its unpacked self while
+          the MXU sees none of the per-bucket padding waste
+          (bench_rerank_profile.py: time is ~linear in padded tokens).
+        """
         hidden = TextEncoder(self.config, name="body")(
-            input_ids, attention_mask, pool=False
+            input_ids, attention_mask, pool=False, segment_ids=segment_ids
         )
-        cls = hidden[:, 0, :]
+        if cls_index is not None:
+            cls = jnp.take_along_axis(
+                hidden, cls_index[:, :, None].astype(jnp.int32), axis=1
+            )  # [B, P, H]
+        else:
+            cls = hidden[:, 0, :]
         x = nn.Dense(self.config.hidden_size, dtype=jnp.float32, name="head_dense")(cls)
         x = jnp.tanh(x)
         score = nn.Dense(1, dtype=jnp.float32, name="head_out")(x)
-        return score[:, 0]
+        return score[..., 0]
 
 
 def load_reranker_torch_state_dict(config: EncoderConfig, state_dict: dict) -> dict:
@@ -79,8 +101,17 @@ class Reranker:
     tokenizer: object
 
     def __post_init__(self) -> None:
+        import os
+
         model = CrossEncoder(self.config)
         self._apply = jax.jit(model.apply)
+        # Packed (ragged) scoring: several pairs per row behind a
+        # block-diagonal attention mask. Removes the per-bucket padding
+        # waste (~22% measured) for ~5% extra attention FLOPs at
+        # W=512/h=1024. RERANK_PACKED=1 enables; RERANK_PACK_WIDTH tunes
+        # the row width (snapped up to fit the longest pair).
+        self.packed = os.getenv("RERANK_PACKED", "0") not in ("0", "false", "")
+        self.pack_width = int(os.getenv("RERANK_PACK_WIDTH", "512"))
         # Inference-time param residency (round-2 verdict item 8 — MFU):
         # flax casts f32 params to the bf16 compute dtype inside EVERY
         # launch, so the f32 master copy is read from HBM (2× traffic)
@@ -142,8 +173,85 @@ class Reranker:
             rows.append(q_real + [sep] + p_real)
         return rows
 
+    def score_pairs_packed(
+        self, queries: list[str], passages: list[str], *, width: int | None = None
+    ) -> np.ndarray:
+        """Score aligned pairs via ragged packing: first-fit-decreasing
+        bin-packing of pair rows into fixed ``width`` rows, block-diagonal
+        attention (segment ids), per-pair CLS gather. Scores match the
+        bucketed path bit-for-bit in f32 and to bf16 tolerance on TPU
+        (tests/test_reranker.py) — the layouts are mathematically
+        identical; only matmul tiling differs."""
+        if not queries:
+            return np.zeros(0, np.float32)
+        pad = self.tokenizer.pad_id
+        rows = self._pair_rows(queries, passages)
+        w = width or self.pack_width
+        w = max(w, -(-max(len(r) for r in rows) // 128) * 128)
+        # first-fit decreasing
+        order = sorted(range(len(rows)), key=lambda i: -len(rows[i]))
+        bins: list[list] = []  # [used, [row indices]]
+        for i in order:
+            length = min(len(rows[i]), w)
+            for b in bins:
+                if b[0] + length <= w:
+                    b[0] += length
+                    b[1].append(i)
+                    break
+            else:
+                bins.append([length, [i]])
+        # shrink to the real high-water mark (snapped to 128 for shape
+        # reuse): a handful of short pairs shouldn't pay a full 512 row
+        w = min(w, -(-max(b[0] for b in bins) // 128) * 128)
+        p_max = -(-max(len(b[1]) for b in bins) // 4) * 4
+        # rows per launch sized so one launch carries ~ a 64×192 bucket's
+        # tokens (keeps the dispatch pipeline depth of the bucketed path)
+        r_launch = max(1, (64 * 192) // w)
+        scores = np.zeros(len(rows), np.float32)
+        real_tokens = sum(min(len(r), w) for r in rows)
+        padded_tokens = 0
+        pending: list[tuple[np.ndarray, jax.Array]] = []
+        for s in range(0, len(bins), r_launch):
+            chunk = bins[s : s + r_launch]
+            n = len(chunk)
+            ids = np.full((n, w), pad, np.int32)
+            seg = np.zeros((n, w), np.int32)
+            cls = np.zeros((n, p_max), np.int32)
+            idxmat = np.full((n, p_max), -1, np.int64)
+            for j, (_, idxs) in enumerate(chunk):
+                off = 0
+                for p_i, i in enumerate(idxs):
+                    r = rows[i][:w]
+                    ids[j, off : off + len(r)] = r
+                    seg[j, off : off + len(r)] = p_i + 1
+                    cls[j, p_i] = off
+                    idxmat[j, p_i] = i
+                    off += len(r)
+            padded_tokens += n * w
+            pending.append((
+                idxmat,
+                self._apply(
+                    self._infer_params,
+                    jnp.asarray(ids),
+                    jnp.asarray((seg > 0).astype(np.int32)),
+                    segment_ids=jnp.asarray(seg),
+                    cls_index=jnp.asarray(cls),
+                ),
+            ))
+        for idxmat, out in pending:
+            o = np.asarray(out)
+            valid = idxmat >= 0
+            scores[idxmat[valid]] = o[valid]
+        self.last_padding_waste = padded_tokens / max(real_tokens, 1) - 1.0
+        return scores
+
     def score_pairs(
-        self, queries: list[str], passages: list[str], *, bucket: int = 64
+        self,
+        queries: list[str],
+        passages: list[str],
+        *,
+        bucket: int = 64,
+        packed: bool | None = None,
     ) -> np.ndarray:
         # bucket=64 measured fastest on TPU for 100×200-token pairs
         # (348 ms vs 434 ms at 32 — fewer launch RPCs; vs 392 ms at 128
@@ -158,6 +266,10 @@ class Reranker:
         (64-snap measured 41% waste on ~137-token invoice-chunk pairs:
         every bucket rounded to 192).
         """
+        if packed is None:
+            packed = self.packed
+        if packed:
+            return self.score_pairs_packed(queries, passages)
         if not queries:
             return np.zeros(0, np.float32)
         pad = self.tokenizer.pad_id

@@ -137,3 +137,38 @@ def test_cross_encoder_matches_torch():
 
     got = np.asarray(jax.jit(CrossEncoder(cfg).apply)(params, ids, mask))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_packed_scores_match_bucketed():
+    """Packed (ragged, block-diagonal attention) scoring must equal the
+    one-pair-per-row path: same positions, same attention pattern, same
+    head — only the layout differs. f32 on CPU → tight tolerance."""
+    r = Reranker.create(seed=3)
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    queries, passages = [], []
+    for i in range(17):  # odd count: exercises partial bins + P padding
+        nq = int(rng.integers(2, 6))
+        np_ = int(rng.integers(4, 30))
+        queries.append(" ".join(rng.choice(words, nq)))
+        passages.append(" ".join(rng.choice(words, np_)))
+    base = r.score_pairs(queries, passages, packed=False)
+    packed = r.score_pairs(queries, passages, packed=True)
+    np.testing.assert_allclose(packed, base, rtol=2e-4, atol=2e-4)
+    assert r.last_padding_waste >= 0.0
+
+
+def test_packed_single_long_pair_fits():
+    r = Reranker.create(seed=3)
+    long_passage = " ".join(["word"] * 120)
+    base = r.score_pairs(["q"], [long_passage], packed=False)
+    packed = r.score_pairs_packed(["q"], [long_passage], width=32)
+    np.testing.assert_allclose(packed, base, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_env_default(monkeypatch):
+    monkeypatch.setenv("RERANK_PACKED", "1")
+    r = Reranker.create(seed=3)
+    assert r.packed
+    s = r.score_pairs(["a b c"], ["d e f g"])
+    assert s.shape == (1,) and np.isfinite(s).all()
