@@ -48,6 +48,35 @@ def main() -> None:
         seq=seq, batch=batch, tokens_per_s=round(batch * seq / dt),
     )
 
+    # provider-level padded vs packed encode on a realistic chunk-length
+    # mix (EMBED_PACKED, models/packing.py): the padded path pays the
+    # per-batch max-length bucket, packing pays ~the mean length
+    from intool_rag_tpu.providers.tpu_embed import TPUEmbeddingProvider
+
+    provider = TPUEmbeddingProvider(config=config)  # random params: FLOPs identical
+    rng = np.random.default_rng(0)
+    vocab_words = [f"w{i}" for i in range(5000)]
+    n_texts = 512 if backend == "tpu" else 48
+    lens = np.clip(
+        rng.lognormal(5.0, 0.6, size=3 * n_texts).astype(int), 20, 480
+    )
+    all_texts = [" ".join(rng.choice(vocab_words, s)) for s in lens]
+    rounds = [all_texts[i * n_texts : (i + 1) * n_texts] for i in range(3)]
+    for packed in (False, True):
+        provider.packed = packed
+        provider.embed_batch(rounds[0][:64])  # compile
+        times = []
+        for texts in rounds:
+            t0 = time.perf_counter()
+            provider.embed_batch(texts)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        emit(
+            f"encoder_provider_docs_per_s_{'packed' if packed else 'padded'}",
+            n_texts / dt, "docs/s", backend=backend,
+            mean_len=round(float(np.mean(lens)), 1),
+        )
+
     # query-side latency (batch 8, short)
     q_ids = jax.random.randint(jax.random.PRNGKey(9), (8, 32), 4, config.vocab_size)
     q_mask = jnp.ones((8, 32), jnp.int32)

@@ -56,38 +56,53 @@ def main() -> None:
     sh_s8 = shard_corpus(s8, mesh)
     batches = device_queries(G, Q, D)
 
-    def stream(fn):
+    def stream(fn, *arrs):
+        # corpus planes are jit ARGUMENTS, not closures: a captured
+        # multi-GB constant gets embedded in the executable and breaks
+        # the tunnel's remote_compile (CLAUDE.md environment gotchas)
         @jax.jit
-        def run(qall):
+        def run(qall, *arrs):
             def step(_, q):
-                return None, fn(q)
+                return None, fn(q, *arrs)
 
             _, out = jax.lax.scan(step, None, qall)
             return out
 
-        return run
+        return lambda b: run(b, *arrs)
 
     configs = {
-        "bf16_direct": lambda q: flat_topk_pallas(
-            q, corpus_bf16, K, group_l=32, valid_n=n_valid,
-            precise=True, tail="fold", interpret=interpret,
+        "bf16_direct": (
+            lambda q, c: flat_topk_pallas(
+                q, c, K, group_l=32, valid_n=n_valid,
+                precise=True, tail="fold", interpret=interpret,
+            ),
+            (corpus_bf16,),
         ),
-        "bf16_sharded": lambda q: sharded_flat_topk(
-            q, sh_bf16, K, mesh, valid_n=n_valid, kernel="pallas",
-            group_l=32, tail="fold", interpret=interpret,
+        "bf16_sharded": (
+            lambda q, c: sharded_flat_topk(
+                q, c, K, mesh, valid_n=n_valid, kernel="pallas",
+                group_l=32, tail="fold", interpret=interpret,
+            ),
+            (sh_bf16,),
         ),
-        "int8r_direct": lambda q: flat_topk_pallas_int8(
-            q, q1, s8, K, corpus_res=q2, group_l=32, valid_n=n_valid,
-            tail="fold", interpret=interpret,
+        "int8r_direct": (
+            lambda q, a, r, s: flat_topk_pallas_int8(
+                q, a, s, K, corpus_res=r, group_l=32, valid_n=n_valid,
+                tail="fold", interpret=interpret,
+            ),
+            (q1, q2, s8),
         ),
-        "int8r_sharded": lambda q: sharded_flat_topk_int8(
-            q, sh_q1, sh_s8, K, mesh, res=sh_q2, valid_n=n_valid,
-            group_l=32, tail="fold", interpret=interpret,
+        "int8r_sharded": (
+            lambda q, a, r, s: sharded_flat_topk_int8(
+                q, a, s, K, mesh, res=r, valid_n=n_valid,
+                group_l=32, tail="fold", interpret=interpret,
+            ),
+            (sh_q1, sh_q2, sh_s8),
         ),
     }
     qps = {}
-    for name, fn in configs.items():
-        run = stream(fn)
+    for name, (fn, arrs) in configs.items():
+        run = stream(fn, *arrs)
         dt = timed_min(lambda b: run(b), batches) / G
         qps[name] = Q / dt
         emit(

@@ -205,6 +205,7 @@ class TextEncoder(nn.Module):
         pool: bool = True,
         positions: jax.Array | None = None,
         segment_ids: jax.Array | None = None,
+        cls_index: jax.Array | None = None,
     ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -252,7 +253,14 @@ class TextEncoder(nn.Module):
             )
         if not pool:
             return hidden.astype(jnp.float32)
-        cls = hidden[:, 0, :].astype(jnp.float32)
+        if cls_index is not None:
+            # packed rows (models/packing.py): pool each segment's first
+            # token -> [B, P, H]
+            cls = jnp.take_along_axis(
+                hidden, cls_index[:, :, None].astype(jnp.int32), axis=1
+            ).astype(jnp.float32)
+        else:
+            cls = hidden[:, 0, :].astype(jnp.float32)
         return cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-9)
 
 

@@ -182,28 +182,16 @@ class Reranker:
         bucketed path bit-for-bit in f32 and to bf16 tolerance on TPU
         (tests/test_reranker.py) — the layouts are mathematically
         identical; only matmul tiling differs."""
+        from .packing import build_packed_arrays, pack_bins, shrink_width
+
         if not queries:
             return np.zeros(0, np.float32)
         pad = self.tokenizer.pad_id
         rows = self._pair_rows(queries, passages)
         w = width or self.pack_width
         w = max(w, -(-max(len(r) for r in rows) // 128) * 128)
-        # first-fit decreasing
-        order = sorted(range(len(rows)), key=lambda i: -len(rows[i]))
-        bins: list[list] = []  # [used, [row indices]]
-        for i in order:
-            length = min(len(rows[i]), w)
-            for b in bins:
-                if b[0] + length <= w:
-                    b[0] += length
-                    b[1].append(i)
-                    break
-            else:
-                bins.append([length, [i]])
-        # shrink to the real high-water mark (snapped to 128 for shape
-        # reuse): a handful of short pairs shouldn't pay a full 512 row
-        w = min(w, -(-max(b[0] for b in bins) // 128) * 128)
-        p_max = -(-max(len(b[1]) for b in bins) // 4) * 4
+        bins = pack_bins([len(r) for r in rows], w)
+        w = shrink_width(bins, w)
         # rows per launch sized so one launch carries ~ a 64×192 bucket's
         # tokens (keeps the dispatch pipeline depth of the bucketed path)
         r_launch = max(1, (64 * 192) // w)
@@ -212,22 +200,10 @@ class Reranker:
         padded_tokens = 0
         pending: list[tuple[np.ndarray, jax.Array]] = []
         for s in range(0, len(bins), r_launch):
-            chunk = bins[s : s + r_launch]
-            n = len(chunk)
-            ids = np.full((n, w), pad, np.int32)
-            seg = np.zeros((n, w), np.int32)
-            cls = np.zeros((n, p_max), np.int32)
-            idxmat = np.full((n, p_max), -1, np.int64)
-            for j, (_, idxs) in enumerate(chunk):
-                off = 0
-                for p_i, i in enumerate(idxs):
-                    r = rows[i][:w]
-                    ids[j, off : off + len(r)] = r
-                    seg[j, off : off + len(r)] = p_i + 1
-                    cls[j, p_i] = off
-                    idxmat[j, p_i] = i
-                    off += len(r)
-            padded_tokens += n * w
+            ids, seg, cls, idxmat = build_packed_arrays(
+                rows, bins[s : s + r_launch], w, pad
+            )
+            padded_tokens += ids.shape[0] * w
             pending.append((
                 idxmat,
                 self._apply(

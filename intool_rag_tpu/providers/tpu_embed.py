@@ -62,6 +62,25 @@ class TPUEmbeddingProvider:
         )
         self._fn = jax.jit(encode_fn(self.encoder_config))
         self.batch_size = cfg.EMBEDDING_BATCH_SIZE
+        # Ragged packed encoding (models/packing.py): several texts per
+        # row behind block-diagonal attention, instead of padding every
+        # row to the batch's seq bucket. EMBED_PACKED=1 opts in;
+        # EMBED_PACK_WIDTH tunes the row width.
+        import os
+
+        from ..models.encoder import TextEncoder
+
+        self.packed = os.getenv("EMBED_PACKED", "0") not in ("0", "false", "")
+        self.pack_width = int(os.getenv("EMBED_PACK_WIDTH", "512"))
+        _model = TextEncoder(self.encoder_config)
+
+        def _packed_fn(params, ids, seg, cls):
+            return _model.apply(
+                params, ids, (seg > 0).astype(jnp.int32),
+                segment_ids=seg, cls_index=cls,
+            )
+
+        self._fn_packed = jax.jit(_packed_fn)
 
     def _load_local_weights(self):
         """Load weights: a native self-trained checkpoint
@@ -144,6 +163,8 @@ class TPUEmbeddingProvider:
         prefix = instruction_prefix(is_query)
         if prefix:
             texts = [prefix + t for t in texts]
+        if self.packed:
+            return self._embed_batch_packed(texts)
         out = np.zeros((len(texts), self.dimension), np.float32)
         bs = self.batch_size
         for start in range(0, len(texts), bs):
@@ -158,6 +179,46 @@ class TPUEmbeddingProvider:
             mask_p[: len(batch), : ids.shape[1]] = mask
             emb = self._fn(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
             out[start : start + len(batch)] = np.asarray(emb)[: len(batch)]
+        return out
+
+    def _embed_batch_packed(self, texts: list[str]) -> np.ndarray:
+        """Packed encode: FFD bin-packing into fixed-width rows with
+        block-diagonal attention and per-segment CLS pooling. Embeddings
+        match the padded path (f32 bit-exact; bf16 to tolerance) — the
+        per-text computation is identical, only the layout changes."""
+        from ..models.packing import build_packed_arrays, pack_bins, shrink_width
+
+        pad = self.tokenizer.pad_id
+        ids_list: list[list[int]] = []
+        for start in range(0, len(texts), self.batch_size):
+            ids, mask = self.tokenizer.encode_batch(texts[start : start + self.batch_size])
+            for r, m in zip(ids, mask):
+                ids_list.append([int(t) for t, v in zip(r, m) if v])
+        w = max(
+            self.pack_width,
+            -(-max(len(r) for r in ids_list) // 128) * 128,
+        )
+        bins = pack_bins([len(r) for r in ids_list], w)
+        w = shrink_width(bins, w)
+        # one launch carries about a padded batch's worth of tokens
+        r_launch = max(1, (self.batch_size * 256) // w)
+        out = np.zeros((len(ids_list), self.dimension), np.float32)
+        pending = []
+        for s in range(0, len(bins), r_launch):
+            ids, seg, cls, idxmat = build_packed_arrays(
+                ids_list, bins[s : s + r_launch], w, pad
+            )
+            pending.append((
+                idxmat,
+                self._fn_packed(
+                    self.params, jnp.asarray(ids), jnp.asarray(seg),
+                    jnp.asarray(cls),
+                ),
+            ))
+        for idxmat, emb in pending:
+            e = np.asarray(emb)  # [n, P, H]
+            valid = idxmat >= 0
+            out[idxmat[valid]] = e[valid]
         return out
 
     def embed_single(self, text: str, *, is_query: bool = False) -> np.ndarray:

@@ -109,3 +109,33 @@ def test_factories_offline(tmp_storage, monkeypatch):
     reset_embedding_provider()
     reset_llm()
     reset_semantic_analyzer()
+
+
+def test_tpu_embed_packed_matches_padded(tmp_storage, monkeypatch):
+    """EMBED_PACKED=1 (ragged packed encode, models/packing.py) must
+    produce the same embeddings as the padded path: identical per-text
+    computation, different layout. f32 on CPU -> tight tolerance."""
+    import numpy as np
+
+    monkeypatch.setenv("EMBEDDING_PRESET", "tiny")
+    from intool_rag_tpu import config as config_mod
+
+    config_mod.reset_config()
+    from intool_rag_tpu.providers.tpu_embed import TPUEmbeddingProvider
+
+    provider = TPUEmbeddingProvider()
+    rng = np.random.default_rng(0)
+    words = ["invoice", "total", "amount", "shipping", "terms", "due"]
+    texts = [
+        " ".join(rng.choice(words, int(rng.integers(2, 40))))
+        for _ in range(13)
+    ]
+    base = provider.embed_batch(texts)
+    provider.packed = True
+    packed = provider.embed_batch(texts)
+    assert packed.shape == base.shape
+    np.testing.assert_allclose(packed, base, rtol=2e-4, atol=2e-4)
+    # queries go through the same path with the instruction prefix
+    bq = provider.embed_batch(texts[:3], is_query=True)
+    pq = provider.embed_batch(texts[:3], is_query=True)
+    np.testing.assert_allclose(pq, bq, rtol=2e-4, atol=2e-4)
