@@ -1,15 +1,19 @@
 """OCR model zoo in flax (reference: rag/ingest/ocr/networks/ — torch
 backbone/neck/head compositions, SURVEY.md §2.7 #45).
 
-Three compact conv architectures sized for TPU-friendly shapes (all dims
+Compact architectures sized for TPU-friendly shapes (all dims
 multiples of 8/128 where it matters):
 
 - :class:`DBDetector` — DBNet-style text segmentation: conv backbone with
   stride-2 stages, FPN-lite top-down fusion, differentiable-binarization
   head emitting a probability map at 1/2 input resolution.
 - :class:`OrientationClassifier` — small convnet, 2 classes (0°/180°).
-- :class:`CTCRecognizer` — conv feature extractor collapsing height,
-  depthwise-separable column mixer, per-column vocab logits (CTC).
+- Recognizer zoo (``make_recognizer``, three families — reference ships
+  its torch zoo in networks/backbones/__init__.py:18-66):
+  :class:`CTCRecognizer` (conv + attention column mixer),
+  :class:`SVTRRecognizer` (transformer mixer, SVTR family),
+  :class:`CRNNRecognizer` (bidirectional parallel-scan linear
+  recurrence — the CRNN/BiLSTM family, TPU-first).
 """
 
 from __future__ import annotations
@@ -181,11 +185,91 @@ class SVTRRecognizer(nn.Module):
         return nn.Dense(self.vocab_size + 1, name="ctc_head")(x)
 
 
+class _LinearRecurrence(nn.Module):
+    """Gated linear recurrence over the column axis, evaluated as a
+    parallel ``associative_scan``: h_t = a_t⊙h_{t−1} + (1−a_t)⊙v_t with
+    a_t = σ(gate(x_t)+1). The composition (a₂,b₂)∘(a₁,b₁) =
+    (a₂·a₁, a₂·b₁+b₂) is associative, so the recurrence runs in
+    O(log W) device steps instead of W sequential ones — the minGRU/SSM
+    observation, applied to the CRNN neck."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # +1 gate bias starts the recurrence remembering (~σ(1)≈0.73)
+        a = nn.sigmoid(nn.Dense(self.features, name="gate")(x) + 1.0)
+        b = (1.0 - a) * nn.Dense(self.features, name="value")(x)
+
+        def comb(c1, c2):
+            a1, b1 = c1
+            a2, b2 = c2
+            return a2 * a1, a2 * b1 + b2
+
+        _, h = jax.lax.associative_scan(comb, (a, b), axis=1)
+        return h
+
+
+class _BiRecurrence(nn.Module):
+    """Bidirectional recurrent column mixer: forward + reversed linear
+    recurrences, concatenated and mixed — the TPU-shaped stand-in for
+    the BiLSTM neck of the CRNN family."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fwd = _LinearRecurrence(self.features, name="fwd")(x)
+        bwd = _LinearRecurrence(self.features, name="bwd")(x[:, ::-1])[:, ::-1]
+        return nn.Dense(self.features, name="mix")(
+            jnp.concatenate([fwd, bwd], axis=-1)
+        )
+
+
+class CRNNRecognizer(nn.Module):
+    """CRNN-family recognizer (conv features → recurrent column mixer →
+    CTC) — the classic rec architecture family of the reference zoo
+    (rag/ingest/ocr/networks/backbones/__init__.py:18-66 ships it as
+    the MobileNetV3/ResNet + BiLSTM ``rec`` composition; §2.7 #45).
+
+    TPU-first re-design: a sequential BiLSTM serializes W steps on
+    device, so the neck is a bidirectional GATED LINEAR RECURRENCE run
+    with ``lax.associative_scan`` — O(log W) depth, every op MXU/VPU
+    shaped, the same inductive bias (ordered accumulation along the
+    column axis, unbounded horizon, direction-aware) without
+    attention's O(W²) or the scan serialization.
+
+    Same I/O contract as the other zoo recognizers: crops
+    ``[B, rec_h, W, 3]`` → logits ``[B, W/(2·col_stride), vocab+1]`` —
+    pipeline, trainer, beam decode and persistence are arch-agnostic."""
+
+    vocab_size: int  # excluding blank; blank id = vocab_size
+    width: int = 64
+    depth: int = 2
+    col_stride: int = 2
+
+    @nn.compact
+    def __call__(self, crops: jax.Array) -> jax.Array:
+        x = _conv_bn_act(crops, self.width // 2)
+        x = _conv_bn_act(x, self.width // 2, stride=2)  # H/2, W/2
+        x = nn.Conv(
+            self.width, (3, 3), strides=(2, self.col_stride), padding="SAME"
+        )(x)
+        x = nn.relu(x)  # H/4, W/(2·col_stride)
+        b, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, w, h * c)
+        x = nn.Dense(self.width)(x)
+        for i in range(self.depth):
+            y = _BiRecurrence(self.width, name=f"birnn_{i}")(x)
+            x = nn.LayerNorm(name=f"ln_{i}")(x + y)
+        return nn.Dense(self.vocab_size + 1, name="ctc_head")(x)
+
+
 def make_recognizer(
     arch: str, vocab_size: int, width: int, col_stride: int = 2
 ):
     """Recognizer zoo dispatch: ``conv`` (CTCRecognizer — the shipped
-    default) or ``svtr`` (SVTRRecognizer)."""
+    default), ``svtr`` (SVTRRecognizer) or ``crnn`` (CRNNRecognizer)."""
     if arch == "conv":
         return CTCRecognizer(
             vocab_size=vocab_size, width=width, col_stride=col_stride
@@ -198,7 +282,13 @@ def make_recognizer(
         return SVTRRecognizer(
             vocab_size=vocab_size, width=w, col_stride=col_stride,
         )
-    raise ValueError(f"unknown recognizer arch {arch!r} (conv | svtr)")
+    if arch == "crnn":
+        # same GroupNorm constraint on the width//2 stem
+        w = -(-max(width, 32) // 16) * 16
+        return CRNNRecognizer(
+            vocab_size=vocab_size, width=w, col_stride=col_stride,
+        )
+    raise ValueError(f"unknown recognizer arch {arch!r} (conv | svtr | crnn)")
 
 
 @dataclasses.dataclass
@@ -209,7 +299,7 @@ class OCRModelBundle:
     det_params: dict
     cls: OrientationClassifier
     cls_params: dict
-    rec: "CTCRecognizer | SVTRRecognizer"
+    rec: "CTCRecognizer | SVTRRecognizer | CRNNRecognizer"
     rec_params: dict
     charset: str  # rec vocab, index = class id
     # recognizer crop height: crops are SAMPLED from the source image at
@@ -259,7 +349,11 @@ class OCRModelBundle:
             "rec_width": self.rec.width,
             "rec_stride": self.rec.col_stride,
             "rec_arch": (
-                "svtr" if isinstance(self.rec, SVTRRecognizer) else "conv"
+                "svtr"
+                if isinstance(self.rec, SVTRRecognizer)
+                else "crnn"
+                if isinstance(self.rec, CRNNRecognizer)
+                else "conv"
             ),
             "rec_h": self.rec_h,
         })

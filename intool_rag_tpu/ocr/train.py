@@ -248,7 +248,7 @@ def train_synthetic_recognizer(
     augment: bool = True,
     arch: str = "conv",
 ):
-    """Train a recognizer (``arch``: conv | svtr — models.make_recognizer)
+    """Train a recognizer (``arch``: conv | svtr | crnn — models.make_recognizer)
     on rendered random strings from ``charset``,
     with font/size/contrast/noise augmentation so it generalizes to
     detector crops (``augment=False`` renders clean fixed-font crops —

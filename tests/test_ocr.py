@@ -439,3 +439,49 @@ def test_lexicon_correct_typography_repairs():
     assert lexicon_correct("Discount(20%): 624.49") == "Discount (20%): 624.49"
     for untouched in ("$3,122.43", "1,250", "Total: $2,724.57", "f(x)"):
         assert lexicon_correct(untouched) == untouched, untouched
+
+
+@pytest.mark.slow
+def test_crnn_recognizer_trains_and_reads():
+    """Model-zoo parity (#45): the CRNN-family recognizer (third zoo
+    arch — bidirectional parallel-scan linear recurrence standing in
+    for the reference's BiLSTM neck) trains through the SAME CTC
+    trainer and reads clean digits."""
+    from intool_rag_tpu.ocr.models import CRNNRecognizer
+    from intool_rag_tpu.ocr.postprocess import ctc_greedy_decode as decode
+    from intool_rag_tpu.ocr.train import (
+        _pad_batch,
+        render_text_image,
+        train_synthetic_recognizer,
+    )
+
+    model, params, charset, losses = train_synthetic_recognizer(
+        steps=300, batch=16, seed=0, augment=False, arch="crnn"
+    )
+    assert isinstance(model, CRNNRecognizer)
+    assert losses[-1] < losses[0] * 0.2, f"CTC loss did not converge: {losses[-1]}"
+    tests = ["0123", "90210", "777"]
+    images = _pad_batch([render_text_image(t) for t in tests])
+    logits = np.asarray(model.apply(params, images))
+    decoded = decode(logits, charset)
+    correct = sum(got == want for (got, _), want in zip(decoded, tests))
+    assert correct >= 2, f"decoded {decoded} vs {tests}"
+
+
+def test_bundle_crnn_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.ocr.models import CRNNRecognizer, OCRModelBundle
+
+    bundle = OCRModelBundle.create("abc123", width=8, rec_arch="crnn")
+    assert isinstance(bundle.rec, CRNNRecognizer)
+    bundle.save(tmp_path / "zoo.npz")
+    loaded = OCRModelBundle.load(tmp_path / "zoo.npz")
+    assert isinstance(loaded.rec, CRNNRecognizer)
+    x = jnp.zeros((2, 32, 64, 3))
+    np.testing.assert_allclose(
+        np.asarray(bundle.rec.apply(bundle.rec_params, x)),
+        np.asarray(loaded.rec.apply(loaded.rec_params, x)),
+        rtol=1e-6,
+        atol=1e-7,
+    )
