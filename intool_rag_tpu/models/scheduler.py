@@ -101,7 +101,17 @@ class ContinuousGenerator:
         shared-cursor cache hole-tolerant, and compaction already
         reclaims holes). Exact greedy parity per stream by construction,
         like models/decoder.make_lookup_speculative_fn — which is
-        single-stream; this is the batched counterpart."""
+        single-stream; this is the batched counterpart.
+
+        Parity contract by dtype: in f32 the output bitstream is
+        IDENTICAL to the plain path (regression-tested). In bf16 the
+        verify forward (γ tokens/slot) and the plain decode forward
+        (1 token/slot) tile their matmuls differently on the MXU, so
+        near-tie logits can argmax differently — quality is equivalent
+        but the bitstream may diverge at tie points (the standard
+        low-precision spec-decoding caveat; measured in
+        benchmarks/bench_spec_rag.py as prefix-match + answer-quality
+        parity)."""
         self.config = config
         self.params = params
         self.n_slots = n_slots
