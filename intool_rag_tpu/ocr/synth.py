@@ -201,6 +201,151 @@ def homoglyph_map(
     return dict(_homoglyph_map_cached(charset, tuple(fonts), tol))
 
 
+def full_renderable_charset(
+    fonts: tuple[str, ...] = DEFAULT_FONTS, *, max_cp: int = 0xFFFF
+) -> str:
+    """Every codepoint renderable by ALL ``fonts`` (cmap intersection via
+    fontTools), excluding combining marks, controls/format chars and
+    separators — the full vocabulary the shipped assets support
+    (~2.3k chars across Latin/Greek/Cyrillic/Armenian/Georgian/symbols
+    for the 6 DejaVu faces). The vocabulary-scaling counterpart of the
+    reference's 18,385-char recognizer
+    (rag/ingest/ocr/networks/arch_config.yaml): class count is bounded
+    by renderable training data, not by the architecture."""
+    import unicodedata
+
+    from fontTools.ttLib import TTFont
+
+    sets = []
+    for f in fonts:
+        sets.append(set(TTFont(f, lazy=True).getBestCmap()))
+    out = []
+    for cp in sorted(set.intersection(*sets)):
+        if cp < 0x21 or cp > max_cp:
+            continue
+        ch = chr(cp)
+        if unicodedata.category(ch)[0] in ("M", "C", "Z"):
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def homoglyph_map_fast(
+    charset: str,
+    fonts: tuple[str, ...] = DEFAULT_FONTS,
+    tol: float = NEAR_HOMOGLYPH_TOL,
+) -> dict[str, str]:
+    """``homoglyph_map`` for LARGE charsets: same contract, pruned
+    search. The quadratic near-identical scan is bounded below by the
+    per-font ink-mass gap (|Σa − Σb| ≤ Σ|a − shifted(b)| for any roll),
+    so candidate reps are pre-filtered on that bound before the 25-shift
+    aligned diff runs — ~2.3k chars fold in minutes instead of hours.
+    Disk-cached next to the shipped weights like the exact map."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    key = hashlib.md5(
+        repr(("fast", charset, tuple(fonts), round(tol, 4))).encode()
+    ).hexdigest()[:16]
+    cache_dir = Path(__file__).parent / "weights"
+    cache_file = cache_dir / f"homoglyphs_{key}.json"
+    if cache_file.exists():
+        try:
+            return dict(
+                tuple(p) for p in json.loads(cache_file.read_text("utf-8"))
+            )
+        except Exception:
+            pass
+
+    bitmaps: dict[str, list] = {}
+    sums = {}
+    for ch in charset:
+        if ch == " ":
+            continue
+        bms = [_glyph_bitmap(ch, f) for f in fonts]
+        bitmaps[ch] = bms
+        sums[ch] = np.array(
+            [float(b.sum()) if b is not None else -1.0 for b in bms]
+        )
+
+    def aligned(a_bm, b_bm):
+        if a_bm is None or b_bm is None:
+            return 1.0
+        denom = max(float(a_bm.sum() + b_bm.sum()), 1e-6)
+        best = 1.0
+        for dy in (-2, -1, 0, 1, 2):
+            for dx in (-2, -1, 0, 1, 2):
+                shifted = np.roll(np.roll(b_bm, dy, 0), dx, 1)
+                best = min(best, float(np.abs(a_bm - shifted).sum()) / denom)
+        return best
+
+    canon: dict[tuple, str] = {}
+    reps: list[str] = []
+    fold: list[tuple[str, str]] = []
+    for ch in charset:
+        if ch == " " or ch not in bitmaps:
+            continue
+        sig = tuple(
+            b.tobytes() if b is not None else None for b in bitmaps[ch]
+        )
+        if sig in canon:
+            fold.append((ch, canon[sig]))
+            continue
+        hit = None
+        if tol > 0:
+            s_ch = sums[ch]
+            for r in reps:
+                s_r = sums[r]
+                if (s_ch < 0).any() != (s_r < 0).any():
+                    continue
+                # lower bounds on the per-font aligned diffs
+                lb = np.abs(s_ch - s_r) / np.maximum(s_ch + s_r, 1e-6)
+                if lb.mean() >= tol or lb.max() >= 3.0 * tol:
+                    continue
+                diffs = [
+                    aligned(a, b) for a, b in zip(bitmaps[ch], bitmaps[r])
+                ]
+                if float(np.mean(diffs)) < tol and max(diffs) < 3.0 * tol:
+                    hit = r
+                    break
+        if hit is not None:
+            canon[sig] = hit
+            fold.append((ch, hit))
+        else:
+            canon[sig] = ch
+            reps.append(ch)
+    result = dict(fold)
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        cache_file.write_text(
+            json.dumps([list(p) for p in result.items()], ensure_ascii=False),
+            encoding="utf-8",
+        )
+    except OSError:
+        pass
+    return result
+
+
+def build_charset_full(extra: str = "") -> str:
+    """Large-vocabulary recognizer charset: the business charset first
+    (canonical order stays stable so existing fold tables and shipped
+    evals keep their canonical forms), then every remaining glyph all
+    shipped faces can render, near-homoglyph-folded. ~2k trainable
+    classes — the in-environment demonstration that the recognizer
+    stack scales toward the reference's 18,385-char vocabulary
+    (#42/#45): only CJK *training data* (a CJK font) is missing, not
+    architecture or trainer capacity."""
+    seen: dict[str, None] = {}
+    for ch in _ASCII + _LATIN_EXT + _CYRILLIC + _GREEK + extra:
+        seen.setdefault(ch, None)
+    for ch in full_renderable_charset():
+        seen.setdefault(ch, None)
+    raw = "".join(seen)
+    fold = homoglyph_map_fast(raw)
+    return "".join(c for c in raw if fold.get(c, c) == c)
+
+
 def canonicalize_text(text: str, charset_raw: str | None = None) -> str:
     """Fold homoglyphs in ``text`` to their canonical class — apply to
     training labels and to expected strings in evaluations."""

@@ -485,3 +485,28 @@ def test_bundle_crnn_roundtrip(tmp_path):
         rtol=1e-6,
         atol=1e-7,
     )
+
+
+def test_build_charset_full_scales_vocabulary():
+    """Vocabulary scaling (#42/#45): the full renderable repertoire
+    yields ~10x the business charset after homoglyph folding, keeps
+    every base class and its canonical order stable (shipped fold
+    tables and evals stay valid), and contains no combining/control
+    chars. Fast via the committed fold cache."""
+    from intool_rag_tpu.ocr.synth import build_charset, build_charset_full
+
+    base = build_charset()
+    full = build_charset_full()
+    assert len(full) >= 1500, len(full)
+    missing = [c for c in base if c not in full]
+    assert not missing, missing[:10]
+    # base classes keep their relative order (stable canonicals)
+    idx = [full.index(c) for c in base]
+    assert idx == sorted(idx)
+    import unicodedata
+
+    bad = [
+        c for c in full
+        if c != " " and unicodedata.category(c)[0] in ("M", "C", "Z")
+    ]  # the space class (word separation) is deliberate
+    assert not bad, bad[:10]
