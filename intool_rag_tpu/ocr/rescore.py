@@ -170,6 +170,127 @@ def _lexicon() -> dict[str, set[str]]:
     return {"all": words, **{str(k): v for k, v in by_len.items()}}
 
 
+# Visual confusion pairs at ≈150-dpi raster height, measured from the
+# round-4 invoice-eval misses ('Librarv'→Library, 'Arount'→Amount,
+# 'ShioTo'→Ship To) — the classic low-resolution CTC substitutions
+# (v/y descender loss, o/p bowl-only, r = left stem of m). Substitution
+# repair is restricted to these pairs so correctly-spelled
+# out-of-lexicon words ('Dale', 'Dole') can never be rewritten: their
+# mismatches are not visually confusable, only truly misread glyphs are.
+_CONFUSION_PAIRS = frozenset(
+    {("v", "y"), ("y", "v"), ("o", "p"), ("p", "o"), ("r", "m"), ("m", "r"),
+     ("i", "l"), ("l", "i")}  # I/l/i stem confusion ('BilITo' → Bill To)
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _canon_lexicon() -> tuple[dict[str, str], dict[int, dict[str, str]]]:
+    """Lexicon keyed by CANONICAL form (homoglyph-folded then lowered —
+    the recognizer's own equivalence classes, synth.canonicalize_text),
+    so 'BilI' matches 'bill' exactly: the model cannot express the I/l
+    distinction, and repairs must not punish it for that."""
+    from .synth import canonicalize_text
+
+    by_canon: dict[str, str] = {}
+    by_len: dict[int, dict[str, str]] = {}
+    for w in sorted(_lexicon()["all"]):
+        c = canonicalize_text(w).lower()
+        by_canon.setdefault(c, w)
+        by_len.setdefault(len(c), {}).setdefault(c, w)
+    return by_canon, by_len
+
+
+def _canon(s: str) -> str:
+    from .synth import canonicalize_text
+
+    return canonicalize_text(s).lower()
+
+
+def _confusion_candidates(token_c: str, by_len: dict) -> list[str]:
+    """Same-length lexicon words whose every mismatch with ``token_c``
+    is a visual confusion pair (≤2 mismatches) — canon space."""
+    out = set()
+    for w_c, w in by_len.get(len(token_c), {}).items():
+        mism = [(a, b) for a, b in zip(token_c, w_c) if a != b]
+        if 1 <= len(mism) <= 2 and all(p in _CONFUSION_PAIRS for p in mism):
+            out.add(w)
+    return sorted(out)
+
+
+def _del2_candidates(token_c: str, by_len: dict) -> list[str]:
+    """Lexicon words that become ``token_c`` after TWO character
+    deletions ('Sandad'→Standard, 'Quanty'→Quantity) — the measured CTC
+    failure mode compounded; gated to len ≥ 6 at the call site."""
+    out = set()
+    for w_c, w in by_len.get(len(token_c) + 2, {}).items():
+        it = iter(w_c)
+        if all(ch in it for ch in token_c):  # subsequence test
+            out.add(w)
+    return sorted(out)
+
+
+def _resolve_part(part_c: str, by_canon: dict, by_len: dict):
+    """Resolve one segmentation part to a lexicon word: exact canonical
+    hit → (word, repaired=False); else, for parts ≥ 3 chars, the UNIQUE
+    deletion-1 or confusion-pair repair → (word, repaired=True); else
+    None."""
+    w = by_canon.get(part_c)
+    if w is not None:
+        return w, False
+    if len(part_c) < 3:
+        return None
+    cands = set()
+    for w_c, lw in by_len.get(len(part_c) + 1, {}).items():
+        it = iter(w_c)
+        if all(ch in it for ch in part_c):
+            cands.add(lw)
+    cands.update(_confusion_candidates(part_c, by_len))
+    if len(cands) == 1:
+        return next(iter(cands)), True
+    return None
+
+
+def _segment_repair(core: str) -> list[tuple[str, str]] | None:
+    """Split a missing-spaces compound into 2–3 lexicon words, allowing
+    at most ONE part to need a (unique) deletion-1/confusion repair:
+    'foryourbsiness' → for your business, 'BilITo' → Bill To. Matching
+    runs in canon space; the returned parts pair each resolved lexicon
+    word with the raw source slice (for case restoration). Returns None
+    unless exactly one distinct resolution exists."""
+    by_canon, by_len = _canon_lexicon()
+    c = _canon(core)
+    n = len(c)
+    if n != len(core):  # canonicalization must stay 1:1 with raw chars
+        return None
+    results: dict[tuple[str, ...], list[tuple[str, str]]] = {}
+
+    def walk(pos: int, parts: list, repaired: bool, depth: int):
+        if pos == n:
+            if len(parts) >= 2:
+                results.setdefault(
+                    tuple(w for w, _ in parts), list(parts)
+                )
+            return
+        if depth == 3:
+            return
+        for end in range(pos + 2, n + 1):
+            if n - end == 1:  # would strand a 1-char remainder
+                continue
+            r = _resolve_part(c[pos:end], by_canon, by_len)
+            if r is None:
+                continue
+            w, rep = r
+            if rep and repaired:
+                continue
+            walk(end, parts + [(w, core[pos:end])], repaired or rep,
+                 depth + 1)
+
+    walk(0, [], False, 0)
+    if len(results) != 1:
+        return None
+    return next(iter(results.values()))
+
+
 def _edit1_candidates(token: str, lex: dict) -> list[str]:
     """Lexicon words at edit distance 1 from ``token``, with the
     DELETION class ('token = lexicon word missing one char') returned
@@ -182,10 +303,11 @@ def _edit1_candidates(token: str, lex: dict) -> list[str]:
     dels = set()
     # ONLY the deletion class ('token = lexicon word missing one char'):
     # deletion is the measured CTC failure mode (rescore beta
-    # docstring), and the substitution/spurious-char classes rewrite
-    # correctly-spelled out-of-lexicon words — 'Dale'→'Date',
-    # 'Model'→'Mode' (review finding). Every measured invoice-eval win
-    # (Toal/Noes/Dae/bsiness/Rae) is deletion-class.
+    # docstring), and an UNRESTRICTED substitution/spurious-char class
+    # rewrites correctly-spelled out-of-lexicon words — 'Dale'→'Date',
+    # 'Model'→'Mode' (review finding). Substitution repair exists but
+    # only over the visual-confusion pairs (_confusion_candidates),
+    # which cannot produce those rewrites.
     for w in lex.get(str(n + 1), ()):  # token missing one char of w
         i = 0
         while i < n and w[i] == t[i]:
@@ -205,10 +327,14 @@ def _match_case(src: str, word: str) -> str:
 
 def lexicon_correct(text: str) -> str:
     """Conservative word-level repair: for each alphabetic token (len ≥ 3)
-    not in the serving lexicon, apply the UNIQUE edit-distance-1 lexicon
-    repair if one exists (deletion-class only — see
-    :func:`_edit1_candidates`), else the UNIQUE two-word lexicon split
-    ('foryour' → 'for your'). Tokens with digits, short tokens, in-lexicon
+    not in the serving lexicon, apply in order the first UNIQUE repair
+    among (1) edit-distance-1 deletion (:func:`_edit1_candidates`),
+    (2) visual-confusion-pair substitution (:func:`_confusion_candidates`
+    — 'Arount'→Amount, 'Librarv'→Library), (3) double-deletion for
+    tokens ≥ 6 chars (:func:`_del2_candidates` — 'Sandad'→Standard),
+    (4) 2–3-word compound segmentation with at most one repaired part
+    (:func:`_segment_repair` — 'foryourbsiness'→'for your business',
+    'BilITo'→'Bill To'). Tokens with digits, short tokens, in-lexicon
     tokens, and ambiguous repairs pass through untouched — proper nouns
     and codes must never be 'corrected'."""
     # typography repairs the recognizer systematically misses (spaces
@@ -231,6 +357,11 @@ def lexicon_correct(text: str) -> str:
             and text[i + 1] == "("
             and text[i + 2].isdigit()
         ):
+            fixed_chars.append(" ")
+        # '#'+digit → '# '+digit: the number-sign label renders with a
+        # thin space ('# 4820') the recognizer collapses at 150 dpi —
+        # same class as the ','+letter repair above
+        if ch == "#" and i + 1 < len(text) and text[i + 1].isdigit():
             fixed_chars.append(" ")
     text = "".join(fixed_chars)
 
@@ -272,15 +403,28 @@ def lexicon_correct(text: str) -> str:
             fixed = _match_case(core, cands[0])
             out_tokens.append(raw[:start] + fixed + raw[end:])
             continue
-        if len(cands) == 0 and len(core) >= 5:
-            splits = [
-                (core[:i], core[i:])
-                for i in range(2, len(core) - 1)
-                if core[:i].lower() in words and core[i:].lower() in words
-            ]
-            if len(splits) == 1:
-                a, b = splits[0]
-                out_tokens.append(raw[:start] + a + " " + b + raw[end:])
-                continue
+        if len(cands) == 0:
+            by_canon, by_len = _canon_lexicon()
+            core_c = _canon(core)
+            if len(core_c) == len(core):
+                conf = _confusion_candidates(core_c, by_len)
+                if len(conf) == 1:
+                    fixed = _match_case(core, conf[0])
+                    out_tokens.append(raw[:start] + fixed + raw[end:])
+                    continue
+                if not conf and len(core) >= 6:
+                    d2 = _del2_candidates(core_c, by_len)
+                    if len(d2) == 1:
+                        fixed = _match_case(core, d2[0])
+                        out_tokens.append(raw[:start] + fixed + raw[end:])
+                        continue
+            if len(core) >= 5:
+                parts = _segment_repair(core)
+                if parts is not None:
+                    fixed = " ".join(
+                        _match_case(src, w) for w, src in parts
+                    )
+                    out_tokens.append(raw[:start] + fixed + raw[end:])
+                    continue
         out_tokens.append(raw)
     return " ".join(out_tokens)

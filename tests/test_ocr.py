@@ -437,7 +437,46 @@ def test_lexicon_correct_typography_repairs():
         == "Bookcases, Furniture, FUR-BO-4861"
     )
     assert lexicon_correct("Discount(20%): 624.49") == "Discount (20%): 624.49"
+    assert lexicon_correct("#4820") == "# 4820"
     for untouched in ("$3,122.43", "1,250", "Total: $2,724.57", "f(x)"):
+        assert lexicon_correct(untouched) == untouched, untouched
+
+
+def test_lexicon_correct_confusion_and_compound_repairs():
+    """Round-4 invoice-eval repair classes: visual-confusion-pair
+    substitution, double-deletion, and compound segmentation with one
+    repaired part — each gated on a UNIQUE candidate, so
+    correctly-spelled out-of-lexicon words (proper nouns) survive."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    # confusion-pair substitution (v/y, o/p, r/m, i/l)
+    assert (
+        lexicon_correct("Item Quantity Rate Arount")
+        == "Item Quantity Rate Amount"
+    )
+    assert lexicon_correct("lkea Librarv") == "lkea Library"
+    # double-deletion (CTC deletion mode compounded)
+    assert (
+        lexicon_correct("Ship Mode: Sandad Class")
+        == "Ship Mode: Standard Class"
+    )
+    assert lexicon_correct("Quanty") == "Quantity"
+    # compound segmentation with at most one repaired part
+    assert lexicon_correct("BilITo: ShioTo:") == "Bill To: Ship To:"
+    assert (
+        lexicon_correct("Thanks foryourbsiness!")
+        == "Thanks for your business!"
+    )
+    # safety: proper nouns / non-confusion mismatches stay untouched
+    for untouched in (
+        "Dole banana",     # o→a, l→t are not confusion pairs
+        "Attn: Dale",
+        "Huntington",      # no unique segmentation exists
+        "Saltillo, Coahuila,",
+        "SupeStore",       # compound whose parts are out-of-lexicon
+        "UIVesal",         # distance 3 — beyond every class
+        "Aaron Hawkins",
+    ):
         assert lexicon_correct(untouched) == untouched, untouched
 
 

@@ -28,9 +28,11 @@ def test_invoice_text_layer_recovery():
     engine = OCREngine(det_limit=1280)
     result = evaluate_on_invoices(engine, scale=2.0)
     assert result["lines"] >= 40  # both invoices contribute
-    # measured round-3 level: exact 0.463 / fuzzy 0.920 (scale-2
+    # measured round-4 level: exact 0.659 / fuzzy 0.937 (scale-2
     # rasters ≈ 150 dpi scans; exact 0.293 before the lexicon-repair
-    # and l→I orthographic passes — rescore.lexicon_correct). Bars sit
-    # under the measured level by a variance margin.
-    assert result["exact_rate"] >= 0.37, result
-    assert result["fuzzy_rate"] >= 0.85, result
+    # and l→I orthographic passes, 0.488 before the round-4
+    # confusion-pair/double-deletion/segmentation repair classes —
+    # rescore.lexicon_correct). Bars sit under the measured level by a
+    # variance margin; 0.60 is the round-3 verdict target.
+    assert result["exact_rate"] >= 0.60, result
+    assert result["fuzzy_rate"] >= 0.88, result
