@@ -177,20 +177,57 @@ class OCREngine:
 
     def classify_and_fix(self, crops: list[np.ndarray]) -> list[np.ndarray]:
         """Rotate crops classified as 180° (score > 0.9, reference
-        ch_ppocr_cls/main.py:36-74)."""
+        ch_ppocr_cls/main.py:36-74), with recognizer verification: a
+        flip is kept only if the flipped orientation's emitted-frame
+        confidence is at least the upright one's. A marginal
+        false-positive flip (measured: 'Terms:' at p180=0.918) turns a
+        readable crop into charset garbage that poisons downstream
+        BM25/indexing; the recognizer is a far sharper orientation
+        oracle than the 2-class head, and the check costs one extra
+        rec batch over only the flagged crops (typically 0–2/page)."""
         if not crops:
             return crops
         batch = self._batch_crops(crops)
         logits = np.asarray(self._cls_fn(self.bundle.cls_params, batch))[: len(crops)]
         probs = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs /= probs.sum(axis=1, keepdims=True)
-        out = []
-        for crop, p in zip(crops, probs):
-            if p[1] > 0.9:
-                out.append(np.rot90(crop, 2).copy())
-            else:
-                out.append(crop)
-        return out
+        flagged = [i for i, p in enumerate(probs) if p[1] > 0.9]
+        keep_flip = set()
+        if flagged:
+            pairs: list[np.ndarray] = []
+            for i in flagged:
+                pairs.append(crops[i])
+                pairs.append(np.rot90(crops[i], 2).copy())
+            rec = np.asarray(
+                self._rec_fn(
+                    self.bundle.rec_params,
+                    self._batch_crops(pairs, target_h=self.bundle.rec_h),
+                )
+            )[: len(pairs)]
+            for j, i in enumerate(flagged):
+                if self._emit_conf(rec[2 * j + 1]) >= self._emit_conf(
+                    rec[2 * j]
+                ):
+                    keep_flip.add(i)
+        return [
+            np.rot90(c, 2).copy() if i in keep_flip else c
+            for i, c in enumerate(crops)
+        ]
+
+    @staticmethod
+    def _emit_conf(logits: np.ndarray) -> float:
+        """Mean log-prob over emitted (non-blank argmax) frames — the
+        orientation score for flip verification. Blank frames carry no
+        orientation signal; an upside-down crop's emitted frames are
+        low-probability homoglyph guesses."""
+        x = logits - logits.max(axis=-1, keepdims=True)
+        logp = x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+        ids = logp.argmax(axis=-1)
+        blank = logits.shape[-1] - 1
+        emitted = ids != blank
+        if not emitted.any():
+            return float("-inf")
+        return float(logp[emitted, ids[emitted]].mean())
 
     def _decode_batch(self, batch: np.ndarray, n: int) -> list[tuple[str, float]]:
         logits = np.asarray(self._rec_fn(self.bundle.rec_params, batch))
