@@ -23,6 +23,8 @@ from collections import defaultdict
 
 import numpy as np
 
+from .wordlist import is_common_word
+
 _NEG = -1e30
 
 
@@ -360,8 +362,16 @@ def lexicon_correct(text: str) -> str:
             fixed_chars.append(" ")
         # '#'+digit → '# '+digit: the number-sign label renders with a
         # thin space ('# 4820') the recognizer collapses at 150 dpi —
-        # same class as the ','+letter repair above
-        if ch == "#" and i + 1 < len(text) and text[i + 1].isdigit():
+        # same class as the ','+letter repair above. Gated to
+        # token-INITIAL '#' only (preceded by whitespace or line start):
+        # an embedded '#' is reference-code typography ('PO#12',
+        # 'ABC#77') that must never be split (round-4 advisor finding).
+        if (
+            ch == "#"
+            and i + 1 < len(text)
+            and text[i + 1].isdigit()
+            and (i == 0 or text[i - 1].isspace())
+        ):
             fixed_chars.append(" ")
     text = "".join(fixed_chars)
 
@@ -395,6 +405,14 @@ def lexicon_correct(text: str) -> str:
             len(core) < 3
             or not core.isalpha()
             or core.lower() in words
+            # common-English gate (round-4 advisor finding): a
+            # correctly-spelled real word outside the small serving
+            # lexicon ('mate', 'rode', 'deliver') must never be
+            # rewritten, even when a UNIQUE lexicon neighbour exists —
+            # uniqueness bounds ambiguity, not reality. Applies to
+            # every rewrite class below (edit1 deletion, confusion
+            # pair, double deletion, segmentation).
+            or is_common_word(core.lower())
         ):
             out_tokens.append(raw)
             continue

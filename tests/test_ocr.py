@@ -379,6 +379,35 @@ def test_lexicon_correct_never_touches_codes_or_proper_nouns():
         assert lexicon_correct(untouched) == untouched, untouched
 
 
+def test_lexicon_correct_common_english_gate():
+    """Round-4 advisor findings: correctly-spelled real English words
+    outside the serving lexicon must survive every repair class —
+    confusion-pair ('mate'→'rate', 'rode'→'mode' via r↔m), double
+    deletion ('deliver'→'delivered'), and edit-1 deletion
+    ('rat'→'rate') — via the common-English wordlist gate."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    for untouched in (
+        "mate", "rode", "deliver", "rat",
+        "Checked mate", "We rode home", "deliver the goods",
+    ):
+        assert lexicon_correct(untouched) == untouched, untouched
+    # the gate must not block repairs of genuine non-words
+    assert lexicon_correct("Arount") == "Amount"
+    assert lexicon_correct("Sandad") == "Standard"
+
+
+def test_hash_digit_rule_token_initial_only():
+    """Round-4 advisor finding: '#'+digit gains the typographic space
+    only at token start; embedded reference codes are never split."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    assert lexicon_correct("#4820") == "# 4820"
+    assert lexicon_correct("Invoice #4820") == "Invoice # 4820"
+    for untouched in ("PO#12", "ABC#77", "Ref: PO#12 net30"):
+        assert lexicon_correct(untouched) == untouched, untouched
+
+
 @pytest.mark.slow
 def test_svtr_recognizer_trains_and_reads():
     """Model-zoo parity (#45): the SVTR-style recognizer (second zoo
@@ -424,6 +453,48 @@ def test_bundle_svtr_roundtrip(tmp_path):
         np.asarray(loaded.rec.apply(loaded.rec_params, x)),
         rtol=1e-6,
     )
+
+
+def test_classify_and_fix_recognizer_verified_pairing():
+    """Round-4 advisor finding: the recognizer-verified flip path
+    (interleaved rec[2j]/rec[2j+1] pairing in classify_and_fix) gets a
+    direct unit test. With the classifier forced to flag every crop,
+    the recognizer check must KEEP an upright crop upright and REVERT
+    a 180°-rotated crop — i.e. both outputs read upright."""
+    import numpy as np
+
+    from intool_rag_tpu.ocr.pipeline import OCREngine
+    from intool_rag_tpu.ocr.train import render_text_image
+
+    engine = OCREngine()  # shipped trained weights
+    upright = render_text_image("TOTAL DUE 420", height=48)
+    flipped = np.rot90(upright, 2).copy()
+
+    def force_flag(params, batch):
+        # logits [B, 2] with p(180°) ≈ 1 for every crop
+        return np.tile(np.array([-10.0, 10.0], np.float32), (batch.shape[0], 1))
+
+    engine._cls_fn = force_flag
+    out = engine.classify_and_fix([upright, flipped])
+    assert np.array_equal(out[0], upright), "upright crop was wrongly flipped"
+    assert np.array_equal(out[1], upright), "flipped crop was not reverted"
+
+
+def test_emit_conf_all_blank_is_neg_inf():
+    """_emit_conf: a crop whose argmax is blank at every frame carries
+    no orientation signal — the score must be -inf so the other
+    orientation always wins."""
+    import numpy as np
+
+    from intool_rag_tpu.ocr.pipeline import OCREngine
+
+    t, v = 12, 9  # blank id = v
+    logits = np.full((t, v + 1), -5.0, np.float32)
+    logits[:, v] = 5.0  # blank dominates every frame
+    assert OCREngine._emit_conf(logits) == float("-inf")
+    # one emitted frame -> finite
+    logits[3, 2] = 9.0
+    assert np.isfinite(OCREngine._emit_conf(logits))
 
 
 def test_lexicon_correct_typography_repairs():
