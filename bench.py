@@ -333,6 +333,21 @@ def main() -> None:
     _progress("claiming backend")
     backend = ensure_backend()
     _progress(f"backend={backend}")
+    # same-session chip calibration (round-4 verdict item 5): measured
+    # bf16 TFLOP/s + HBM GB/s ride the output line so cross-session
+    # headline drift is attributable to chip speed vs code regression
+    cal = {}
+    try:
+        from benchmarks.common import chip_calibration
+
+        cal = chip_calibration()
+        if cal:
+            _progress(
+                "chip calibration: {cal_tflops_bf16} TFLOP/s bf16, "
+                "{cal_hbm_gbps} GB/s HBM".format(**cal)
+            )
+    except Exception as exc:  # calibration must never sink the headline
+        _progress(f"calibration skipped: {exc}")
     n, vocab, p_max = effective_sizes(backend)
     rng = np.random.default_rng(0)
     sparse = make_sparse(rng, n, vocab, p_max)
@@ -365,6 +380,7 @@ def main() -> None:
                     os.environ.get("DENSE_TAIL", "fold"),
                 ),
                 "backend": backend,
+                **cal,
             }
         )
     )

@@ -8,6 +8,7 @@ throughput on pipelined streams.
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import numpy as np
@@ -31,6 +32,92 @@ def timed_min(fn, inputs: list, *, fetch=lambda out: np.asarray(out[0])) -> floa
         fetch(fn(x))
         times.append(time.perf_counter() - t0)
     return min(times)
+
+
+def chip_calibration(
+    *, size: int = 8192, mm_reps: int = 24, hbm_gb: float = 2.0,
+    hbm_reps: int = 24, passes: int = 3,
+) -> dict:
+    """Measured bf16 TFLOP/s and HBM GB/s of THIS chip/session.
+
+    ARCHITECTURE.md §2: axon sessions calibrate anywhere down to ~60% of
+    nominal (118.5 TFLOP/s / 487 GB/s observed in round 3c vs the
+    nominal 197 / 819), so absolute throughput numbers are comparable
+    across sessions only next to a same-session calibration. Round-4
+    verdict item 5: every bench emits these fields so driver-to-driver
+    headline drift is attributable (chip throttle vs regression).
+
+    Method (tunnel rules, ARCHITECTURE.md §8): both probes chain
+    ``mm_reps``/``hbm_reps`` data-dependent iterations inside ONE
+    ``lax.scan`` launch so the ~40 ms RPC cost amortizes; inputs rotate
+    across timed passes so identical launches cannot short-circuit; the
+    HBM probe reduces ``sum(|x - s_i|)`` (not factorable, so XLA cannot
+    hoist the array read out of the loop). Best-of-``passes`` is
+    reported — calibration measures the chip's ceiling, not scheduling
+    noise. Cost ≈ 2 s on a v5e-class chip. Returns {} off-TPU."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if jax.default_backend() != "tpu":
+        return {}
+
+    inv = jnp.bfloat16(1.0 / math.sqrt(size))
+
+    @jax.jit
+    def mm_chain(a, b):
+        def step(c, _):
+            return ((a @ c) * inv).astype(jnp.bfloat16), ()
+
+        out, _ = lax.scan(step, b, None, length=mm_reps)
+        return out[0, 0]
+
+    gen = jax.jit(
+        lambda s: jax.random.normal(
+            jax.random.PRNGKey(s), (size, size), jnp.float32
+        ).astype(jnp.bfloat16)
+    )
+    a = gen(0)
+    bs = [gen(s) for s in (1, 2, 3, 4)]
+    np.asarray(mm_chain(a, bs[-1]))  # compile+warm
+    mm_t = []
+    for b in bs[:passes]:
+        t0 = time.perf_counter()
+        np.asarray(mm_chain(a, b))
+        mm_t.append(time.perf_counter() - t0)
+    tflops = mm_reps * 2 * size**3 / min(mm_t) / 1e12
+
+    n_elems = int(hbm_gb * 1e9 / 2)  # bf16
+    xgen = jax.jit(
+        lambda s: jax.random.normal(
+            jax.random.PRNGKey(s), (n_elems,), jnp.float32
+        ).astype(jnp.bfloat16)
+    )
+
+    @jax.jit
+    def hbm_chain(x, scales):
+        def step(acc, s):
+            return acc + jnp.sum(jnp.abs(x - s).astype(jnp.float32)), ()
+
+        out, _ = lax.scan(step, jnp.float32(0.0), scales)
+        return out
+
+    xs = [xgen(s) for s in (10, 11)]
+    scales = jnp.linspace(0.0, 1.0, hbm_reps, dtype=jnp.bfloat16)
+    np.asarray(hbm_chain(xs[-1], scales))
+    hbm_t = []
+    for i in range(passes):
+        x = xs[i % len(xs)]
+        t0 = time.perf_counter()
+        np.asarray(hbm_chain(x, scales + jnp.bfloat16(1e-3 * i)))
+        hbm_t.append(time.perf_counter() - t0)
+    gbps = hbm_reps * n_elems * 2 / min(hbm_t) / 1e9
+    # free probe arrays before the caller allocates its corpus
+    del a, bs, xs
+    return {
+        "cal_tflops_bf16": round(tflops, 1),
+        "cal_hbm_gbps": round(gbps, 1),
+    }
 
 
 def device_corpus(n: int, d: int, dtype="bfloat16", seed: int = 0):

@@ -380,6 +380,50 @@ def _encode_scatter(codes, scales, gid, emb, centroids, place, pos, gids):
     return codes, scales, gid
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def tile_probes(queries, centroids, nprobe):
+    """Cluster-coherent query tiling + tile-shared probe selection —
+    the pre-pass shared by the single-chip and sharded (ShardedBits)
+    search paths. Returns ``(order [Qp], qs [Qp, D], probes [T, nprobe]
+    list ids, c_sel [Qp, nprobe])`` with Qp = Q rounded up to 8.
+
+    Sorts queries by nearest centroid so tiles of 8 are
+    cluster-coherent, then picks tile-shared probes with a per-member
+    guarantee: every query's top-1 list is force-included (scatter
+    +inf into the tile-sum scores — idempotent, so duplicates
+    collapse), remaining probe slots go to the best tile-shared lists.
+    Without the guarantee a tile of 8 queries from 8 DIFFERENT clusters
+    probes only nprobe of their 8 home lists and the missed queries
+    lose their entire neighbor set (measured: pool recall 0.65 on a
+    16-cluster mix). Needs nprobe ≥ distinct member top-1s (≤ 8) for
+    full coverage — hence default 8."""
+    q = queries.shape[0]
+    c_scores = jax.lax.dot_general(
+        queries, centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q, L]
+    top1 = jnp.argmax(c_scores, axis=1)
+    order = jnp.argsort(top1)
+    q_pad = _round_up(q, 8)
+    if q_pad != q:
+        order = jnp.concatenate(
+            [order, jnp.full((q_pad - q,), order[-1], order.dtype)]
+        )
+    qs = queries[order]
+    cs = c_scores[order]
+    t = q_pad // 8
+    tile_cs = cs.reshape(t, 8, -1)
+    tile_sum = tile_cs.sum(axis=1)
+    top1 = jnp.argmax(tile_cs, axis=2)  # [T, 8]
+    boosted = tile_sum.at[jnp.arange(t)[:, None], top1].set(jnp.inf)
+    _, probes = jax.lax.top_k(boosted, nprobe)  # [T, nprobe]
+    c_sel = jnp.take_along_axis(
+        cs, jnp.repeat(probes, 8, axis=0), axis=1
+    )  # [Qp, nprobe] — each query keeps its OWN centroid dot
+    return order, qs, probes, c_sel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -391,40 +435,9 @@ def _bits_search(
     queries, centroids, codes, scales, gid,
     *, k, nprobe, block_n, blocks_per_list, group_l, tail, interpret,
 ):
-    q, d = queries.shape
-    c_scores = jax.lax.dot_general(
-        queries, centroids,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Q, L]
-    # sort queries by nearest centroid → cluster-coherent tiles of 8
-    top1 = jnp.argmax(c_scores, axis=1)
-    order = jnp.argsort(top1)
-    q_pad = _round_up(q, 8)
-    if q_pad != q:
-        order = jnp.concatenate(
-            [order, jnp.full((q_pad - q,), order[-1], order.dtype)]
-        )
-    qs = queries[order]
-    cs = c_scores[order]
-    # tile-shared probes with a per-member guarantee: every query's top-1
-    # list is force-included (scatter +inf into the tile-sum scores —
-    # idempotent, so duplicates collapse), remaining probe slots go to
-    # the best tile-shared lists. Without the guarantee a tile of 8
-    # queries from 8 DIFFERENT clusters probes only nprobe of their 8
-    # home lists and the missed queries lose their entire neighbor set
-    # (measured: pool recall 0.65 on a 16-cluster mix). Needs nprobe ≥
-    # distinct member top-1s (≤ 8) for full coverage — hence default 8.
-    t = q_pad // 8
-    tile_cs = cs.reshape(t, 8, -1)
-    tile_sum = tile_cs.sum(axis=1)
-    top1 = jnp.argmax(tile_cs, axis=2)  # [T, 8]
-    boosted = tile_sum.at[jnp.arange(t)[:, None], top1].set(jnp.inf)
-    _, probes = jax.lax.top_k(boosted, nprobe)  # [T, nprobe]
+    q = queries.shape[0]
+    order, qs, probes, c_sel = tile_probes(queries, centroids, nprobe)
     probe_blocks = probes * blocks_per_list
-    c_sel = jnp.take_along_axis(
-        cs, jnp.repeat(probes, 8, axis=0), axis=1
-    )  # [Qp, nprobe] — each query keeps its OWN centroid dot
     # group_l trades tail width for in-group winner-take-all: a true
     # neighbor must out-rank its group_l-strided groupmates by NOISY
     # binary score, so small lists (few rows per group's sampling pool)
