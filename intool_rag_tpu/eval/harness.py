@@ -18,7 +18,11 @@ from .metrics import mrr, ndcg_at_k, recall_at_k
 @dataclasses.dataclass
 class EvalExample:
     query: str
-    relevant_rows: set  # corpus row indices judged relevant
+    relevant_rows: set  # corpus row indices judged (fully) relevant
+    # graded judgments (row → linear gain) for NDCG; when present,
+    # recall/MRR stay binary on relevant_rows (the full-credit set) and
+    # NDCG uses the gains — the TREC convention for graded pools
+    gains: dict | None = None
 
 
 def evaluate_engine(
@@ -82,7 +86,9 @@ def evaluate_engine(
             ranked = [int(r) for r in ranked if r >= 0]
             agg["recall@k"] += recall_at_k(ranked, example.relevant_rows, k)
             agg["mrr"] += mrr(ranked, example.relevant_rows)
-            agg["ndcg@k"] += ndcg_at_k(ranked, example.relevant_rows, k)
+            agg["ndcg@k"] += ndcg_at_k(
+                ranked, example.relevant_rows, k, gains=example.gains
+            )
         n = max(len(examples), 1)
         results[mode] = {name: round(v / n, 4) for name, v in agg.items()}
     return results

@@ -21,10 +21,25 @@ def mrr(ranked: Sequence, relevant: set) -> float:
     return 0.0
 
 
-def ndcg_at_k(ranked: Sequence, relevant: set, k: int) -> float:
-    """Binary-gain NDCG@K."""
+def ndcg_at_k(
+    ranked: Sequence, relevant: set, k: int, gains: dict | None = None
+) -> float:
+    """NDCG@K — binary gains by default; pass ``gains`` (item → gain,
+    linear-gain convention) for graded relevance (the harder eval
+    family, eval/synthetic.make_relevance_task_graded). Items absent
+    from ``gains`` score 0."""
+    if gains is None:
+        dcg = sum(
+            1.0 / math.log2(i + 2)
+            for i, item in enumerate(ranked[:k])
+            if item in relevant
+        )
+        ideal = sum(1.0 / math.log2(i + 2) for i in range(min(len(relevant), k)))
+        return dcg / ideal if ideal else 0.0
     dcg = sum(
-        1.0 / math.log2(i + 2) for i, item in enumerate(ranked[:k]) if item in relevant
+        gains.get(item, 0.0) / math.log2(i + 2)
+        for i, item in enumerate(ranked[:k])
     )
-    ideal = sum(1.0 / math.log2(i + 2) for i in range(min(len(relevant), k)))
+    top = sorted(gains.values(), reverse=True)[:k]
+    ideal = sum(g / math.log2(i + 2) for i, g in enumerate(top))
     return dcg / ideal if ideal else 0.0

@@ -122,6 +122,120 @@ def make_relevance_task(
     )
 
 
+_FILLER_BIG = _FILLER + _FILLER_OOD + (
+    "survey outline abstract margin footer header agenda docket roster "
+    "tally audit excerpt appendix clause annex segment bracket quota "
+    "figurehead manifest registry bulletin gazette minutes notice "
+    "statement voucher receipt docketed tabulation schedule annexure"
+).split()
+
+
+def make_relevance_task_graded(
+    rng: np.random.Generator,
+    *,
+    n_topics: int = 80,
+    n_ctx: int = 32,
+    docs_per_ctx: int = 24,
+    n_eval: int = 64,
+    n_train_queries: int = 400,
+    negatives_per_query: int = 6,
+    decoy_prob: float = 0.4,
+) -> RelevanceTask:
+    """Harder GRADED-relevance family (round-4 verdict item 4: the
+    40-topic task saturated — trained-encoder and rerank rows hit
+    recall 1.000/NDCG 0.990, so it cannot rank further improvements).
+
+    Hardness levers over :func:`make_relevance_task`:
+
+    - **2× the topic vocabulary** (80) with the same training budget —
+      fewer judged pairs per association to learn from;
+    - **sibling topics**: topics pair as (2i, 2i+1); a same-context doc
+      on the SIBLING topic is graded gain 1 (near-miss) vs gain 3 for
+      the exact topic — NDCG now measures whether the model separates
+      an association from its nearest neighbor, not just from noise;
+    - **single-mention evidence** buried in 10–18 filler words from a
+      3× larger lexicon, shuffled order, wrong-topic decoys in 40% of
+      docs (no positional template to latch onto);
+    - **noisy queries**: two filler words ride along, so BM25's context
+      signal competes with filler collisions.
+
+    Grading (linear gains, TREC-style): gain 3 = same topic AND
+    context; gain 1 = sibling topic, same context; else 0.
+    ``relevant_rows`` (recall/MRR) is the gain-3 set only.
+    """
+    texts, doc_topic, doc_ctx = [], [], []
+    for c in range(n_ctx):
+        for _ in range(docs_per_ctx):
+            t = int(rng.integers(n_topics))
+            words = list(
+                rng.choice(_FILLER_BIG, size=int(rng.integers(10, 19)))
+            )
+            words += [f"dtop{t}", f"ctx{c}"]
+            if rng.random() < decoy_prob:
+                wrong = int((t + 2 + rng.integers(n_topics - 3)) % n_topics)
+                words.append(f"dtop{wrong}")
+            rng.shuffle(words)
+            texts.append(" ".join(words))
+            doc_topic.append(t)
+            doc_ctx.append(c)
+    doc_topic = np.asarray(doc_topic)
+    doc_ctx = np.asarray(doc_ctx)
+
+    def query_for(c: int, t: int) -> str:
+        noise = " ".join(rng.choice(_FILLER_BIG, size=2))
+        return f"qtop{t} ctx{c} {noise}"
+
+    def sample_query():
+        while True:
+            c = int(rng.integers(n_ctx))
+            cohort = np.flatnonzero(doc_ctx == c)
+            t = int(doc_topic[cohort[rng.integers(len(cohort))]])
+            rel = set(cohort[doc_topic[cohort] == t].tolist())
+            if rel:
+                return c, t, rel
+
+    examples = []
+    for _ in range(n_eval):
+        c, t, rel = sample_query()
+        sib = t ^ 1
+        cohort = np.flatnonzero(doc_ctx == c)
+        gains = {int(r): 3.0 for r in rel}
+        for r in cohort[doc_topic[cohort] == sib]:
+            gains[int(r)] = 1.0
+        examples.append(
+            EvalExample(query=query_for(c, t), relevant_rows=rel,
+                        gains=gains)
+        )
+
+    tq, tp, tl = [], [], []
+    for _ in range(n_train_queries):
+        c, t, rel = sample_query()
+        q = query_for(c, t)
+        cohort = np.flatnonzero(doc_ctx == c)
+        neg_pool = [i for i in cohort if doc_topic[i] != t]
+        for r in list(rel)[:2]:
+            for _ in range(3):
+                tq.append(q)
+                tp.append(texts[r])
+                tl.append(1.0)
+        for i in rng.choice(
+            neg_pool, size=min(negatives_per_query, len(neg_pool)),
+            replace=False,
+        ):
+            tq.append(q)
+            tp.append(texts[int(i)])
+            tl.append(0.0)
+    return RelevanceTask(
+        texts=texts,
+        doc_topic=doc_topic,
+        doc_ctx=doc_ctx,
+        examples=examples,
+        train_queries=tq,
+        train_passages=tp,
+        train_labels=np.asarray(tl, np.float32),
+    )
+
+
 def make_relevance_task_ood(
     rng: np.random.Generator,
     *,

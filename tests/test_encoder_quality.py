@@ -37,6 +37,18 @@ def test_trained_encoder_beats_hash_retrieval(rng, tmp_path, monkeypatch):
             queries.append(q)
             passages.append(p)
     assert len(queries) >= 150  # unique positives (generator dups ×3)
+    # word-order augmentation (one shuffled copy per passage): the OOD
+    # family shuffles word order, and round 4 measured the rerank
+    # cross-encoder losing its entire lift without this — same lesson
+    # applied to the bi-encoder (round-4 verdict item 4)
+    aug_q, aug_p = [], []
+    for q, p in zip(queries, passages):
+        w = p.split()
+        rng.shuffle(w)
+        aug_q.append(q)
+        aug_p.append(" ".join(w))
+    queries += aug_q
+    passages += aug_p
 
     config = EncoderConfig(
         vocab_size=2048, hidden_size=64, num_layers=2, num_heads=4,
@@ -77,4 +89,25 @@ def test_trained_encoder_beats_hash_retrieval(rng, tmp_path, monkeypatch):
     )
     assert r_trained["ndcg@k"] >= r_hash["ndcg@k"] + 0.25, (r_trained, r_hash)
     assert r_trained["mrr"] >= r_hash["mrr"] + 0.25, (r_trained, r_hash)
+
+    # ---- OOD eval (round-4 verdict item 4: the encoder proof was
+    # in-distribution only): same qtop↔dtop association vocabulary,
+    # disjoint filler, shuffled order, longer docs, decoys. The lift
+    # must TRANSFER — an encoder that memorized the positional template
+    # loses it here (the round-4 rerank lesson, one provider over).
+    from intool_rag_tpu.eval.synthetic import make_relevance_task_ood
+
+    ood = make_relevance_task_ood(rng)
+    eng_t_ood = build_engine_from_texts(ood.texts, provider)
+    eng_h_ood = build_engine_from_texts(ood.texts, hash_provider)
+    o_trained = evaluate_engine(
+        eng_t_ood, provider, ood.examples, k=10, modes=("dense",)
+    )["dense"]
+    o_hash = evaluate_engine(
+        eng_h_ood, hash_provider, ood.examples, k=10, modes=("dense",)
+    )["dense"]
+    assert o_trained["recall@k"] >= o_hash["recall@k"] + 0.10, (
+        o_trained, o_hash,
+    )
+    assert o_trained["ndcg@k"] >= o_hash["ndcg@k"] + 0.15, (o_trained, o_hash)
     config_mod.reset_config()
