@@ -45,11 +45,17 @@ def main() -> None:
         dtype="bfloat16" if on_tpu else "float32",
     )
     n_fields, val_len = 4, 9
-    steps = 4000 if on_tpu else 300
+    steps = 6000 if on_tpu else 300
     t0 = time.perf_counter()
+    # warmup + clip + 6e-4: the round-4 run at cold-start 2e-3 plateaued
+    # at near-unigram loss (6.69 → 5.58) and the answer-match stayed 0;
+    # see train_lm docstring. Ideal loss for this mix ≈ 1.7 (document
+    # tokens are random; only quoted spans + separators are predictable).
     params, losses = train_rag_qa_lm(
         config, steps=steps, batch=64 if on_tpu else 16, seq=96, seed=0,
-        n_fields=n_fields, val_len=val_len, lr=2e-3,
+        n_fields=n_fields, val_len=val_len,
+        lr=6e-4 if on_tpu else 2e-3, warmup=300 if on_tpu else 0,
+        clip=1.0,
     )
     print(
         f"# trained {steps} steps in {time.perf_counter() - t0:.0f}s: "

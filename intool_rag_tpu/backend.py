@@ -93,6 +93,17 @@ def _accelerator_probe_ok(timeout_s: float | None = None) -> bool:
             return True
     except Exception:
         pass
+    if os.environ.get("AXON_LOOPBACK_RELAY"):
+        # Loopback-relay environments: the relay is a dumb TCP↔stdio
+        # pump whose listeners exist exactly while the pump process
+        # lives, so "relay down" is detectable PASSIVELY from
+        # /proc/net/tcp — no claim needed. The old jax.devices()
+        # subprocess probe claimed and released the single-tenant
+        # tunnel, and the immediate re-claim by this process then
+        # wedged PJRT init in an uninterruptible futex wait (reproduced
+        # repeatedly in round 5, including with a 6 s cooldown); the
+        # passive check removes the claim-cycle trigger entirely.
+        return _loopback_relay_listening()
     if timeout_s is None:
         timeout_s = float(os.environ.get("BACKEND_PROBE_TIMEOUT", "90"))
     try:
@@ -106,6 +117,33 @@ def _accelerator_probe_ok(timeout_s: float | None = None) -> bool:
         return False
     except Exception:
         return False
+
+
+def _loopback_relay_listening(
+    lo: int = 8000, hi: int = 8200, min_ports: int = 4
+) -> bool:
+    """True when the loopback axon relay's listener pool is up: at
+    least ``min_ports`` loopback TCP listeners in [lo, hi) per
+    /proc/net/tcp (state 0A = LISTEN, addr 0100007F = 127.0.0.1)."""
+    try:
+        found = 0
+        with open("/proc/net/tcp", encoding="ascii") as fh:
+            next(fh)
+            for line in fh:
+                parts = line.split()
+                local, state = parts[1], parts[3]
+                if state != "0A":
+                    continue
+                addr, _, port_hex = local.partition(":")
+                if addr != "0100007F":
+                    continue
+                if lo <= int(port_hex, 16) < hi:
+                    found += 1
+                    if found >= min_ports:
+                        return True
+        return False
+    except Exception:
+        return True  # can't inspect — assume alive, normal init applies
 
 
 def _warmup() -> None:
