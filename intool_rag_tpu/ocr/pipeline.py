@@ -68,6 +68,40 @@ def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
 
+def _suppress_nested(
+    quads: list[QuadBox], *, containment: float = 0.8
+) -> list[QuadBox]:
+    """Drop quads nested inside a larger quad (round-5 invoice miss
+    catalog: a duplicate inner detection — 'IY' fully inside the 'Item'
+    header box — injects a phantom token into its visual row and breaks
+    every row-join span through it). A quad is suppressed when ≥
+    ``containment`` of its axis-aligned bbox area lies inside another
+    quad's bbox of strictly larger area. The DB postprocess itself
+    cannot produce nested components on one bitmap threshold, so nesting
+    only arises from probability-map ambiguity — always a duplicate,
+    never two real text lines (two lines stacked inside one box overlap
+    that box, they are not contained by each other)."""
+    if len(quads) < 2:
+        return quads
+    boxes = np.array(
+        [[*q.points.min(axis=0), *q.points.max(axis=0)] for q in quads],
+        np.float32,
+    )  # [N, 4] x0 y0 x1 y1
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    keep = np.ones(len(quads), bool)
+    for i in range(len(quads)):
+        ix0 = np.maximum(boxes[i, 0], boxes[:, 0])
+        iy0 = np.maximum(boxes[i, 1], boxes[:, 1])
+        ix1 = np.minimum(boxes[i, 2], boxes[:, 2])
+        iy1 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+        frac = inter / max(float(areas[i]), 1e-6)
+        frac[i] = 0.0
+        if np.any((frac >= containment) & (areas > areas[i]) & keep):
+            keep[i] = False
+    return [q for q, k in zip(quads, keep) if k]
+
+
 class OCREngine:
     """det→cls→rec pipeline with per-stage timing (the reference records
     per-stage elapse, utils/output.py:25-30)."""
@@ -336,6 +370,14 @@ class OCREngine:
                 tight = tighten_crop(part, target_h=rec_h)
                 if tight.size > 0:
                     split_pairs.append((sq, tight))
+        # nested-duplicate suppression runs on the FINAL per-line quads
+        # (after vertical/column splits): in raw detect space the header
+        # row is one wide quad and its split products don't exist yet,
+        # so suppressing there removes the wrong box (measured: 'Item'
+        # lost to a phantom 'IY' that only materializes post-split)
+        kept = _suppress_nested([p[0] for p in split_pairs])
+        kept_ids = {id(q) for q in kept}
+        split_pairs = [p for p in split_pairs if id(p[0]) in kept_ids]
         quads = [p[0] for p in split_pairs]
         crops = [p[1] for p in split_pairs]
 

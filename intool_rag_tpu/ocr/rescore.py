@@ -319,6 +319,42 @@ def _edit1_candidates(token: str, lex: dict) -> list[str]:
     return sorted(dels)
 
 
+@functools.lru_cache(maxsize=1)
+def _label_words() -> frozenset:
+    """Colon-bearing label words: the last word of every form label
+    (``synth.BUSINESS_LABELS`` — the word the ':' attaches to)."""
+    from .synth import BUSINESS_LABELS
+
+    return frozenset(label.split()[-1].lower() for label in BUSINESS_LABELS)
+
+
+def _label_colon_repair(core_c: str) -> str | None:
+    """First-char-anchored deletion repair against the label vocabulary
+    — for tokens the layout marks as FORM LABELS (trailing ':').
+
+    Round-5 invoice miss catalog: 'Terms:' reads as 'Tes:' (the 'rm'
+    pair smears away at ~150 dpi). General del2 is gated to len ≥ 6
+    because short-token two-deletion repair is wildly ambiguous over the
+    full lexicon; against the ~40 label words, WITH the first character
+    anchored (CTC essentially never deletes the strong onset glyph of a
+    crop), 'tes' → 'terms' is unique — 'notes' also contains the
+    subsequence but fails the anchor. Unique-candidate gate as usual."""
+    if len(core_c) < 3:
+        return None
+    cands = set()
+    for w in _label_words():
+        w_c = _canon(w)
+        if not w_c or w_c[0] != core_c[0]:
+            continue
+        if len(w_c) - len(core_c) in (1, 2):
+            it = iter(w_c)
+            if all(ch in it for ch in core_c):
+                cands.add(w)
+    if len(cands) == 1:
+        return next(iter(cands))
+    return None
+
+
 def _match_case(src: str, word: str) -> str:
     if src.isupper():
         return word.upper()
@@ -444,5 +480,40 @@ def lexicon_correct(text: str) -> str:
                     )
                     out_tokens.append(raw[:start] + fixed + raw[end:])
                     continue
+        # form-label deletion repair, anchored on the first glyph: only
+        # for tokens the layout marks as labels (trailing ':')
+        if raw[end : end + 1] == ":":
+            core_c = _canon(core)
+            if len(core_c) == len(core):
+                lab = _label_colon_repair(core_c)
+                if lab is not None:
+                    out_tokens.append(
+                        raw[:start] + _match_case(core, lab) + raw[end:]
+                    )
+                    continue
         out_tokens.append(raw)
-    return " ".join(out_tokens)
+    # second pass — colon glyph restoration: at ~150 dpi the ':' dots
+    # smear into '!'-class marks; after a colon-bearing form-label word
+    # an exclamation is never the right reading. Runs AFTER the word
+    # repairs so a repaired label keeps benefiting ('Noes!.' →(edit1)
+    # 'Notes!.' →(here) 'Notes:'); prose ('Thanks for your business!')
+    # is untouched because 'business' is not a label word.
+    labels = _label_words()
+    restored = []
+    for raw in out_tokens:
+        end = len(raw)
+        start = 0
+        while start < end and not raw[start].isalpha():
+            start += 1
+        while end > start and not raw[end - 1].isalpha():
+            end -= 1
+        core = raw[start:end]
+        if (
+            core
+            and core.lower() in labels
+            and "!" in raw[end:]
+            and len(raw[end:]) <= 2
+        ):
+            raw = raw[:start] + core + ":"
+        restored.append(raw)
+    return " ".join(restored)

@@ -455,6 +455,53 @@ def test_bundle_svtr_roundtrip(tmp_path):
     )
 
 
+def test_suppress_nested_quads():
+    """Round-5 invoice catalog: a duplicate detection fully inside a
+    larger box ('IY' inside the 'Item' header) must be suppressed;
+    partial overlaps and disjoint boxes survive."""
+    import numpy as np
+
+    from intool_rag_tpu.ocr.pipeline import _suppress_nested
+    from intool_rag_tpu.ocr.postprocess import QuadBox
+
+    def quad(x0, y0, x1, y1):
+        return QuadBox(
+            np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32),
+            0.9,
+        )
+
+    outer = quad(77, 438, 128, 472)
+    inner = quad(88, 450, 126, 466)       # fully inside outer
+    neighbor = quad(130, 440, 200, 470)   # disjoint
+    partial = quad(100, 430, 180, 450)    # overlaps outer partially
+    kept = _suppress_nested([outer, inner, neighbor, partial])
+    assert all(k is not inner for k in kept)  # dataclass eq on ndarrays
+    for q in (outer, neighbor, partial):
+        assert any(k is q for k in kept), "wrongly suppressed"
+    # singletons pass through
+    assert _suppress_nested([outer])[0] is outer
+
+
+def test_lexicon_correct_label_colon_repairs():
+    """Round-5 repair classes: (1) first-char-anchored deletion repair
+    against the label vocabulary for ':'-marked tokens ('Tes:' →
+    'Terms:' — general del2 is len ≥ 6, labels anchor the onset glyph);
+    (2) ':' glyph restoration after a label word ('Notes!.' — colon
+    dots smear to '!'-marks at 150 dpi)."""
+    from intool_rag_tpu.ocr.rescore import lexicon_correct
+
+    assert lexicon_correct("Tes:") == "Terms:"
+    assert lexicon_correct("Notes!.") == "Notes:"
+    assert lexicon_correct("Total!") == "Total:"
+    for untouched in (
+        "Thanks for your business!",  # not a label word
+        "Tes",                        # no colon -> no label repair
+        "Attn: Dale",
+        "XY:",                        # no unique label candidate
+    ):
+        assert lexicon_correct(untouched) == untouched, untouched
+
+
 def test_classify_and_fix_recognizer_verified_pairing():
     """Round-4 advisor finding: the recognizer-verified flip path
     (interleaved rec[2j]/rec[2j+1] pairing in classify_and_fix) gets a

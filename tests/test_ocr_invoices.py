@@ -28,11 +28,12 @@ def test_invoice_text_layer_recovery():
     engine = OCREngine(det_limit=1280)
     result = evaluate_on_invoices(engine, scale=2.0)
     assert result["lines"] >= 40  # both invoices contribute
-    # measured round-4 level: exact 0.659 / fuzzy 0.937 (scale-2
-    # rasters ≈ 150 dpi scans; exact 0.293 before the lexicon-repair
-    # and l→I orthographic passes, 0.488 before the round-4
-    # confusion-pair/double-deletion/segmentation repair classes —
-    # rescore.lexicon_correct). Bars sit under the measured level by a
-    # variance margin; 0.60 is the round-3 verdict target.
-    assert result["exact_rate"] >= 0.60, result
+    # measured round-5 level: exact 0.780 / fuzzy ~0.94 (scale-2
+    # rasters ≈ 150 dpi scans). History: 0.293 → 0.488 (lexicon repair
+    # + l→I) → 0.659 (round-4 confusion-pair/double-deletion/
+    # segmentation classes) → 0.780 (round-5 nested-box suppression,
+    # label-anchored deletion repair 'Tes:'→'Terms:', colon glyph
+    # restoration 'Notes!.'→'Notes:'). Bars sit under the measured
+    # level by a variance margin; 0.75 was the round-4 verdict target.
+    assert result["exact_rate"] >= 0.75, result
     assert result["fuzzy_rate"] >= 0.88, result
