@@ -74,6 +74,77 @@ def engine_rng(rng: np.random.Generator) -> np.random.Generator:
     return np.random.default_rng(rng.integers(0, 2**31))
 
 
+def evaluate_repair_generalization(
+    *,
+    pages: int = 4,
+    seed: int = 77,
+    size: int = 640,
+    font_sizes: tuple[int, int] = (18, 28),
+) -> dict:
+    """Post-OCR repair generalization on a SECOND document family
+    (round-4 verdict item 7): delivery-manifest pages
+    (``synth.manifest_lines`` — courier/city/product vocabulary and
+    layout disjoint from the invoice eval; only form labels overlap the
+    serving lexicon). Runs the identical engine with the repair stack
+    ON vs OFF and reports both exact rates plus ``false_rewrites`` —
+    gt lines the OFF pass got exactly right that the ON pass broke.
+    The unique-candidate/common-word gates exist precisely so this
+    count is zero on vocabulary the repairs have never seen."""
+    from .pipeline import OCREngine
+    from .synth import manifest_lines, render_page
+
+    on = OCREngine(det_limit=1280)
+    # beam+LM but NO lexicon repair: the delta on→mid isolates the
+    # repair classes (false-rewrite attribution), off is greedy context
+    mid = OCREngine(bundle=on.bundle, lexicon_repair=False, det_limit=1280)
+    off = OCREngine(bundle=on.bundle, lm_rescore=False, det_limit=1280)
+
+    def cands_of(result):
+        got = [_norm_line(ln.text) for ln in result.lines if ln.text]
+        cands = list(got)
+        for t in got:
+            ws = t.split(" ")
+            if 1 < len(ws) <= 10:
+                for i in range(len(ws)):
+                    for j in range(i + 1, len(ws) + 1):
+                        cands.append(" ".join(ws[i:j]))
+        return cands + _join_rows(result.lines)
+
+    rng = np.random.default_rng(seed)
+    total = on_exact = mid_exact = off_exact = false_rewrites = 0
+    broken: list[str] = []
+    for _ in range(pages):
+        texts = manifest_lines(engine_rng(rng), on.bundle.charset)
+        img, gt = render_page(
+            engine_rng(rng), on.bundle.charset, size=size,
+            font_sizes=font_sizes, texts=texts,
+        )
+        c_on = cands_of(on(img))
+        c_mid = cands_of(mid(img))
+        c_off = cands_of(off(img))
+        for _, want in gt:
+            want = _norm_line(want)
+            total += 1
+            hit_on = want in c_on
+            hit_mid = want in c_mid
+            on_exact += hit_on
+            mid_exact += hit_mid
+            off_exact += want in c_off
+            if hit_mid and not hit_on:
+                # the repair classes broke a line the beam already had
+                # exactly right — the failure mode the gates must prevent
+                false_rewrites += 1
+                broken.append(want)
+    return {
+        "lines": total,
+        "exact_on": on_exact / max(total, 1),
+        "exact_beam_only": mid_exact / max(total, 1),
+        "exact_off": off_exact / max(total, 1),
+        "false_rewrites": false_rewrites,
+        "broken": broken,
+    }
+
+
 if __name__ == "__main__":
     import json
 

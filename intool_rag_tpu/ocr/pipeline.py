@@ -114,6 +114,7 @@ class OCREngine:
         text_score: float = 0.5,
         det_limit: int = 640,
         lm_rescore: bool = True,
+        lexicon_repair: bool = True,
         auto_orient: bool = True,
     ) -> None:
         self.bundle = bundle or self._default_bundle()
@@ -129,6 +130,10 @@ class OCREngine:
         # bigram-LM CTC beam rescoring (ocr/rescore.py): fixes
         # near-homoglyph flips greedy decode cannot (I/l, O/0)
         self.lm_rescore = lm_rescore
+        # word-level lexicon repair, separable from the LM beam so the
+        # repair classes can be evaluated in isolation (the
+        # generalization eval's false-rewrite attribution)
+        self.lexicon_repair = lexicon_repair
         self._det_fn = jax.jit(self.bundle.det.apply)
         self._cls_fn = jax.jit(self.bundle.cls.apply)
         self._rec_fn = jax.jit(self.bundle.rec.apply)
@@ -272,6 +277,8 @@ class OCREngine:
             # word-level lexicon repair: beam+LM cannot recover a char
             # no beam contains; unique dist-1 repairs / two-word splits
             # against the serving lexicon can (rescore.lexicon_correct)
+            if not self.lexicon_repair:
+                return decoded
             return [(lexicon_correct(t), c) for t, c in decoded]
         return ctc_greedy_decode(logits[:n], self.bundle.charset)
 

@@ -625,6 +625,56 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
            "Sep", "Oct", "Nov", "Dec"]
 
 
+# Second document family (round-4 verdict item 7): a delivery-manifest
+# layout whose CONTENT vocabulary (couriers, cities, product nouns,
+# tracking codes) is disjoint from both the serving lexicon and the
+# invoice eval — the generalization probe for the post-OCR repair
+# stack. Label words overlap (that is what the repairs target); every
+# other token must pass through the repairs untouched.
+_MANIFEST_CARRIERS = [
+    "Crestwood Logistics", "Harbor Freight Line", "Zenith Couriers",
+    "Atlas Parcel", "Meridian Transport",
+]
+_MANIFEST_CITIES = [
+    "Tacoma", "Osaka", "Nairobi", "Gdansk", "Valparaiso", "Brisbane",
+    "Marseille", "Guadalajara",
+]
+_MANIFEST_GOODS = [
+    "ceramic tiles", "copper fittings", "alpine tents", "vinyl planks",
+    "woven baskets", "glass beakers", "maple panels", "nylon rope",
+]
+
+
+def manifest_lines(rng: np.random.Generator, charset: str) -> list[str]:
+    """Ground-truth lines for one delivery-manifest page — the layout
+    and content lexicon differ from invoices; only the form labels
+    (Date:, Ship Mode:, Terms:, Notes:, Total:) overlap the serving
+    lexicon. Deterministic per rng."""
+    n = int(rng.integers(10000, 99999))
+    cc = "".join(rng.choice(list("ABCDEFGHJKLMNPRSTUVWXYZ"), 3))
+    lines = [
+        "DELIVERY MANIFEST",
+        f"Slip # {n}",
+        f"{rng.choice(_MANIFEST_CARRIERS)}",
+        f"Date: {rng.choice(_MONTHS)} {int(rng.integers(1, 28)):02d} "
+        f"{int(rng.integers(2015, 2030))}",
+        f"Ship Mode: {rng.choice(['Standard Class', 'Express', 'First Class'])}",
+        f"From {rng.choice(_MANIFEST_CITIES)} to {rng.choice(_MANIFEST_CITIES)}",
+        f"{int(rng.integers(2, 40))} crates {rng.choice(_MANIFEST_GOODS)}",
+        f"Tracking: {cc}-{int(rng.integers(10**4, 10**5))}-AX",
+        f"Weight: {int(rng.integers(2, 900))}.{int(rng.integers(0, 9))} kg",
+        f"Total: ${int(rng.integers(100, 9999)):,}.{int(rng.integers(0, 99)):02d}",
+        "Notes:",
+        "Terms:",
+        "deliver the goods with care",
+    ]
+    out = []
+    for s in lines:
+        s = canonicalize_text(s)
+        out.append("".join(c for c in s if c in charset))
+    return out
+
+
 def business_text(
     rng: np.random.Generator, charset: str, max_len: int = 26
 ) -> str:

