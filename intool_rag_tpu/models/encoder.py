@@ -323,12 +323,15 @@ def encode_fn(config: EncoderConfig):
     return fn
 
 
-def save_encoder_checkpoint(path, config: EncoderConfig, params) -> None:
+def save_encoder_checkpoint(
+    path, config: EncoderConfig, params, *, store_dtype: str = "float32"
+) -> None:
     """Persist a self-trained encoder (config + params) as one npz —
     the native-checkpoint analogue of the HF state-dict load path, so
     EMBEDDING_PROVIDER=tpu can serve an in-environment-trained encoder
     (round-3 verdict item 4: the one capability axis that ran on
-    placeholder weights)."""
+    placeholder weights). ``store_dtype="float16"`` halves the artifact
+    (serving computes in bf16 anyway; the load path restores f32)."""
     import dataclasses
     import json
     from pathlib import Path
@@ -336,6 +339,13 @@ def save_encoder_checkpoint(path, config: EncoderConfig, params) -> None:
     import numpy as np
     from flax import serialization
 
+    dt = np.dtype(store_dtype)
+    params = jax.tree.map(
+        lambda x: np.asarray(x).astype(dt)
+        if np.asarray(x).dtype == np.float32
+        else np.asarray(x),
+        params,
+    )
     meta = json.dumps(dataclasses.asdict(config))
     np.savez_compressed(
         Path(path),
@@ -357,4 +367,12 @@ def load_encoder_checkpoint(path) -> tuple[EncoderConfig, dict]:
         config = EncoderConfig(**meta)
         template = init_params(config, seed=0)
         params = serialization.from_bytes(template, bytes(z["params"]))
+    # restore f32 params regardless of the stored dtype (float16
+    # checkpoints from save_encoder_checkpoint(store_dtype="float16"))
+    params = jax.tree.map(
+        lambda x: x.astype(np.float32)
+        if getattr(x, "dtype", None) == np.float16
+        else x,
+        params,
+    )
     return config, params

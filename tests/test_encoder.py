@@ -153,3 +153,38 @@ def test_encoder_long_sequence_2048():
         fn(params, ids[:, :content], np.ones((1, content), np.int32))
     )
     np.testing.assert_allclose(out, out_short, atol=3e-5)
+
+
+def test_checkpoint_float16_roundtrip(tmp_path):
+    """float16-stored checkpoints (save_encoder_checkpoint
+    store_dtype="float16" — halves the artifact) load back as f32
+    params and embed within f16 quantization error of the original."""
+    from intool_rag_tpu.models.encoder import (
+        EncoderConfig,
+        encode_fn,
+        init_params,
+        load_encoder_checkpoint,
+        save_encoder_checkpoint,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=256, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64, max_position=40, dtype="float32",
+    )
+    params = init_params(cfg)
+    path = tmp_path / "enc16.npz"
+    save_encoder_checkpoint(path, cfg, params, store_dtype="float16")
+    import jax
+
+    cfg2, params2 = load_encoder_checkpoint(path)
+    assert cfg2 == cfg
+    leaves = jax.tree.leaves(params2)
+    assert all(l.dtype != np.float16 for l in leaves)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 256, (4, 16)).astype(np.int32)
+    mask = np.ones((4, 16), np.int32)
+    fn = encode_fn(cfg)
+    a = np.asarray(fn(params, ids, mask))
+    b = np.asarray(fn(params2, ids, mask))
+    cos = (a * b).sum(axis=1)
+    assert (cos > 0.999).all(), cos
