@@ -69,7 +69,13 @@ def main() -> None:
         q_batch, g = headline.N_QUERIES, 4
     else:
         n, vocab, p_max = 100_000, 30_000, 2048
-        enc_cfg = EncoderConfig.tiny()
+        # keep hidden == corpus dim (the encoder output IS the query
+        # vector); shrink depth/ffn for CPU smoke speed
+        enc_cfg = EncoderConfig(
+            vocab_size=2048, hidden_size=headline.DIM, num_layers=2,
+            num_heads=16, intermediate_size=512, max_position=130,
+            dtype="float32", flash_min_len=0,
+        )
         q_batch, g = 64, 2
     k, cand = headline.TOP_K, headline.CANDIDATES
 
@@ -127,8 +133,11 @@ def main() -> None:
         d_vals, d_rows = dense_topk(q_dense, planes)
         d_vals = jnp.clip(d_vals, 0.0, 1.0)
         *row_arrs, wmax_d = rows
+        # qtf_d is built at the full bench batch; the latency leg calls
+        # with an 8-slot qt, so match its leading dim (static under jit)
         s_vals, s_rows = bm25_topk_rows_packed(
-            qt, qtf_d, *row_arrs, idf_d, cand, n_docs=n, term_wmax=wmax_d
+            qt, qtf_d[: qt.shape[0]], *row_arrs, idf_d, cand, n_docs=n,
+            term_wmax=wmax_d,
         )
         d_rows = jnp.where(jnp.isfinite(d_vals), d_rows, -1)
         s_rows = jnp.where(s_vals > 0.0, s_rows, -1)

@@ -1,0 +1,55 @@
+"""The SHIPPED mid-size encoder checkpoint serves and holds its bars.
+
+Round-5: `scripts/train_encoder_midsize.py` trained a 6L/384h encoder
+on TPU (4,000 cached-pool steps, 165 s) and committed the float16
+checkpoint. This test proves the committed ARTIFACT — not a freshly
+trained model — loads through the real provider path
+(EMBEDDING_PROVIDER=tpu + EMBEDDING_CHECKPOINT) and clears the
+graded-family bars the 2L/64h stand-in could not reach (graded dense
+recall 0.727 / NDCG 0.567 — BENCH_NOTES round 5 quality matrix; the
+mid checkpoint measured 1.000 / 0.917).
+
+Reference parity: rag/providers/hf/embeddings.py:24 — the reference's
+entire semantic quality comes from a downloaded checkpoint; this is
+the in-environment equivalent, self-trained and version-controlled.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from intool_rag_tpu import config as config_mod
+from intool_rag_tpu.eval.harness import build_engine_from_texts, evaluate_engine
+from intool_rag_tpu.eval.synthetic import make_relevance_task_graded
+
+CKPT = (
+    Path(__file__).resolve().parent.parent
+    / "intool_rag_tpu" / "models" / "weights" / "encoder_mid.npz"
+)
+
+
+@pytest.mark.slow
+def test_shipped_midsize_checkpoint_serves_and_clears_graded_bars(monkeypatch):
+    assert CKPT.exists(), "committed checkpoint missing"
+    monkeypatch.setenv("EMBEDDING_CHECKPOINT", str(CKPT))
+    monkeypatch.setenv("EMBEDDING_PROVIDER", "tpu")
+    monkeypatch.setenv("EMBEDDING_QUERY_INSTRUCTION", "")
+    config_mod.reset_config()
+    from intool_rag_tpu.providers.tpu_embed import TPUEmbeddingProvider
+
+    provider = TPUEmbeddingProvider(model_name="self-trained-mid")
+    assert provider.dimension == 384  # checkpoint dictates dims
+
+    # seed-0 graded task: corpus-level split — the checkpoint trained on
+    # seeds 1001-1004 only (scripts/train_encoder_midsize.py)
+    task = make_relevance_task_graded(np.random.default_rng(0))
+    eng = build_engine_from_texts(task.texts, provider)
+    m = evaluate_engine(eng, provider, task.examples, k=10, modes=("dense",))[
+        "dense"
+    ]
+    # measured 1.000 / 0.926 / 0.917 — generous margin for rng drift
+    assert m["recall@k"] >= 0.90, m
+    assert m["mrr"] >= 0.80, m
+    assert m["ndcg@k"] >= 0.80, m
+    config_mod.reset_config()
