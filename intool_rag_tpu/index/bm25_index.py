@@ -25,6 +25,34 @@ from ..config import get_config
 from .analyzer import tokenize
 
 
+def bm25_dispatch(
+    qt: jnp.ndarray,
+    qf: jnp.ndarray,
+    arrays: tuple,
+    *,
+    k: int,
+    packed: bool,
+    n_docs: int,
+    hot_cap: int | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Traceable BM25 top-k (plan from :meth:`BM25Index.topk_plan`).
+    Safe to call eagerly or inside an outer jit — the postings layout
+    travels in ``arrays`` (never closed over), so the hybrid engine can
+    fuse this with dense search and fusion into one device launch."""
+    from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
+
+    term_row, term_hot, hot_docs, hot_w, cold_docs, cold_w, idf, wmax = arrays
+    args = (
+        qt, qf, term_row, term_hot, hot_docs, hot_w, cold_docs, cold_w,
+        idf, k,
+    )
+    if packed:
+        return bm25_topk_rows_packed(
+            *args, n_docs=n_docs, term_wmax=wmax, hot_cap=hot_cap
+        )
+    return bm25_topk_rows(*args, n_docs=n_docs)
+
+
 @dataclasses.dataclass
 class BM25Params:
     k1: float = 1.5
@@ -274,16 +302,23 @@ class BM25Index:
         hot-term count fits T/2 additionally pack hot terms FIRST so the
         wide gather (and the dominant sort) covers half the term slots
         (ops/bm25._gather_rows hot_cap)."""
-        from ..ops.bm25 import bm25_topk_rows, bm25_topk_rows_packed
+        qt, qf, arrays, statics = self.topk_plan(queries)
+        return bm25_dispatch(qt, qf, arrays, k=k, **statics)
 
+    def topk_plan(
+        self, queries: list[str]
+    ) -> tuple[jnp.ndarray, jnp.ndarray, tuple, dict]:
+        """Host-side query prep shared by :meth:`topk` and the hybrid
+        engine's fused one-launch program: encodes queries, applies the
+        hot-first reorder ON HOST (fetching device arrays back for the
+        hot check would cost two tunnel round-trips), and returns
+        ``(qt, qf, device_arrays, statics)`` for
+        :func:`bm25_dispatch`."""
         qt_np, qf_np = self._encode_queries_np(queries)
         rows = self._row_layout()
         packed = self.n_docs < 1 << 20  # 31 − qbits(11)
         hot_cap = None
         if packed:
-            # reorder ON HOST before the single upload (the arrays came
-            # from host encoding — fetching them back for the hot check
-            # would cost two tunnel round-trips on the hot path)
             hot_np = rows["term_hot_np"]
             is_hot = (qt_np >= 0) & hot_np[np.maximum(qt_np, 0)]
             t = qt_np.shape[1]
@@ -293,19 +328,14 @@ class BM25Index:
                 qt_np = np.take_along_axis(qt_np, order, 1)
                 qf_np = np.take_along_axis(qf_np, order, 1)
                 hot_cap = cap
-        args = (
-            jnp.asarray(qt_np), jnp.asarray(qf_np),
+        arrays = (
             rows["term_row"], rows["term_hot"],
             rows["hot_docs"], rows["hot_w"],
             rows["cold_docs"], rows["cold_w"],
-            self.idf, k,
+            self.idf, rows["term_wmax"],
         )
-        if packed:
-            return bm25_topk_rows_packed(
-                *args, n_docs=self.n_docs, term_wmax=rows["term_wmax"],
-                hot_cap=hot_cap,
-            )
-        return bm25_topk_rows(*args, n_docs=self.n_docs)
+        statics = dict(packed=packed, n_docs=self.n_docs, hot_cap=hot_cap)
+        return jnp.asarray(qt_np), jnp.asarray(qf_np), arrays, statics
 
     # ---------------- persistence ----------------
 

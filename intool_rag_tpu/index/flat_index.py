@@ -22,6 +22,68 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def dense_dispatch(
+    query_embeddings: jnp.ndarray,
+    arrays: tuple,
+    *,
+    kind: str,
+    k: int,
+    metric: str,
+    valid_n: int,
+    group_l: int = 32,
+    precise: bool = True,
+    block_n: int = 0,
+    use_approx: bool = False,
+    rescore: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Traceable dense top-k for the FLAT branches (kind/statics from
+    :meth:`DenseFlatIndex.flat_plan`). All corpus data arrives in
+    ``arrays`` (never closed over — a jit closure over a device corpus
+    embeds it in the executable and stalls remote compile), so this is
+    safe to call either eagerly or inside an outer jit program (the
+    hybrid engine fuses dense+BM25+fusion into one launch — on the TPU
+    tunnel every separate dispatch costs ~40 ms of RPC)."""
+    if kind == "pallas_int8":
+        from ..ops.flat_pallas import flat_topk_pallas_int8
+
+        q8, s8, res = arrays
+        vals, rows = flat_topk_pallas_int8(
+            query_embeddings, q8, s8, k,
+            corpus_res=res, group_l=group_l, valid_n=valid_n, tail="fold",
+        )
+    elif kind == "pallas":
+        (corpus,) = arrays
+        vals, rows = flat_topk_pallas(
+            query_embeddings, corpus, k,
+            group_l=group_l, valid_n=valid_n, precise=precise, tail="fold",
+        )
+    else:  # "xla"
+        (corpus,) = arrays
+        vals, rows = flat_topk(
+            query_embeddings, corpus, k,
+            metric=metric,  # type: ignore[arg-type]
+            block_n=block_n, valid_n=valid_n, use_approx=use_approx,
+        )
+        if rescore:
+            # exact f32 rescoring of the candidate pool: removes bf16 /
+            # approx selection noise from final scores at ~k rows/query
+            from ..ops.topk import rescore_candidates
+
+            rescored = rescore_candidates(
+                query_embeddings, corpus, rows,
+                metric=metric,  # type: ignore[arg-type]
+            )
+            order = jnp.argsort(-rescored, axis=1)
+            vals = jnp.take_along_axis(rescored, order, axis=1)
+            rows = jnp.take_along_axis(rows, order, axis=1)
+    if metric == "cosine":
+        # reference score space (faiss_index.py:87); idempotent after
+        # rescore (which already clamps) — covers the Pallas and
+        # f32-store paths
+        vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
+    return vals, rows
+
+
 class DenseFlatIndex:
     """Dense search over the store's embedding matrix.
 
@@ -307,11 +369,43 @@ class DenseFlatIndex:
             if self.metric == "cosine":
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
             return vals, rows
+        arrays, statics = self.flat_plan(k, exact=exact)
+        return dense_dispatch(query_embeddings, arrays, **statics)
+
+    def routes_flat(self, cfg=None, *, exact: bool | None = None) -> bool:
+        """True when :meth:`search` would take a FLAT branch (i.e.
+        :meth:`flat_plan` describes the computation). Mirrors the two
+        early-return guards at the top of :meth:`search` — keep in
+        sync. The hybrid engine uses this to decide whether the fused
+        one-launch program applies."""
+        cfg = cfg or get_config()
+        if self._use_sharded(cfg) and exact is not True:
+            return False
+        if (
+            cfg.INDEX_KIND in ("ivf", "ivf_residual", "segmented", "bits")
+            and exact is not True
+            and self.store.valid_n >= self._IVF_MIN_ROWS
+            and self.metric in ("cosine", "ip")
+        ):
+            return False
+        return True
+
+    def flat_plan(
+        self, k: int, *, exact: bool | None = None
+    ) -> tuple[tuple, dict]:
+        """(arrays, statics) for :func:`dense_dispatch` covering the
+        FLAT branches (Pallas bf16/int8, XLA blockwise ± rescore).
+        Shared by :meth:`search` and the hybrid engine's fused
+        one-launch program — single source for branch selection, and
+        the corpus always travels as ARGUMENTS (jit-closure-safe).
+        Callers must have routed sharded/IVF configurations elsewhere.
+        """
+        cfg = get_config()
+        store = self.store
+        k = min(k, store.valid_n)
         use_pallas = cfg.USE_PALLAS and _on_tpu() and self.metric in ("cosine", "ip")
         if exact is True:
             use_pallas = False
-        use_approx = False
-        precise_pallas = False
         if use_pallas:
             # ≤32 (block_n 4096) measured fastest at 1M×d1024 on v5e:
             # wider groups shrink the [Q, N/L] candidate tail the top-k
@@ -321,62 +415,30 @@ class DenseFlatIndex:
             # shrink until the kernel's 128·group_l block divides n_pad
             while group_l > 8 and store.n_pad % (128 * group_l) != 0:
                 group_l //= 2
-            # split-query compensation: in-kernel scores match the
-            # f32-query × bf16-corpus product, so no candidate rescore
-            # pass is needed afterwards (round 3 — the rescore row
-            # gather cost ~6 ms/256-query batch at 1M rows)
-            precise_pallas = True
             if cfg.DENSE_INT8:
-                from ..ops.flat_pallas import flat_topk_pallas_int8
-
+                # split-query compensation: in-kernel scores match the
+                # f32-query × bf16-corpus product, so no candidate
+                # rescore pass is needed afterwards (round 3)
                 q8, s8, res = self._int8_mirror(
                     residual=cfg.DENSE_INT8_RESIDUAL
                 )
-                vals, rows = flat_topk_pallas_int8(
-                    query_embeddings, q8, s8, k,
-                    corpus_res=res,
-                    group_l=group_l,
-                    valid_n=store.valid_n,
-                    tail="fold",
+                return (q8, s8, res), dict(
+                    kind="pallas_int8", k=k, metric=self.metric,
+                    valid_n=store.valid_n, group_l=group_l,
                 )
-            else:
-                precise_pallas = store.embeddings.dtype == jnp.bfloat16
-                vals, rows = flat_topk_pallas(
-                    query_embeddings,
-                    store.embeddings,
-                    k,
-                    group_l=group_l,
-                    valid_n=store.valid_n,
-                    precise=precise_pallas,
-                    tail="fold",
-                )
-        else:
-            use_approx = (
-                _on_tpu() and self.metric in ("cosine", "ip") and exact is not True
+            return (store.embeddings,), dict(
+                kind="pallas", k=k, metric=self.metric,
+                valid_n=store.valid_n, group_l=group_l,
+                precise=store.embeddings.dtype == jnp.bfloat16,
             )
-            vals, rows = flat_topk(
-                query_embeddings,
-                store.embeddings,
-                k,
-                metric=self.metric,  # type: ignore[arg-type]
-                block_n=min(cfg.SEARCH_BLOCK_N, store.n_pad),
-                valid_n=store.valid_n,
-                use_approx=use_approx,
-            )
-        if (use_approx or store.embeddings.dtype != jnp.float32) and not precise_pallas:
-            # exact f32 rescoring of the candidate pool: removes bf16 /
-            # approx selection noise from final scores at ~k rows/query
-            from ..ops.topk import rescore_candidates
-
-            rescored = rescore_candidates(
-                query_embeddings, store.embeddings, rows,
-                metric=self.metric,  # type: ignore[arg-type]
-            )
-            order = jnp.argsort(-rescored, axis=1)
-            vals = jnp.take_along_axis(rescored, order, axis=1)
-            rows = jnp.take_along_axis(rows, order, axis=1)
-        if self.metric == "cosine":
-            # reference score space (faiss_index.py:87); rescore already
-            # clamps — this covers the f32-store Pallas path
-            vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
-        return vals, rows
+        use_approx = (
+            _on_tpu() and self.metric in ("cosine", "ip") and exact is not True
+        )
+        return (store.embeddings,), dict(
+            kind="xla", k=k, metric=self.metric, valid_n=store.valid_n,
+            block_n=min(cfg.SEARCH_BLOCK_N, store.n_pad),
+            use_approx=use_approx,
+            rescore=bool(
+                use_approx or store.embeddings.dtype != jnp.float32
+            ),
+        )

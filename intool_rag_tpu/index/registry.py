@@ -163,11 +163,35 @@ class CorpusRegistry:
         if project is not None:
             # over-fetch, then filter rows by project
             pool = min(pool * 4, len(store))
+        # bucket the query count: each distinct Q compiles a fresh XLA
+        # program for the dense+BM25+fusion pipeline (~tens of seconds
+        # through the remote-compile tunnel), and the micro-batcher
+        # produces whatever batch size the arrival pattern gave it.
+        # Padding to {1,2,4,8,...} bounds compiles to log2(max_batch)
+        # programs; pad queries are empty text + zero vectors, sliced
+        # off before enrichment.
+        q_n = len(query_texts)
+        q_pad = 1
+        while q_pad < q_n:
+            q_pad *= 2
+        if q_pad > q_n:
+            import jax.numpy as jnp
+
+            query_texts = list(query_texts) + [""] * (q_pad - q_n)
+            query_embeddings = jnp.concatenate(
+                [
+                    query_embeddings,
+                    jnp.zeros(
+                        (q_pad - q_n, query_embeddings.shape[1]),
+                        query_embeddings.dtype,
+                    ),
+                ]
+            )
         vals, rows = engine.search(
             query_texts, query_embeddings, max(k, pool), candidates=pool
         )
-        vals = np.asarray(vals)
-        rows = np.asarray(rows)
+        vals = np.asarray(vals)[:q_n]
+        rows = np.asarray(rows)[:q_n]
         results: list[list[dict]] = []
         for qi in range(rows.shape[0]):
             hits: list[dict] = []

@@ -132,3 +132,64 @@ def test_service_concurrent_queries_batched(tmp_storage, monkeypatch):
     finally:
         server.shutdown()
         reset_semantic_analyzer()
+
+
+def test_service_search_routes_through_batcher(tmp_storage, monkeypatch):
+    """Round 5: /search bypassed the batcher (only /query used it) —
+    measured on the TPU tunnel as p50 2.5 s at concurrency 8 because
+    every handler thread ran its own retrieval program. /search must
+    coalesce exactly like /query."""
+    monkeypatch.setenv("LLM_PROVIDER", "fake")
+    monkeypatch.setenv("QUERY_MICRO_BATCH_WINDOW_MS", "40")
+    from intool_rag_tpu import config as config_mod
+    from intool_rag_tpu.llm.semantic.factory import reset_semantic_analyzer
+
+    config_mod.reset_config()
+    reset_semantic_analyzer()
+    from intool_rag_tpu.index.registry import CorpusRegistry
+    from intool_rag_tpu.providers.fake import FakeLLM
+    from intool_rag_tpu.providers.hash_embed import HashEmbeddingProvider
+    from intool_rag_tpu.service.app import RAGService
+    from intool_rag_tpu.service.http import ServiceServer
+
+    svc = RAGService(
+        registry=CorpusRegistry(), llm=FakeLLM(), provider=HashEmbeddingProvider(64)
+    )
+    assert svc.batcher is not None
+    server = ServiceServer(service=svc, host="127.0.0.1", port=0)
+    server.start_background()
+    try:
+        with httpx.Client(
+            base_url=f"http://127.0.0.1:{server.port}", timeout=120.0
+        ) as c:
+            c.post(
+                "/ingest",
+                params={"project": "p", "doc_id": "d1"},
+                files={"file": ("t.txt",
+                                b"warranty lasts 24 months. returns in 30 days. "
+                                b"shipping is free over 50 dollars.")},
+            )
+            hits = {}
+
+            def ask(q):
+                hits[q] = c.post(
+                    "/search", json={"question": q, "top_k": 3}
+                ).json()
+
+            threads = [
+                threading.Thread(target=ask, args=(q,))
+                for q in ("warranty months?", "returns days?", "shipping cost?")
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for q, out in hits.items():
+                assert out["total"] >= 1, (q, out)
+                assert "text" in out["hits"][0]
+            metrics = c.get("/metrics").json()
+            assert metrics["batcher"]["requests_served"] == 3
+            assert metrics["batcher"]["batches_run"] <= 3
+    finally:
+        server.shutdown()
+        reset_semantic_analyzer()
