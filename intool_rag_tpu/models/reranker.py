@@ -147,6 +147,11 @@ class Reranker:
             rng = jax.random.PRNGKey(seed)
             dummy = jnp.ones((1, 8), jnp.int32)
             params = model.init(rng, dummy, jnp.ones((1, 8), jnp.int32))
+        else:
+            # checkpoint/torch-loaded params arrive as host numpy; pin
+            # once or every jitted call re-uploads the full state
+            # (~1 s/call on the TPU tunnel for MB-scale models)
+            params = jax.device_put(params)
         return cls(
             config=config,
             params=params,

@@ -387,6 +387,12 @@ class OCRModelBundle:
             det_p = ser.from_bytes(bundle.det_params, z["det"].tobytes())
             cls_p = ser.from_bytes(bundle.cls_params, z["cls"].tobytes())
             rec_p = ser.from_bytes(bundle.rec_params, z["rec"].tobytes())
+        import jax
+
+        # pin to device once: from_bytes yields host numpy leaves, and
+        # jitted calls with numpy params re-upload the full state every
+        # invocation (~1 s/call on the TPU tunnel for MB-scale bundles)
+        det_p, cls_p, rec_p = jax.device_put((det_p, cls_p, rec_p))
         return cls(
             bundle.det, det_p, bundle.cls, cls_p, bundle.rec, rec_p,
             meta["charset"], meta.get("rec_h", 32),
