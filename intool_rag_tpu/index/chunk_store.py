@@ -119,11 +119,28 @@ class ChunkStore:
                 float(norms.min()), float(norms.max()),
             )
         new_n = self.valid_n + m
-        host = np.asarray(self._embeddings[: self.valid_n], np.float32)
-        padded = np.zeros((_round_up(new_n, _ROW_BLOCK), self.dim_pad), np.float32)
-        padded[: self.valid_n] = host
-        padded[self.valid_n : new_n, : self.dim] = embeddings
-        self._embeddings = jnp.asarray(padded, dtype=self.dtype)
+        # Grow ON DEVICE: the old implementation fetched the whole
+        # corpus to host and re-uploaded it per append — O(corpus
+        # bytes) of tunnel traffic both ways for every ingested
+        # document (4 GB/doc at the 1M×d1024 f32 staging size). Now
+        # only the NEW rows cross host→device; existing rows move (if
+        # at all) device→device when capacity crosses a _ROW_BLOCK
+        # boundary (transient 2× HBM during that step).
+        import jax
+
+        add = np.zeros((m, self.dim_pad), np.float32)
+        add[:, : self.dim] = embeddings
+        add_dev = jnp.asarray(add, dtype=self.dtype)
+        cap = self._embeddings.shape[0]
+        if new_n > cap:
+            new_cap = _round_up(new_n, _ROW_BLOCK)
+            grown = jnp.zeros((new_cap, self.dim_pad), self._embeddings.dtype)
+            self._embeddings = jax.lax.dynamic_update_slice(
+                grown, self._embeddings, (0, 0)
+            )
+        self._embeddings = jax.lax.dynamic_update_slice(
+            self._embeddings, add_dev, (self.valid_n, 0)
+        )
         self.valid_n = new_n
         self.doc_ids.extend([doc_id] * m)
         self.chunk_ids.extend(chunk_ids)
