@@ -88,8 +88,38 @@ def fold(text: str) -> str:
     return text
 
 
+_native_tok = None
+_native_checked = False
+
+
 def tokenize(text: str) -> list[str]:
-    """Analyze text into BM25 terms."""
+    """Analyze text into BM25 terms.
+
+    Routes through the native C++ analyzer when built (bit-identical
+    token stream — parity pinned in tests/test_native.py). The Python
+    path spends ~75 % of its time in per-character CJK classification
+    (`_split_mixed`), which profiled as the single largest cost of the
+    whole ingest pipeline (round 5: 2.1 s of a 6 s 20-doc run through
+    the hash embedder's feature extraction)."""
+    global _native_tok, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from ..native import tokenize_native
+
+            if tokenize_native("probe 探针 text") is not None:
+                _native_tok = tokenize_native
+        except Exception:
+            _native_tok = None
+    if _native_tok is not None:
+        terms = _native_tok(text)
+        if terms is not None:
+            return terms
+    return tokenize_py(text)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Pure-Python analyzer (the parity reference for the native path)."""
     text = fold(text)
     terms: list[str] = []
     for token in _TOKEN_RE.findall(text):

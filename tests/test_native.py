@@ -4,7 +4,10 @@ reference implementation."""
 import numpy as np
 import pytest
 
-from intool_rag_tpu.index.analyzer import tokenize as py_tokenize
+# the PURE-PYTHON reference: analyzer.tokenize itself now routes
+# through the native path (round 5), which would make the parity
+# checks below vacuous
+from intool_rag_tpu.index.analyzer import tokenize_py as py_tokenize
 from intool_rag_tpu.native import (
     build_corpus_native,
     native_available,
