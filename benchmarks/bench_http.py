@@ -124,8 +124,7 @@ def main() -> None:
             for _ in range(256)
         ]
 
-        def run_load(path: str, body_of, concurrency: int, n: int,
-                     offset: int = 0):
+        def run_load(path: str, body_of, concurrency: int, n: int):
             latencies = []
             lock = threading.Lock()
             idx = iter(range(n))
@@ -136,7 +135,7 @@ def main() -> None:
                         i = next(idx, None)
                     if i is None:
                         return
-                    q = questions[(offset + i) % len(questions)]
+                    q = questions[i % len(questions)]
                     t0 = time.perf_counter()
                     post(path, *body_of(q))
                     dt = time.perf_counter() - t0
@@ -177,9 +176,14 @@ def main() -> None:
                  p99_ms=round(r["p99_ms"], 1), backend=backend,
                  provider=provider, corpus_chunks=chunks)
         # warm the /query path with questions DISJOINT from the timed
-        # set (the query-result cache is keyed by question — a warmup
-        # overlap would serve the first timed requests from cache)
-        run_load("/query", query_body, 8, 24, offset=200)
+        # set under ANY BENCH_HTTP_REQS (the query-result cache is
+        # keyed by question text — an overlap serves timed requests
+        # from cache; the emitted cache_hits field is the tripwire)
+        def warm_query_body(q):
+            return (json.dumps({"question": "[warmup] " + q}).encode(),
+                    "application/json")
+
+        run_load("/query", warm_query_body, 8, 24)
         r = run_load("/query", query_body, 8, REQS // 2)
         try:
             qc = json.loads(

@@ -64,18 +64,22 @@ def dense_dispatch(
             metric=metric,  # type: ignore[arg-type]
             block_n=block_n, valid_n=valid_n, use_approx=use_approx,
         )
-        if rescore:
-            # exact f32 rescoring of the candidate pool: removes bf16 /
-            # approx selection noise from final scores at ~k rows/query
-            from ..ops.topk import rescore_candidates
+    if rescore and kind in ("pallas", "xla"):
+        # exact f32 rescoring of the candidate pool: removes bf16 /
+        # approx selection noise from final scores at ~k rows/query.
+        # Applies to the Pallas kind too when the store dtype is
+        # neither bf16 (in-kernel split-query compensation) nor f32
+        # (exact already) — e.g. a float16 store.
+        from ..ops.topk import rescore_candidates
 
-            rescored = rescore_candidates(
-                query_embeddings, corpus, rows,
-                metric=metric,  # type: ignore[arg-type]
-            )
-            order = jnp.argsort(-rescored, axis=1)
-            vals = jnp.take_along_axis(rescored, order, axis=1)
-            rows = jnp.take_along_axis(rows, order, axis=1)
+        (corpus,) = arrays
+        rescored = rescore_candidates(
+            query_embeddings, corpus, rows,
+            metric=metric,  # type: ignore[arg-type]
+        )
+        order = jnp.argsort(-rescored, axis=1)
+        vals = jnp.take_along_axis(rescored, order, axis=1)
+        rows = jnp.take_along_axis(rows, order, axis=1)
     if metric == "cosine":
         # reference score space (faiss_index.py:87); idempotent after
         # rescore (which already clamps) — covers the Pallas and
@@ -351,12 +355,7 @@ class DenseFlatIndex:
             if self.metric == "cosine":
                 vals = jnp.where(jnp.isfinite(vals), jnp.clip(vals, 0.0, 1.0), vals)
             return vals, rows
-        if (
-            cfg.INDEX_KIND in ("ivf", "ivf_residual", "segmented", "bits")
-            and exact is not True
-            and store.valid_n >= self._IVF_MIN_ROWS
-            and self.metric in ("cosine", "ip")
-        ):
+        if self._routes_ivf(cfg, exact):
             ivf = self._ivf_index()
             kwargs = (
                 {"refine_k": cfg.IVF_REFINE_K}
@@ -372,23 +371,23 @@ class DenseFlatIndex:
         arrays, statics = self.flat_plan(k, exact=exact)
         return dense_dispatch(query_embeddings, arrays, **statics)
 
-    def routes_flat(self, cfg=None, *, exact: bool | None = None) -> bool:
-        """True when :meth:`search` would take a FLAT branch (i.e.
-        :meth:`flat_plan` describes the computation). Mirrors the two
-        early-return guards at the top of :meth:`search` — keep in
-        sync. The hybrid engine uses this to decide whether the fused
-        one-launch program applies."""
-        cfg = cfg or get_config()
-        if self._use_sharded(cfg) and exact is not True:
-            return False
-        if (
+    def _routes_ivf(self, cfg, exact: bool | None) -> bool:
+        return (
             cfg.INDEX_KIND in ("ivf", "ivf_residual", "segmented", "bits")
             and exact is not True
             and self.store.valid_n >= self._IVF_MIN_ROWS
             and self.metric in ("cosine", "ip")
-        ):
+        )
+
+    def routes_flat(self, cfg=None, *, exact: bool | None = None) -> bool:
+        """True when :meth:`search` takes a FLAT branch (i.e.
+        :meth:`flat_plan` describes the computation). Shares the exact
+        routing predicates with :meth:`search` — the hybrid engine uses
+        this to decide whether the fused one-launch program applies."""
+        cfg = cfg or get_config()
+        if self._use_sharded(cfg) and exact is not True:
             return False
-        return True
+        return not self._routes_ivf(cfg, exact)
 
     def flat_plan(
         self, k: int, *, exact: bool | None = None
@@ -430,6 +429,11 @@ class DenseFlatIndex:
                 kind="pallas", k=k, metric=self.metric,
                 valid_n=store.valid_n, group_l=group_l,
                 precise=store.embeddings.dtype == jnp.bfloat16,
+                # f16 (or other non-bf16/non-f32) stores lose the
+                # in-kernel compensation — rescore exactly, matching the
+                # pre-refactor '(dtype != f32) and not precise' condition
+                rescore=store.embeddings.dtype
+                not in (jnp.bfloat16, jnp.float32),
             )
         use_approx = (
             _on_tpu() and self.metric in ("cosine", "ip") and exact is not True

@@ -143,6 +143,18 @@ class HybridEngine:
             # (flat dense + BM25 + fusion); IVF/sharded configurations
             # keep the staged path below (they manage their own
             # multi-device / host-refine programs)
+            if query_embeddings.shape[1] not in (
+                self.store.dim, self.store.dim_pad,
+            ):
+                # the fused program pads narrow queries to the corpus
+                # lane width — without this guard a dim-mismatched
+                # provider (e.g. corpus ingested at 1024, service
+                # restarted with a 384-dim embedder) would silently
+                # serve garbage instead of the staged path's ValueError
+                raise ValueError(
+                    f"query dim {query_embeddings.shape[1]} != store dim "
+                    f"{self.store.dim}"
+                )
             arrays, statics = self.dense.flat_plan(kc)
             statics.pop("k")
             qt, qf, b_arrays, b_statics = self.bm25.topk_plan(query_texts)

@@ -171,19 +171,33 @@ class PageLevelRetriever:
         faiss_index.py:81). Per-query project filters apply on the host."""
         cfg = get_config()
         limit = limit or cfg.RETRIEVAL_CANDIDATES
+        # same rerank contract as the single-query path above: fetch a
+        # wider pool and cross-encoder rerank per query (round-5 review:
+        # routing /search through the batcher silently dropped reranking
+        # because this runner had no reranker path)
+        rerank = cfg.RERANKER_ENABLED and self._reranker is not None
+        fetch = max(limit, cfg.RERANKER_CANDIDATES) if rerank else limit
         emb = self.provider.embed_batch(list(queries), is_query=True)
         # over-fetch when any project filter is present
-        fetch = limit * 4 if any(p is not None for p in projects) else limit
+        if any(p is not None for p in projects):
+            fetch = fetch * 4
         hit_lists = self.registry.search(list(queries), jnp.asarray(emb), fetch)
         from ..ingest.chunker import _TABLE_HINT
 
         out: list[list[RetrievedChunk]] = []
-        for hits, project in zip(hit_lists, projects):
+        for query, hits, project in zip(queries, hit_lists, projects):
             if project is not None:
                 hits = [
                     h for h in hits
                     if self.registry.doc_projects.get(h["doc_id"]) == project
                 ]
+            if rerank and hits:
+                import math
+
+                reranked = self._reranker.rerank(query, hits, top_k=limit)
+                for h in reranked:
+                    h["score"] = 1.0 / (1.0 + math.exp(-h["rerank_score"]))
+                hits = reranked
             hits = hits[:limit]
             chunks = [
                 RetrievedChunk(

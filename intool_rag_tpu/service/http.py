@@ -75,6 +75,13 @@ def make_handler(service: RAGService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # default request_queue_size (5) drops connections under bursty
+    # concurrent load (measured: ECONNRESET at 32 concurrent clients
+    # in bench_http) — raise the accept backlog
+    request_queue_size = 128
+
+
 class ServiceServer:
     def __init__(self, service: RAGService | None = None, host: str | None = None,
                  port: int | None = None) -> None:
@@ -82,13 +89,7 @@ class ServiceServer:
         self.service = service or RAGService()
         self.host = host or cfg.SERVICE_HOST
         self.port = port if port is not None else cfg.SERVICE_PORT
-        # default request_queue_size (5) drops connections under bursty
-        # concurrent load (measured: ECONNRESET at 32 concurrent clients
-        # in bench_http) — raise the accept backlog before bind
-        server_cls = type(
-            "_Server", (ThreadingHTTPServer,), {"request_queue_size": 128}
-        )
-        self.httpd = server_cls(
+        self.httpd = _Server(
             (self.host, self.port), make_handler(self.service)
         )
         self.port = self.httpd.server_address[1]  # resolve port 0

@@ -119,3 +119,59 @@ def test_fused_dense_only_and_bucketing(monkeypatch):
         assert [h["chunk_id"] for h in solo] == [
             h["chunk_id"] for h in batch_hits[i]
         ]
+
+
+def test_batched_retrieval_reranks_like_single_path(monkeypatch, tmp_path):
+    """Round-5 review finding: routing /search through the micro-batcher
+    dropped cross-encoder reranking because retrieve_chunks_batch had no
+    reranker path. Both paths must apply the same rerank contract
+    (RERANKER_CANDIDATES over-fetch + sigmoid(rerank logits) scores)."""
+    monkeypatch.setenv("STORAGE_DIR", str(tmp_path))
+    monkeypatch.setenv("RERANKER_ENABLED", "true")
+    config_mod.reset_config()
+    import jax.numpy as jnp
+
+    from intool_rag_tpu.index.registry import CorpusRegistry
+    from intool_rag_tpu.providers.hash_embed import HashEmbeddingProvider
+    from intool_rag_tpu.query.retriever import PageLevelRetriever
+
+    class StubReranker:
+        """Deterministic: score = passage length (longer = better)."""
+
+        def rerank(self, query, candidates, top_k):
+            out = []
+            for c in candidates:
+                h = dict(c)
+                h["rerank_score"] = float(len(c["text"]))
+                out.append(h)
+            out.sort(key=lambda h: -h["rerank_score"])
+            return out[:top_k]
+
+    rng = np.random.default_rng(7)
+    texts, emb, store = _corpus(rng, n=300)
+    registry = CorpusRegistry.__new__(CorpusRegistry)
+    import threading
+
+    registry._lock = threading.Lock()
+    from intool_rag_tpu.index.bm25_index import BM25Index
+    from intool_rag_tpu.index.hybrid import HybridEngine
+
+    registry.engine = HybridEngine(store, BM25Index.build(texts))
+    registry.store = store
+    registry.doc_projects = {"d": None}
+    provider = HashEmbeddingProvider(64)
+    # the stub ignores embeddings; make provider dims match the corpus
+    retriever = PageLevelRetriever(
+        registry=registry, provider=provider, reranker=StubReranker()
+    )
+
+    queries = [" ".join(t.split()[:4]) for t in texts[:3]]
+    batch = retriever.retrieve_chunks_batch(queries, [None] * 3)
+    for q, chunks in zip(queries, batch):
+        single = retriever.retrieve_chunks(q)
+        assert [c.chunk_id for c in chunks] == [c.chunk_id for c in single]
+        # sigmoid(rerank logits) score space, descending by length
+        lens = [len(c.text) for c in chunks]
+        assert lens == sorted(lens, reverse=True)
+        assert all(0.0 <= c.score <= 1.0 for c in chunks)
+    config_mod.reset_config()
