@@ -53,3 +53,37 @@ def test_shipped_midsize_checkpoint_serves_and_clears_graded_bars(monkeypatch):
     assert m["mrr"] >= 0.80, m
     assert m["ndcg@k"] >= 0.80, m
     config_mod.reset_config()
+
+
+@pytest.mark.slow
+def test_hard_graded_tier_is_rankable(monkeypatch):
+    """The default graded draw re-saturated at recall@10=1.000 for the
+    mid checkpoint; this HARDER draw (4x corpus via n_ctx=64 x
+    docs_per_ctx=32, decoy_prob=0.8 — parameters only, no new
+    generator) lands it mid-scale (measured 0.665 recall / 0.473 NDCG
+    dense) so future quality work stays rankable, while hash collapses
+    (0.012). Bars leave margin for rng drift."""
+    monkeypatch.setenv("EMBEDDING_CHECKPOINT", str(CKPT))
+    monkeypatch.setenv("EMBEDDING_PROVIDER", "tpu")
+    monkeypatch.setenv("EMBEDDING_QUERY_INSTRUCTION", "")
+    config_mod.reset_config()
+    from intool_rag_tpu.providers.hash_embed import HashEmbeddingProvider
+    from intool_rag_tpu.providers.tpu_embed import TPUEmbeddingProvider
+
+    provider = TPUEmbeddingProvider(model_name="self-trained-mid")
+    task = make_relevance_task_graded(
+        np.random.default_rng(0), n_ctx=64, docs_per_ctx=32,
+        decoy_prob=0.8, n_eval=96,
+    )
+    eng = build_engine_from_texts(task.texts, provider)
+    m = evaluate_engine(eng, provider, task.examples, k=10, modes=("dense",))[
+        "dense"
+    ]
+    hashp = HashEmbeddingProvider(384)
+    eng_h = build_engine_from_texts(task.texts, hashp)
+    mh = evaluate_engine(eng_h, hashp, task.examples, k=10, modes=("dense",))[
+        "dense"
+    ]
+    assert 0.45 <= m["recall@k"] <= 0.95, m   # rankable: off both ceilings
+    assert m["recall@k"] >= mh["recall@k"] + 0.4, (m, mh)
+    config_mod.reset_config()
