@@ -19,6 +19,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_encoder_midsi
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,16 +30,26 @@ import numpy as np
 
 from intool_rag_tpu.backend import ensure_backend
 
-OUT = Path("intool_rag_tpu/models/weights/encoder_mid.npz")
+OUT = Path(
+    "intool_rag_tpu/models/weights/encoder_mid_v2.npz"
+    if os.environ.get("ENC_MID_V2")
+    else "intool_rag_tpu/models/weights/encoder_mid.npz"
+)
 
 
-def collect_pairs(seeds, rng):
+def collect_pairs(seeds, rng, hard_seeds=()):
     from intool_rag_tpu.eval.synthetic import make_relevance_task_graded
 
     seen, qs, ps = set(), [], []
-    for seed in seeds:
+    draws = [(seed, {}) for seed in seeds] + [
+        # hard-tier draws (round 5): decoy-rich, bigger corpora — the
+        # same 80-topic association vocabulary, harder surface
+        (seed, dict(n_ctx=64, docs_per_ctx=32, decoy_prob=0.8))
+        for seed in hard_seeds
+    ]
+    for seed, kw in draws:
         task = make_relevance_task_graded(
-            np.random.default_rng(seed), n_train_queries=600
+            np.random.default_rng(seed), n_train_queries=600, **kw
         )
         for q, p, lab in zip(task.train_queries, task.train_passages,
                              task.train_labels):
@@ -86,13 +97,14 @@ def main() -> None:
     )
     max_len = 48
     rng = np.random.default_rng(99)
-    qs, ps = collect_pairs((1001, 1002, 1003, 1004), rng)
+    hard = (2001, 2002, 2003, 2004) if os.environ.get("ENC_MID_V2") else ()
+    qs, ps = collect_pairs((1001, 1002, 1003, 1004), rng, hard_seeds=hard)
     print(f"# {len(qs)} training pairs (incl. shuffled copies)",
           file=sys.stderr, flush=True)
     tok = SimpleTokenizer(vocab_size=config.vocab_size, max_length=max_len)
     pool = tokenize_pairs(tok, qs, ps, max_len=max_len)
 
-    steps = 4000 if on_tpu else 1200
+    steps = (8000 if os.environ.get("ENC_MID_V2") else 4000) if on_tpu else 1200
     t0 = time.time()
     params, losses = train_encoder_cached(
         config, pool, steps=steps, batch=128 if on_tpu else 64, lr=5e-4,
@@ -110,8 +122,6 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     # serve through the REAL provider path (checkpoint dictates dims)
-    import os
-
     os.environ["EMBEDDING_CHECKPOINT"] = str(OUT)
     os.environ["EMBEDDING_PROVIDER"] = "tpu"
     os.environ["EMBEDDING_QUERY_INSTRUCTION"] = ""
@@ -127,6 +137,9 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     for fam, task in (
         ("graded", make_relevance_task_graded(np.random.default_rng(0))),
+        ("hard-graded", make_relevance_task_graded(
+            np.random.default_rng(0), n_ctx=64, docs_per_ctx=32,
+            decoy_prob=0.8, n_eval=96)),
         ("ood", make_relevance_task_ood(np.random.default_rng(0))),
     ):
         eng = build_engine_from_texts(task.texts, provider)
