@@ -125,6 +125,36 @@ def main() -> None:
     emit("spec_rag_net_speedup", tps_spec / tps_plain, "x",
          backend=backend)
 
+    # A/B the launch-amortization lever (round 5): the default
+    # seg_len//gamma waves/launch emits FEWER tokens per launch than
+    # plain decoding (4.5 vs 8 here), so on remote-dispatch transports
+    # "speculation loses" was really "wave segments amortize launches
+    # worse". Full-seg_len waves burn cursor 4x faster but emit ~2.2x
+    # plain's tokens per launch.
+    import os
+
+    os.environ["SPEC_WAVES_PER_SEGMENT"] = "8"
+    try:
+        spec_wide = ContinuousGenerator(
+            config, params, n_slots=n_slots, seg_len=8,
+            speculative_gamma=4, lookup_window=128,
+        )
+    finally:
+        del os.environ["SPEC_WAVES_PER_SEGMENT"]
+    got_w, stats_w, tps_wide = run(spec_wide)
+    frac_wide = np.mean([
+        np.mean(np.asarray(g[:val_len]) == np.asarray(a))
+        for g, a in zip(got_w, answers)
+    ])
+    assert frac_wide >= frac - 0.05, (
+        f"wide-wave speculative quality regressed: {frac_wide:.3f}"
+    )
+    emit("spec_rag_spec_wide_tok_s", tps_wide, "tokens/s", backend=backend,
+         gamma=4, waves_per_segment=8,
+         tokens_per_wave=round(stats_w.get("tokens_per_wave", 0), 3))
+    emit("spec_rag_net_speedup_wide", tps_wide / tps_plain, "x",
+         backend=backend)
+
 
 if __name__ == "__main__":
     main()

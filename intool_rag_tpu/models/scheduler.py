@@ -130,14 +130,33 @@ class ContinuousGenerator:
         self.gamma = int(speculative_gamma) if speculative_gamma else 0
         self.lookup_window = int(lookup_window)
         if self.gamma:
-            # a speculative wave burns gamma cursor slots; shrink the
-            # waves-per-segment so a segment's cursor advance (=
-            # segment_advance, what budget checks use) never EXCEEDS the
-            # configured seg_len — except when gamma > seg_len, where
-            # one wave (the minimum) already burns gamma. Non-dividing
-            # gammas round the advance DOWN (refill latency shortens
-            # slightly; never a budget risk).
-            self.seg_len = max(1, self.seg_len // self.gamma)
+            # a speculative wave burns gamma cursor slots; by default
+            # shrink the waves-per-segment so a segment's cursor
+            # advance (= segment_advance, what budget checks use) never
+            # EXCEEDS the configured seg_len — except when gamma >
+            # seg_len, where one wave (the minimum) already burns
+            # gamma. Non-dividing gammas round the advance DOWN.
+            #
+            # SPEC_WAVES_PER_SEGMENT overrides the wave count.
+            # Round-5 A/B (bench_spec_rag, TPU): MORE waves/launch is
+            # WORSE (0.81× vs 0.92× net) — the launch-amortization
+            # hypothesis is falsified. The structural cost of
+            # speculation here is SHARED-CURSOR position burn: a wave
+            # consumes gamma cursor slots whether or not the tokens
+            # are accepted (per-slot acceptance diverges, and the
+            # cursor is shared), so positions burn gamma/acceptance ≈
+            # 1.8× faster than plain decoding and compactions — which
+            # drain the dispatch pipeline and re-prefill every live
+            # stream — come proportionally sooner. Reclaiming burnt
+            # positions needs per-slot cursors (paged attention), a
+            # deliberate non-goal of this shared-cursor design.
+            import os
+
+            waves = int(os.environ.get("SPEC_WAVES_PER_SEGMENT", "0"))
+            self.seg_len = (
+                max(1, waves) if waves > 0
+                else max(1, self.seg_len // self.gamma)
+            )
         self.model = DecoderLM(config)
         self._fns: dict[tuple, callable] = {}
         self._decode_fn = jax.jit(self._decode_segment)
