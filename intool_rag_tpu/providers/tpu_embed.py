@@ -175,17 +175,35 @@ class TPUEmbeddingProvider:
         bs = self.batch_size
         for start in range(0, len(texts), bs):
             batch = texts[start : start + bs]
-            ids, mask = self.tokenizer.encode_batch(batch)
-            # pad to (batch bucket, seq bucket) to bound recompiles
-            b_pad = _bucket(len(batch), (1, 2, 4, 8, 16, 32, 64, 128, 256))
-            s_pad = _bucket(ids.shape[1])
-            ids_p = np.full((b_pad, s_pad), self.tokenizer.pad_id, np.int32)
-            mask_p = np.zeros((b_pad, s_pad), np.int32)
-            ids_p[: len(batch), : ids.shape[1]] = ids
-            mask_p[: len(batch), : ids.shape[1]] = mask
-            emb = self._fn(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+            emb = self._encode_device(batch)
             out[start : start + len(batch)] = np.asarray(emb)[: len(batch)]
         return out
+
+    def embed_batch_device(self, texts: list[str], *, is_query: bool = False):
+        """Single-micro-batch embed returning the DEVICE array (rows
+        beyond ``len(texts)`` are bucket padding). The retriever's
+        batched path uses this to skip the device→host→device round
+        trip `embed_batch` + `jnp.asarray` costs (~50 ms on the TPU
+        tunnel per query batch). Falls back to None when the batch
+        exceeds one micro-batch or packing is on (callers then use
+        ``embed_batch``)."""
+        if not texts or len(texts) > self.batch_size or self.packed:
+            return None
+        prefix = instruction_prefix(is_query)
+        if prefix:
+            texts = [prefix + t for t in texts]
+        return self._encode_device(texts)
+
+    def _encode_device(self, batch: list[str]):
+        ids, mask = self.tokenizer.encode_batch(batch)
+        # pad to (batch bucket, seq bucket) to bound recompiles
+        b_pad = _bucket(len(batch), (1, 2, 4, 8, 16, 32, 64, 128, 256))
+        s_pad = _bucket(ids.shape[1])
+        ids_p = np.full((b_pad, s_pad), self.tokenizer.pad_id, np.int32)
+        mask_p = np.zeros((b_pad, s_pad), np.int32)
+        ids_p[: len(batch), : ids.shape[1]] = ids
+        mask_p[: len(batch), : ids.shape[1]] = mask
+        return self._fn(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
 
     def _embed_batch_packed(self, texts: list[str]) -> np.ndarray:
         """Packed encode: FFD bin-packing into fixed-width rows with

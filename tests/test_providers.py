@@ -139,3 +139,27 @@ def test_tpu_embed_packed_matches_padded(tmp_storage, monkeypatch):
     bq = provider.embed_batch(texts[:3], is_query=True)
     pq = provider.embed_batch(texts[:3], is_query=True)
     np.testing.assert_allclose(pq, bq, rtol=2e-4, atol=2e-4)
+
+
+def test_embed_batch_device_matches_host_path(monkeypatch, tmp_storage):
+    """embed_batch_device (round 5: the retriever's zero-round-trip
+    path) must produce the same vectors as embed_batch, with bucket
+    padding beyond len(texts)."""
+    import numpy as np
+
+    from intool_rag_tpu import config as config_mod
+
+    monkeypatch.setenv("EMBEDDING_PROVIDER", "tpu")
+    config_mod.reset_config()
+    from intool_rag_tpu.providers.tpu_embed import TPUEmbeddingProvider
+
+    p = TPUEmbeddingProvider(model_name="tiny-test")
+    texts = ["alpha beta gamma", "delta", "epsilon zeta eta theta"]
+    host = p.embed_batch(texts, is_query=True)
+    dev = p.embed_batch_device(texts, is_query=True)
+    assert dev is not None
+    np.testing.assert_allclose(
+        np.asarray(dev)[: len(texts)], host, rtol=1e-5, atol=1e-6
+    )
+    assert p.embed_batch_device([]) is None
+    config_mod.reset_config()
