@@ -36,10 +36,9 @@ PARAS_PER_DOC = 40
 REQS = int(os.environ.get("BENCH_HTTP_REQS", "400"))
 
 
-def emit(metric, value, unit, **extra):
-    print(json.dumps(
-        {"metric": metric, "value": round(value, 4), "unit": unit, **extra}
-    ), flush=True)
+# the bench process never imports jax; common.py only needs numpy
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import emit  # noqa: E402
 
 
 def post(path: str, data: bytes, content_type: str, timeout=120):
@@ -126,10 +125,16 @@ def main() -> None:
 
         def run_load(path: str, body_of, concurrency: int, n: int):
             latencies = []
+            errors = []
             lock = threading.Lock()
             idx = iter(range(n))
 
             def worker():
+                # a failed request must not silently kill the worker:
+                # QPS is computed over COMPLETED requests and the error
+                # count is reported (round-5 review — a single 500/
+                # timeout corrupted qps=n/wall and could IndexError the
+                # percentile on an empty list)
                 while True:
                     with lock:
                         i = next(idx, None)
@@ -137,7 +142,12 @@ def main() -> None:
                         return
                     q = questions[i % len(questions)]
                     t0 = time.perf_counter()
-                    post(path, *body_of(q))
+                    try:
+                        post(path, *body_of(q))
+                    except Exception as exc:
+                        with lock:
+                            errors.append(repr(exc))
+                        continue
                     dt = time.perf_counter() - t0
                     with lock:
                         latencies.append(dt)
@@ -150,10 +160,16 @@ def main() -> None:
                 t.join()
             wall = time.perf_counter() - t0
             latencies.sort()
+            if not latencies:
+                raise RuntimeError(
+                    f"every request failed ({len(errors)} errors; "
+                    f"first: {errors[0] if errors else '?'})"
+                )
             return {
-                "qps": n / wall,
+                "qps": len(latencies) / wall,
                 "p50_ms": latencies[len(latencies) // 2] * 1000,
                 "p99_ms": latencies[int(len(latencies) * 0.99)] * 1000,
+                "errors": len(errors),
             }
 
         def search_body(q):
@@ -174,7 +190,8 @@ def main() -> None:
             emit("http_search_qps", r["qps"], "queries/s",
                  concurrency=conc, p50_ms=round(r["p50_ms"], 1),
                  p99_ms=round(r["p99_ms"], 1), backend=backend,
-                 provider=provider, corpus_chunks=chunks)
+                 provider=provider, corpus_chunks=chunks,
+                 errors=r["errors"])
         # warm the /query path with questions DISJOINT from the timed
         # set under ANY BENCH_HTTP_REQS (the query-result cache is
         # keyed by question text — an overlap serves timed requests
@@ -194,7 +211,8 @@ def main() -> None:
         emit("http_query_qps", r["qps"], "queries/s",
              concurrency=8, p50_ms=round(r["p50_ms"], 1),
              p99_ms=round(r["p99_ms"], 1), backend=backend,
-             provider=provider, cache_hits=qc.get("hits", 0))
+             provider=provider, cache_hits=qc.get("hits", 0),
+             errors=r["errors"])
 
         # batcher effectiveness snapshot
         try:

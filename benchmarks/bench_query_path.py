@@ -11,7 +11,7 @@ bf16) → int8r Pallas dense top-k → packed BM25 top-k → weighted fusion
 
 - ``query_path_qps_kernel_only``   — pre-embedded (the old headline)
 - ``query_path_qps_embed_included``— token ids in, top-10 out
-- ``query_path_tokenize_ms_256q``  — host analyzer cost (a pipelined
+- ``query_path_tokenize_ms_<Q>q``  — host analyzer cost (a pipelined
   service overlaps this with device compute; reported, not folded in)
 
 plus the latency-path leg: one query served in an 8-slot micro-batch,
@@ -102,13 +102,15 @@ def main() -> None:
         c = jax.random.normal(jax.random.PRNGKey(7), (n_pad, headline.DIM), jnp.float32)
         return c / jnp.linalg.norm(c, axis=1, keepdims=True)
 
-    corpus_planes = None
     if on_tpu:
         q8, res, s8 = jax.jit(quantize_int8_residual)(gen_corpus())
         jax.block_until_ready(q8)
         corpus_planes = (q8, res, s8)
     else:
-        corpus_bf16 = gen_corpus().astype(jnp.bfloat16)
+        # threaded through ``planes`` like the TPU quantized planes —
+        # a jit closure over the corpus embeds it as an executable
+        # constant (CLAUDE.md: never close over big device arrays)
+        corpus_planes = (gen_corpus().astype(jnp.bfloat16),)
 
     params = init_params(enc_cfg)
     jax.block_until_ready(params)
@@ -124,6 +126,7 @@ def main() -> None:
                 q_dense, q8, s8, cand, corpus_res=res, group_l=32,
                 valid_n=n, tail="fold",
             )
+        (corpus_bf16,) = planes
         return flat_topk(
             q_dense, corpus_bf16, cand, metric="cosine",
             block_n=min(500_000, n), valid_n=n,
@@ -192,7 +195,7 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return times
 
-    planes_arg = corpus_planes if on_tpu else ()
+    planes_arg = corpus_planes
     print("# compiling kernel-only stream", file=sys.stderr, flush=True)
     t_kernel = timed(
         lambda i: stream_kernel(dq_rot[i[0]], qt_rot[i[0]], planes_arg,
@@ -237,8 +240,8 @@ def main() -> None:
     t0 = time.perf_counter()
     tok.encode_batch(words)
     tok_ms = (time.perf_counter() - t0) * 1000
-    emit("query_path_tokenize_ms_256q", tok_ms, "ms", backend=backend,
-         queries=q_batch)
+    emit(f"query_path_tokenize_ms_{q_batch}q", tok_ms, "ms",
+         backend=backend, queries=q_batch)
 
     # ---- latency leg: 1 query in an 8-slot micro-batch, embed+hybrid,
     # then rerank 100→10 at bge-reranker-v2-m3 dims, host tokenize incl.

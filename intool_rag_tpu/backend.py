@@ -120,11 +120,20 @@ def _accelerator_probe_ok(timeout_s: float | None = None) -> bool:
 
 
 def _loopback_relay_listening(
-    lo: int = 8000, hi: int = 8200, min_ports: int = 4
+    lo: int = 8080, hi: int = 8200, min_ports: int = 4
 ) -> bool:
     """True when the loopback axon relay's listener pool is up: at
     least ``min_ports`` loopback TCP listeners in [lo, hi) per
-    /proc/net/tcp (state 0A = LISTEN, addr 0100007F = 127.0.0.1)."""
+    /proc/net/tcp (state 0A = LISTEN, addr 0100007F = 127.0.0.1).
+
+    ``lo`` starts at 8080, NOT 8000: this project's own servers bind
+    8001 (service default) and 8050-8079 (benches/drives), and counting
+    them as "relay listeners" would mask a dead relay exactly when a
+    service is up (round-5 review). The relay pool observed in this
+    environment listens on ~12 ports in 8082-8117; the probe is
+    v4-loopback only by design (the relay is a 127.0.0.1 TCP↔stdio
+    pump) — a relay on ::1/0.0.0.0 would read as down and degrade to
+    CPU, the safe direction."""
     try:
         found = 0
         with open("/proc/net/tcp", encoding="ascii") as fh:

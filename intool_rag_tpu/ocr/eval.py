@@ -86,10 +86,15 @@ def evaluate_repair_generalization(
     (``synth.manifest_lines`` — courier/city/product vocabulary and
     layout disjoint from the invoice eval; only form labels overlap the
     serving lexicon). Runs the identical engine with the repair stack
-    ON vs OFF and reports both exact rates plus ``false_rewrites`` —
-    gt lines the OFF pass got exactly right that the ON pass broke.
-    The unique-candidate/common-word gates exist precisely so this
-    count is zero on vocabulary the repairs have never seen."""
+    ON vs OFF and reports the exact rates plus ``false_rewrites`` —
+    gt lines the beam+LM (mid) pass got exactly right that the full
+    stack broke, i.e. damage attributable to the REPAIR classes alone
+    (round-5 review fixed this docstring: the earlier wording said
+    "OFF pass", which conflates beam damage with repair damage).
+    ``regressions_vs_greedy`` separately counts greedy-right lines the
+    full stack missed — beam OR repairs. The unique-candidate /
+    common-word gates exist precisely so ``false_rewrites`` is zero on
+    vocabulary the repairs have never seen."""
     from .pipeline import OCREngine
     from .synth import manifest_lines, render_page
 
@@ -112,6 +117,7 @@ def evaluate_repair_generalization(
 
     rng = np.random.default_rng(seed)
     total = on_exact = mid_exact = off_exact = false_rewrites = 0
+    regressions_vs_greedy = 0
     broken: list[str] = []
     for _ in range(pages):
         texts = manifest_lines(engine_rng(rng), on.bundle.charset)
@@ -127,20 +133,24 @@ def evaluate_repair_generalization(
             total += 1
             hit_on = want in c_on
             hit_mid = want in c_mid
+            hit_off = want in c_off
             on_exact += hit_on
             mid_exact += hit_mid
-            off_exact += want in c_off
+            off_exact += hit_off
             if hit_mid and not hit_on:
                 # the repair classes broke a line the beam already had
                 # exactly right — the failure mode the gates must prevent
                 false_rewrites += 1
                 broken.append(want)
+            if hit_off and not hit_on:
+                regressions_vs_greedy += 1
     return {
         "lines": total,
         "exact_on": on_exact / max(total, 1),
         "exact_beam_only": mid_exact / max(total, 1),
         "exact_off": off_exact / max(total, 1),
         "false_rewrites": false_rewrites,
+        "regressions_vs_greedy": regressions_vs_greedy,
         "broken": broken,
     }
 

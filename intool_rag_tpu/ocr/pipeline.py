@@ -97,7 +97,14 @@ def _suppress_nested(
         inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
         frac = inter / max(float(areas[i]), 1e-6)
         frac[i] = 0.0
-        if np.any((frac >= containment) & (areas > areas[i]) & keep):
+        # container test: strictly larger area, OR equal area with a
+        # lower index (round-5 review: two EXACT-duplicate detections
+        # suppressed neither under strict '>', so the phantom-token
+        # row-break persisted for coincident bboxes — keep exactly one)
+        larger = (areas > areas[i]) | (
+            (areas == areas[i]) & (np.arange(len(quads)) < i)
+        )
+        if np.any((frac >= containment) & larger & keep):
             keep[i] = False
     return [q for q, k in zip(quads, keep) if k]
 

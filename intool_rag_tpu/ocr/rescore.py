@@ -508,12 +508,18 @@ def lexicon_correct(text: str) -> str:
         while end > start and not raw[end - 1].isalpha():
             end -= 1
         core = raw[start:end]
+        tail = raw[end:]
         if (
             core
             and core.lower() in labels
-            and "!" in raw[end:]
-            and len(raw[end:]) <= 2
+            and "!" in tail
+            and len(tail) == 2
         ):
+            # only GARBLED tails ('!.', '!,'): a clean single '!' is a
+            # plausible prose exclamation ('Great rate!', 'ship to!')
+            # and several label words are common prose words — round-5
+            # review caught the single-'!' variant rewriting correct
+            # text, the class the common-English gate exists to stop
             raw = raw[:start] + core + ":"
         restored.append(raw)
     return " ".join(restored)

@@ -232,18 +232,12 @@ class ShardedBitsIndex:
         interpret = interpret or jax.default_backend() != "tpu"
         nprobe = min(nprobe, self.nlist)
         qf = jnp.asarray(queries, jnp.float32)
-        # replicated pre-pass: same probe list ids are valid local block
-        # offsets on every shard (shard-invariant layout — module doc)
-        order, qs, probes, c_sel = tile_probes(qf, self.centroids, nprobe)
-        probe_blocks = (probes * self.local_blocks).astype(jnp.int32)
-        vals, rows = _sharded_bits_topk(
-            qs, self.codes, self.scales, self.gid, probe_blocks, c_sel,
-            mesh=self.mesh, k=k, block_n=self.block_n,
+        return _fused_sharded_bits_search(
+            qf, self.centroids, self.codes, self.scales, self.gid,
+            mesh=self.mesh, nprobe=nprobe, k=k, block_n=self.block_n,
             local_blocks=self.local_blocks, group_l=group_l, tail=tail,
             interpret=interpret,
         )
-        inv = jnp.argsort(order[:q])
-        return vals[inv], rows[inv]
 
     # ---------------- persistence ----------------
 
@@ -298,10 +292,31 @@ class ShardedBitsIndex:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "k", "block_n", "local_blocks", "group_l", "tail",
-        "interpret",
+        "mesh", "nprobe", "k", "block_n", "local_blocks", "group_l",
+        "tail", "interpret",
     ),
 )
+def _fused_sharded_bits_search(
+    qf, centroids, codes, scales, gid,
+    *, mesh, nprobe, k, block_n, local_blocks, group_l, tail, interpret,
+):
+    """Probe selection + sharded top-k + unsort as ONE launch (round-5
+    review: the staged version paid an extra device dispatch (~40 ms on
+    the tunnel) plus eager argsort/gather per search vs the single-chip
+    `_bits_search`, which fuses). The replicated probe pre-pass stays
+    valid: same probe list ids are local block offsets on every shard
+    (shard-invariant layout — module doc)."""
+    order, qs, probes, c_sel = tile_probes(qf, centroids, nprobe)
+    probe_blocks = (probes * local_blocks).astype(jnp.int32)
+    vals, rows = _sharded_bits_topk(
+        qs, codes, scales, gid, probe_blocks, c_sel,
+        mesh=mesh, k=k, block_n=block_n, local_blocks=local_blocks,
+        group_l=group_l, tail=tail, interpret=interpret,
+    )
+    inv = jnp.argsort(order[: qf.shape[0]])
+    return vals[inv], rows[inv]
+
+
 def _sharded_bits_topk(
     qs, codes, scales, gid, probe_blocks, c_sel,
     *, mesh, k, block_n, local_blocks, group_l, tail, interpret,

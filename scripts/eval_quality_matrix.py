@@ -50,22 +50,13 @@ from intool_rag_tpu.train.contrastive import (  # noqa: E402
 from intool_rag_tpu.train.rerank import build_pair_pool, train_reranker  # noqa: E402
 
 
-class HashProvider:
-    def __init__(self, dim=256):
-        self.dim = dim
-
-    def embed_batch(self, texts, is_query=False):
-        import hashlib
-
-        out = np.zeros((len(texts), self.dim), np.float32)
-        for i, t in enumerate(texts):
-            for w in t.split():
-                h = int.from_bytes(
-                    hashlib.md5(w.encode()).digest()[:4], "little"
-                )
-                out[i, h % self.dim] += 1.0
-        out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
-        return out
+# the SHIPPED offline provider (signed hashing + char 3-grams) — the
+# baseline rows must measure what EMBEDDING_PROVIDER=hash actually
+# serves (round-5 review: an earlier bespoke unigram hasher here
+# understated the baseline's partial topic signal from char n-grams)
+from intool_rag_tpu.providers.hash_embed import (  # noqa: E402
+    HashEmbeddingProvider as HashProvider,
+)
 
 
 class EncoderProvider:

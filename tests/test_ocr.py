@@ -492,9 +492,15 @@ def test_lexicon_correct_label_colon_repairs():
 
     assert lexicon_correct("Tes:") == "Terms:"
     assert lexicon_correct("Notes!.") == "Notes:"
-    assert lexicon_correct("Total!") == "Total:"
+    assert lexicon_correct("Total!.") == "Total:"
     for untouched in (
         "Thanks for your business!",  # not a label word
+        # single clean '!' is a plausible prose exclamation and several
+        # label words are common prose words — round-5 review: the
+        # restoration fires only on GARBLED 2-char tails ('!.', '!,')
+        "Total!",
+        "Great rate!",
+        "ship to!",
         "Tes",                        # no colon -> no label repair
         "Attn: Dale",
         "XY:",                        # no unique label candidate
